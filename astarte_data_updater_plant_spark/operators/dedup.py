@@ -1,0 +1,184 @@
+"""Deduplication operators over the documents table.
+
+The pretraining-corpus dedup ladder, each stage designed for 100 TB:
+
+- exact dedup: hash-groupBy on md5(text) — one shuffle on the hash,
+  map-side partial aggregation, no driver state.
+- MinHash + LSH near-dup: distinct (doc, token) -> 8 MinHash
+  coordinates (md5-family min-wise hashes) -> 4 bands of 2 -> band
+  equality join generates candidates -> exact token-set Jaccard
+  verifies candidates only. Candidate generation never compares all
+  pairs: the only joins are equi-joins on band signatures and tokens,
+  both shuffle-partitioned by key. This is the standard scalable
+  near-dup topology (shingle -> minhash -> band -> bucket-join).
+
+The md5 hash family keeps every stage bit-identical to the DuckDB
+oracle (lexicographic min over hex digests is a valid min-wise hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_expr
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+
+
+@register(
+    "q40_exact_dedup",
+    """
+    SELECT
+      md5(text) AS text_hash,
+      COUNT(*) AS n_copies,
+      MIN(doc_id) AS canonical_doc
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+    doc="Exact dedup: content-hash groupBy; min(doc_id) elects the "
+    "canonical copy. One shuffle on the 128-bit hash — uniform keys, "
+    "no skew, scales linearly.",
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc"))
+        .orderBy("text_hash")
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the shingle base for MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h7): 8 min-wise hashes over the token set."""
+    tok = _doc_tokens(spark, sf_dir)
+    aggs = [
+        F.min(minhash_expr(F.col("token"), seed)).alias(f"h{seed}") for seed in range(N_HASHES)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+_TOK_SQL = "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents"
+_SIG_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(md5('{s}:' || token)) AS h{s}" for s in range(N_HASHES)
+) + f" FROM ({_TOK_SQL}) GROUP BY doc_id"
+
+
+@register(
+    "q41_minhash_signatures",
+    f"""
+    WITH sig AS ({_SIG_SQL})
+    SELECT doc_id, {", ".join(f"h{s}" for s in range(N_HASHES))},
+           md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
+           md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+    FROM sig
+    ORDER BY doc_id
+    """,
+    doc="MinHash signature + LSH band keys per document: 8 md5-family "
+    "min-wise hashes over the distinct-token set, banded 4x2. The "
+    "explode+groupBy shape is one shuffle partitioned by doc_id.",
+)
+def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    for b in range(N_BANDS):
+        sig = sig.withColumn(
+            f"band{b}", F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+        )
+    return sig.orderBy("doc_id")
+
+
+@register(
+    "q42_lsh_near_dup_pairs",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    banded AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id,
+               0 AS band, md5(h0 || h1) AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+      ) u
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    tok AS ({_TOK_SQL}),
+    tok_counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS DOUBLE) / (ca.n_tok + cb.n_tok - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN tok_counts ca ON ca.doc_id = s.doc_a
+    JOIN tok_counts cb ON cb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_tok + cb.n_tok - s.n_shared) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Near-dup detection, full LSH topology: band-key equi-join "
+    "generates candidate pairs (never all-pairs), exact token-set "
+    "Jaccard (int arithmetic, hash-stable) verifies, threshold 0.5. "
+    "At 100 TB each stage remains a keyed shuffle; skewed band keys "
+    "are bounded because identical signatures imply near-identical docs.",
+)
+def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    banded = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bkey"),
+        )
+        banded = part if banded is None else banded.unionAll(part)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok = _doc_tokens(spark, sf_dir)
+    tok_counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = tok_counts.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    cb = tok_counts.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

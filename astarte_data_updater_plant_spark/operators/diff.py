@@ -1,0 +1,120 @@
+"""Set-operation queries: introspection diff and friends.
+
+The reference diffs a device's old vs new introspection (its announced
+interface set) with a sorted Myers diff (``impl.ex:688-864``, diff at
+``:736``) to derive interface_added / interface_removed events, and
+prunes stored properties not in a device-sent alive-set with a set
+membership test (``impl.ex:1334-1411``). Both are anti-joins in
+relational form; this module declares them over the events table
+(event_type set per device in an early vs late time window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+def _halves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = ev.filter(F.col("ts") < split).select("user_id", "event_type").distinct()
+    new = ev.filter(F.col("ts") >= split).select("user_id", "event_type").distinct()
+    return old, new
+
+
+@register(
+    "q20_introspection_diff",
+    f"""
+    WITH old AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE ts < {_SPLIT}
+    ), new AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE ts >= {_SPLIT}
+    )
+    SELECT user_id, event_type, 'added' AS change
+    FROM new ANTI JOIN old USING (user_id, event_type)
+    UNION ALL
+    SELECT user_id, event_type, 'removed' AS change
+    FROM old ANTI JOIN new USING (user_id, event_type)
+    ORDER BY user_id, event_type, change
+    """,
+    doc="Introspection diff (impl.ex:726-799): per-device set of announced "
+    "interfaces, old vs new -> added/removed via symmetric anti-joins. "
+    "Replaces the reference's Myers diff with two hash anti-joins that "
+    "shuffle only on (user_id, event_type).",
+)
+def q20_introspection_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _halves(spark, sf_dir)
+    added = new.join(old, ["user_id", "event_type"], "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = old.join(new, ["user_id", "event_type"], "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionAll(removed).orderBy("user_id", "event_type", "change")
+
+
+@register(
+    "q21_set_ops",
+    f"""
+    WITH old AS (
+      SELECT DISTINCT user_id FROM events WHERE ts < {_SPLIT}
+    ), new AS (
+      SELECT DISTINCT user_id FROM events WHERE ts >= {_SPLIT}
+    )
+    SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM old INTERSECT SELECT user_id FROM new) t
+    UNION ALL
+    SELECT user_id, 'old_only' AS cohort FROM (SELECT user_id FROM old EXCEPT SELECT user_id FROM new) t
+    UNION ALL
+    SELECT user_id, 'new_only' AS cohort FROM (SELECT user_id FROM new EXCEPT SELECT user_id FROM old) t
+    ORDER BY cohort, user_id
+    """,
+    doc="UNION/INTERSECT/EXCEPT cohort split — the MapSet algebra of the "
+    "property-prune path (impl.ex:1334-1411) as native set operators.",
+)
+def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = ev.filter(F.col("ts") < split).select("user_id").distinct()
+    new = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    both = old.intersect(new).withColumn("cohort", F.lit("both"))
+    old_only = old.exceptAll(new).withColumn("cohort", F.lit("old_only"))
+    new_only = new.exceptAll(old).withColumn("cohort", F.lit("new_only"))
+    return both.unionAll(old_only).unionAll(new_only).orderBy("cohort", "user_id")
+
+
+@register(
+    "q22_property_prune",
+    """
+    WITH stored AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), alive AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT s.user_id, s.event_type
+    FROM stored s
+    ANTI JOIN alive a ON s.user_id = a.user_id AND s.event_type = a.event_type
+    ORDER BY s.user_id, s.event_type
+    """,
+    doc="Property prune (impl.ex:1334-1411): every stored path of a device "
+    "NOT present in its recently-alive set -> delete candidates. "
+    "Left anti join on the composite key.",
+)
+def q22_property_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stored = ev.select("user_id", "event_type").distinct()
+    alive = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        stored.join(alive, ["user_id", "event_type"], "left_anti")
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,301 @@
+"""Relational query surface over the star schema (SURVEY §2B).
+
+The reference's relational repertoire is lookup joins, filters and
+running aggregations hard-wired in Elixir
+(``data_updater/impl.ex``, ``data_updater/queries.ex``); here the same
+operator classes — scan, filter+project, hash/broadcast join,
+semi/anti join, partial+final aggregation, sort, top-k — are declared
+through the DataFrame API so Catalyst chooses the physical strategy.
+
+Scale notes (100 TB design):
+- ``region``/``nation`` joins are explicitly broadcast (bounded dims).
+- Fact x fact joins (lineitem x orders) stay shuffle joins on the join
+  key; AQE handles skew splitting at runtime.
+- All aggregates are algebraic (sum/count/min/max) so map-side partial
+  aggregation halves the shuffle volume automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dmoney, drate, dsum, dsum_expr, exact_div
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# Shared decimal-cast fragments for the DuckDB oracle side. Keep in
+# sync with functions/exact.py.
+_M = "DECIMAL(12,4)"
+_R = "DECIMAL(8,4)"
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS {_M}) * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS {_M}) * (CAST(1 AS {_R}) - CAST(l_discount AS {_R})) * (CAST(1 AS {_R}) + CAST(l_tax AS {_R}))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS {_R})) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> filter -> 8-way algebraic aggregate -> sort. "
+    "Mirrors the reference's running counters (impl.ex:623-674) generalized "
+    "to grouped partial+final aggregation.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(8,4)") + drate("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(drate("l_quantity")).cast("double").alias("sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            exact_div(F.sum(drate("l_quantity")), n, "avg_qty"),
+            exact_div(F.sum(dmoney("l_extendedprice")), n, "avg_price"),
+            exact_div(F.sum(drate("l_discount")), n, "avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    f"""
+    SELECT
+      l.l_orderkey,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M}) * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R}))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-03-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> 3-way join -> grouped "
+    "aggregate -> global top-10. The customer side is filtered before the "
+    "join so Catalyst can broadcast it.",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-01 00:00:00").cast("timestamp")
+    )
+    revenue = dmoney("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: left-semi join (EXISTS) -> aggregate. Same operator "
+    "class as the reference's trigger-target existence checks.",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT
+      n.n_name,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M}) * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R}))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join; nation/region/supplier broadcast, "
+    "fact x fact shuffle join on orderkey.",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dmoney("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    f"""
+    SELECT
+      CAST(CAST(SUM(CAST(l_extendedprice AS {_M}) * CAST(l_discount AS {_R})) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter + scalar aggregate; every predicate "
+    "pushes down to the parquet scan.",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_expr(dmoney("l_extendedprice") * drate("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q07_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="Left anti join — the exact operator class of the reference's "
+    "property-prune (impl.ex:1334-1411): stored paths NOT IN the alive set.",
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q02_part_supplier_stats",
+    f"""
+    SELECT
+      p.p_brand,
+      p.p_type,
+      COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+      CAST(SUM(CAST(l.l_quantity AS {_R})) AS DOUBLE) AS total_qty
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: broadcast dim join + COUNT(DISTINCT) (expand + "
+    "two-phase aggregate under Catalyst).",
+)
+def q02_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.sum(drate("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"))
+    )
+
+
+@register(
+    "q08_rollup_revenue",
+    f"""
+    SELECT
+      COALESCE(r.r_name, 'ALL') AS region_name,
+      COALESCE(n.n_name, 'ALL') AS nation_name,
+      CAST(SUM(CAST(o.o_totalprice AS {_M})) AS DOUBLE) AS total_revenue,
+      COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+    doc="ROLLUP hierarchy aggregate (region -> nation -> grand total): the "
+    "multi-level counter rollups of the reference generalized.",
+)
+def q08_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(dsum("o_totalprice", "total_revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_revenue",
+            "n_orders",
+        )
+        .orderBy("region_name", "nation_name")
+    )

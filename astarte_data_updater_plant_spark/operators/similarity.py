@@ -1,0 +1,161 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exact baseline: query set x corpus as
+a broadcast nested-loop join (query side is small and broadcast; the
+corpus streams through executors — no all-pairs shuffle), windowed
+row_number for per-query top-k. At 100 TB the same plan holds as long
+as the query batch stays broadcastable; beyond that the scale path is
+bucketed LSH/IVF (candidate generation by bucket equi-join, exact
+re-rank inside buckets — same topology as the MinHash dedup pipeline).
+
+Determinism: cosine is rounded to 6 digits before ranking and ties
+break on vec_id, so Spark and the DuckDB oracle agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, norm, to_double_array
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+TOP_K = 5
+QUERY_STRIDE = 100  # vec_id % stride == 0 -> query vector
+
+_COS_SQL = """
+  round(
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+    6)
+"""
+
+
+@register(
+    "q50_cosine_topk",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_COS_SQL} AS sim
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT query_id, neighbor_id, neighbor_label, sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, sim DESC, neighbor_id
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query batch x "
+    "corpus scan, rounded cosine, per-query window top-k.",
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), to_double_array(F.col("embedding")).alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        to_double_array(F.col("embedding")).alias("cv"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "sim")
+        .orderBy("query_id", F.col("sim").desc(), "neighbor_id")
+    )
+
+
+@register(
+    "q51_knn_label_vote",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_COS_SQL} AS sim
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rn FROM pairs
+      ) t WHERE rn <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, neighbor_label, COUNT(*) AS n_votes
+      FROM topk GROUP BY query_id, neighbor_label
+    )
+    SELECT query_id, neighbor_label AS predicted_label, n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label
+      ) AS rk FROM votes
+    ) v
+    WHERE rk = 1
+    ORDER BY query_id
+    """,
+    doc="kNN label vote on the cosine top-k: majority label with "
+    "deterministic (count desc, label) tie-break.",
+)
+def q51_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q50_cosine_topk(spark, sf_dir)
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "n_votes")
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "q52_embedding_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           round(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           round(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label vector norm profile: min/max are order-insensitive "
+    "aggregates of per-row deterministic norms (rounded), hash-stable.",
+)
+def q52_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(to_double_array(F.col("embedding"))), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,303 @@
+"""Text-analysis operators over the documents table.
+
+The LLM-training-pipeline surface: token counting, quality scoring,
+language ID, scalar string/JSON functions, introspection-string
+parsing (the one real string protocol in the reference,
+``payloads_decoder.ex:164-222``), and winnowing-style document
+fingerprints (rolling hash + windowed min).
+
+Scale design: all per-document features are higher-order-function
+column expressions — zero shuffles, zero Python, linear scans that
+survive a 100x corpus. Only the final presentation ORDER BY sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    distinct_tokens,
+    n_tokens,
+    shingle_hashes,
+    stopword_count,
+    tokens,
+)
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q30_token_stats",
+    f"""
+    SELECT
+      doc_id,
+      lang,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+      n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting (whitespace tokenizer) + distinct-token and "
+    "stopword counts, all as codegen'd higher-order functions.",
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens(t).alias("n_tokens"),
+        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q31_quality_score",
+    f"""
+    WITH feat AS (
+      SELECT
+        doc_id,
+        n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stopwords
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      n_tokens,
+      CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+      CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+      CASE
+        WHEN n_tokens >= 20
+         AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens >= 0.3
+         AND CAST(n_stopwords AS DOUBLE) / n_tokens <= 0.5
+        THEN 'keep' ELSE 'drop'
+      END AS verdict
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: type-token ratio, stopword ratio, average token "
+    "length, and a keep/drop verdict — the standard pretraining-corpus "
+    "filter shape. Ratios are int/int divisions, hash-stable.",
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feat = docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens(t).alias("n_tokens"),
+        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        F.when(
+            (F.col("n_tokens") >= 20) & (ttr >= 0.3) & (stop_ratio <= 0.5),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    words = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+_LANG_ORDER = ("en", "es", "fr", "de", "zh")
+_SCORE_COLS = {lang: f"score_{lang}" for lang in _LANG_ORDER}
+
+
+def _argmax_case_sql() -> str:
+    # first language (in fixed order) achieving the max score
+    clauses = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"CASE {clauses} END"
+
+
+@register(
+    "q32_language_id",
+    f"""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        lang AS labeled_lang,
+        {", ".join(f"{_lang_score_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in _LANG_ORDER)}
+      FROM documents
+    ), best AS (
+      SELECT *, GREATEST(score_en, score_es, score_fr, score_de, score_zh) AS best
+      FROM scored
+    )
+    SELECT doc_id, labeled_lang, {_argmax_case_sql()} AS pred_lang,
+           score_en, score_es, score_fr, score_de, score_zh
+    FROM best
+    ORDER BY doc_id
+    """,
+    doc="Language ID by marker-word scoring with a deterministic argmax "
+    "(fixed language order breaks ties) — the n-gram-heuristic shape.",
+)
+def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(tokens(t), lambda x: x.isin(*LANG_MARKERS[lang]))).alias(
+                f"score_{lang}"
+            )
+            for lang in _LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(F.col("score_en") == best, F.lit("en"))
+    for lang in _LANG_ORDER[1:]:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        *[f"score_{lang}" for lang in _LANG_ORDER],
+    ).orderBy("doc_id")
+
+
+@register(
+    "q33_fingerprints",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        ) AS hashes
+      FROM documents
+    ), winnowed AS (
+      SELECT doc_id,
+        list_distinct(
+          list_transform(
+            range(1, greatest(len(hashes) - 3, 1) + 1),
+            i -> list_min(hashes[i:i+3])
+          )
+        ) AS fps
+      FROM sh
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fingerprint
+    FROM winnowed
+    ORDER BY doc_id
+    """,
+    doc="Winnowing document fingerprints: rolling md5 over 3-word shingles, "
+    "min over each 4-shingle window, distinct set per doc. Pure "
+    "higher-order-function pipeline (no shuffle, no UDF).",
+)
+def q33_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = shingle_hashes(F.col("text"), 3)
+    docs = docs.select("doc_id", hashes.alias("hashes"))
+    n = F.size(F.col("hashes"))
+    idx = F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(F.col("hashes"), i, 4)))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q34_scalar_functions",
+    """
+    SELECT
+      event_id,
+      upper(event_type) AS event_type_upper,
+      '/device/' || CAST(user_id AS VARCHAR) || '/' || event_type AS path,
+      split_part('/device/' || CAST(user_id AS VARCHAR) || '/' || event_type, '/', 3) AS path_seg2,
+      CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+      to_base64(CAST(event_type AS BLOB)) AS event_type_b64,
+      len(event_type) AS name_len,
+      CASE WHEN contains(event_type, 'c') THEN TRUE ELSE FALSE END AS has_c,
+      year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Scalar-function surface (SURVEY §2B): string concat/split/case, "
+    "JSON extraction (the events.props payload <-> BSON decode analog, "
+    "payloads_decoder.ex:29-62), base64 (device-id encode analog), "
+    "timestamp part extraction.",
+)
+def q34_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = F.concat(F.lit("/device/"), F.col("user_id").cast("string"), F.lit("/"), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_upper"),
+        path.alias("path"),
+        F.split_part(path, F.lit("/"), F.lit(3)).alias("path_seg2"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.base64(F.col("event_type").cast("binary")).alias("event_type_b64"),
+        F.length("event_type").alias("name_len"),
+        F.col("event_type").contains("c").alias("has_c"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q35_introspection_parse",
+    """
+    WITH intro AS (
+      SELECT user_id,
+             string_agg(DISTINCT event_type || ':1:0', ';' ORDER BY event_type || ':1:0') AS introspection
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           split_part(entry, ':', 1) AS interface_name,
+           CAST(split_part(entry, ':', 2) AS INT) AS major,
+           CAST(split_part(entry, ':', 3) AS INT) AS minor
+    FROM (SELECT user_id, unnest(string_split(introspection, ';')) AS entry FROM intro) t
+    ORDER BY user_id, interface_name
+    """,
+    doc="Introspection string protocol (payloads_decoder.ex:164-222): "
+    "build 'name:major:minor;...' per device, then parse it back with "
+    "split/explode/split_part — the reference's parser as column exprs.",
+)
+def q35_introspection_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intro = (
+        ev.select("user_id", F.concat(F.col("event_type"), F.lit(":1:0")).alias("entry"))
+        .groupBy("user_id")
+        .agg(F.concat_ws(";", F.sort_array(F.collect_set("entry"))).alias("introspection"))
+    )
+    parsed = intro.select(
+        "user_id", F.explode(F.split("introspection", ";")).alias("entry")
+    )
+    return parsed.select(
+        "user_id",
+        F.split_part(F.col("entry"), F.lit(":"), F.lit(1)).alias("interface_name"),
+        F.split_part(F.col("entry"), F.lit(":"), F.lit(2)).cast("int").alias("major"),
+        F.split_part(F.col("entry"), F.lit(":"), F.lit(3)).cast("int").alias("minor"),
+    ).orderBy("user_id", "interface_name")

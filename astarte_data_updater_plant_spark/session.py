@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the local test/bench harness.
+
+Defaults follow the cluster-scale design notes: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle
+partitions sized to the machine instead of the 200 default, UTC session
+timezone so timestamps compare bit-for-bit with the DuckDB oracle, and
+Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def get_spark(app_name: str = "astarte_data_updater_plant_spark") -> SparkSession:
+    """Build (or reuse) the session.
+
+    On a real cluster the same configs apply unchanged except
+    ``master``; nothing here assumes single-node execution.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

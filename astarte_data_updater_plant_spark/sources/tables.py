@@ -1,0 +1,57 @@
+"""Batch parquet sources for the shared synthetic tables.
+
+The reference's sources are AMQP queues and Cassandra tables
+(``amqp_data_consumer.ex:109-126``, ``queries.ex:28-58``); the analytic
+re-expression reads columnar parquet so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor —
+#: region/nation are bounded by geography; supplier/part/customer grow
+#: with SF but stay broadcastable at bench scale (Catalyst's AQE
+#: re-checks the size threshold at runtime, so the hint is safe).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime conf, set defensively: the driver's session won't have it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads
+        # via nanosAsLong (session.py sets it); floor-divide to micros
+        # with integer DIV — double division would lose precision at
+        # 1e18 nanos — matching DuckDB's ns->us truncation.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
