@@ -4,13 +4,17 @@ The pretraining-corpus dedup ladder, each stage designed for 100 TB:
 
 - exact dedup: hash-groupBy on md5(text) — one shuffle on the hash,
   map-side partial aggregation, no driver state.
-- MinHash + LSH near-dup: distinct (doc, token) -> 8 MinHash
+- MinHash + LSH near-dup: distinct (doc, 3-word shingle) -> 8 MinHash
   coordinates (md5-family min-wise hashes) -> 4 bands of 2 -> band
-  equality join generates candidates -> exact token-set Jaccard
+  equality join generates candidates -> exact shingle-set Jaccard
   verifies candidates only. Candidate generation never compares all
-  pairs: the only joins are equi-joins on band signatures and tokens,
-  both shuffle-partitioned by key. This is the standard scalable
-  near-dup topology (shingle -> minhash -> band -> bucket-join).
+  pairs: the only joins are equi-joins on band signatures and
+  shingles, both shuffle-partitioned by key.
+
+Shingling (not single tokens) is load-bearing at scale: a small
+vocabulary makes token SETS collide pathologically (measured on the
+synthetic corpus: a 31-word vocabulary put 3k of 5k docs in one LSH
+bucket -> O(n^2) candidates; 3-word shingles cap buckets at ~8).
 
 The md5 hash family keeps every stage bit-identical to the DuckDB
 oracle (lexicographic min over hex digests is a valid min-wise hash).
@@ -21,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_expr
+from ..functions.text import minhash_expr, shingles
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -53,27 +57,36 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, token) pairs — the shingle base for MinHash."""
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs — the MinHash base."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle")
     )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h7): 8 min-wise hashes over the token set."""
-    tok = _doc_tokens(spark, sf_dir)
+    """(doc_id, h0..h7): 8 min-wise hashes over the shingle set."""
+    sh = _doc_shingles(spark, sf_dir)
     aggs = [
-        F.min(minhash_expr(F.col("token"), seed)).alias(f"h{seed}") for seed in range(N_HASHES)
+        F.min(minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(N_HASHES)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
-_TOK_SQL = "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents"
-_SIG_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(md5('{s}:' || token)) AS h{s}" for s in range(N_HASHES)
-) + f" FROM ({_TOK_SQL}) GROUP BY doc_id"
+_SHINGLE_LIST_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 1, 1)), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    " || ' ' || string_split(text,' ')[i+2]))"
+)
+_SH_SQL = f"SELECT doc_id, unnest({_SHINGLE_LIST_SQL}) AS shingle FROM documents"
+_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(N_HASHES))
+    + f" FROM ({_SH_SQL}) GROUP BY doc_id"
+)
 
 
 @register(
@@ -87,8 +100,8 @@ _SIG_SQL = "SELECT doc_id, " + ", ".join(
     ORDER BY doc_id
     """,
     doc="MinHash signature + LSH band keys per document: 8 md5-family "
-    "min-wise hashes over the distinct-token set, banded 4x2. The "
-    "explode+groupBy shape is one shuffle partitioned by doc_id.",
+    "min-wise hashes over the distinct 3-word-shingle set, banded 4x2. "
+    "The explode+groupBy shape is one shuffle partitioned by doc_id.",
 )
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
@@ -117,31 +130,37 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    tok AS ({_TOK_SQL}),
-    tok_counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    tok AS ({_SH_SQL}),
+    tok_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id),
     shared AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
       FROM candidates c
       JOIN tok ta ON ta.doc_id = c.doc_a
-      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT s.doc_a, s.doc_b,
-           CAST(s.n_shared AS DOUBLE) / (ca.n_tok + cb.n_tok - s.n_shared) AS jaccard
+           CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) AS jaccard
     FROM shared s
     JOIN tok_counts ca ON ca.doc_id = s.doc_a
     JOIN tok_counts cb ON cb.doc_id = s.doc_b
-    WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_tok + cb.n_tok - s.n_shared) >= 0.5
+    WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) >= 0.5
     ORDER BY doc_a, doc_b
     """,
     doc="Near-dup detection, full LSH topology: band-key equi-join "
-    "generates candidate pairs (never all-pairs), exact token-set "
+    "generates candidate pairs (never all-pairs), exact shingle-set "
     "Jaccard (int arithmetic, hash-stable) verifies, threshold 0.5. "
-    "At 100 TB each stage remains a keyed shuffle; skewed band keys "
-    "are bounded because identical signatures imply near-identical docs.",
+    "At 100 TB each stage remains a keyed shuffle; band-bucket sizes "
+    "stay bounded because identical shingle signatures imply "
+    "near-identical documents.",
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).cache()
+    aggs = [
+        F.min(minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs).cache()
     banded = None
     for b in range(N_BANDS):
         part = sig.select(
@@ -162,18 +181,17 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    tok = _doc_tokens(spark, sf_dir)
-    tok_counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    tok_counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
         candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
+        .join(tb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ca = tok_counts.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
-    cb = tok_counts.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    ca = tok_counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = tok_counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
         shared.join(ca, "doc_a")

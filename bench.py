@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full plan runs, nothing is
+collected to the driver) — the same way a cluster job would be
+measured, so driver-side collect never flatters a slow plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from astarte_data_updater_plant_spark.plans.registry import queries_map
+from astarte_data_updater_plant_spark.session import get_spark
+
+#: Headline queries: one per operator family, weighted toward the
+#: shapes that stress shuffle/join/window machinery at scale.
+HEADLINE = (
+    "q01_pricing_summary",       # wide aggregate
+    "q03_shipping_priority",     # selective 3-way join + top-k
+    "q05_local_supplier_volume", # 6-way star join
+    "q07_customers_without_orders",  # anti join
+    "q10_latest_value_per_key",  # LWW window
+    "q12_device_counters",       # keyed counters
+    "q16_hourly_windows",        # event-time tumbling window
+    "q23_trigger_matches",       # broadcast predicate join
+    "q33_fingerprints",          # higher-order-function text pipeline
+    "q42_lsh_near_dup_pairs",    # minhash LSH dedup topology
+    "q50_cosine_topk",           # vector similarity
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qmap = queries_map()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
