@@ -46,13 +46,16 @@ def stopword_count(col: Column) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles as strings, in document order.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a pre-materialized token array.
+
+    Pass a column REFERENCE to an already-projected token array —
+    inlining ``split(...)`` here makes Catalyst re-evaluate the split
+    for every element_at inside the lambda (measured 3-4x slowdown).
 
     ``transform(sequence(1, n-k+1), i -> concat(tok[i..i+k-1]))`` —
     1-indexed to match DuckDB list semantics exactly.
     """
-    toks = tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
 
@@ -61,6 +64,12 @@ def shingles(col: Column, k: int = 3) -> Column:
         return F.concat_ws(" ", *parts)
 
     return F.transform(idx, build)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of a text column (prefer shingles_from_tokens
+    over a projected token array in hot paths)."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def shingle_hashes(col: Column, k: int = 3) -> Column:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_expr, shingles
+from ..functions.text import minhash_expr, shingles_from_tokens
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -60,8 +60,10 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, 3-word shingle) pairs — the MinHash base."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 3))).alias("shingle"),
     )
 
 

@@ -21,7 +21,7 @@ from ..functions.text import (
     STOPWORDS,
     distinct_tokens,
     n_tokens,
-    shingle_hashes,
+    shingles_from_tokens,
     stopword_count,
     tokens,
 )
@@ -211,7 +211,9 @@ def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashes = shingle_hashes(F.col("text"), 3)
+    # two-step projection: tokens materialized once, then shingle-hashed
+    docs = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    hashes = F.transform(shingles_from_tokens(F.col("toks"), 3), lambda s: F.md5(s))
     docs = docs.select("doc_id", hashes.alias("hashes"))
     n = F.size(F.col("hashes"))
     idx = F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1)))
