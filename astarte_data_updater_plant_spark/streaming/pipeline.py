@@ -1,0 +1,467 @@
+"""Ingest pipeline: message stream -> keyed state machine -> outputs.
+
+Spark shape (SURVEY §3.1 "Spark shape"): source -> groupBy(realm,
+device_id) -> state machine -> discriminated output rows -> per-table
+materializers. Two execution modes share the pure state machine:
+
+- ``run_batch``: ``groupBy().applyInPandas`` — deterministic
+  reprocessing of a bounded message table.
+- ``run_stream``: ``groupBy().applyInPandasWithState`` — incremental
+  with the DeviceState pickled into the GroupState between batches.
+
+The state function emits ONE union-schema DataFrame (kind +
+JSON-encoded typed payload); materializers parse each kind back into
+its typed table with ``from_json``. This keeps the grouped-map stage
+single-pass (one shuffle on the device key — the same partitioning the
+reference gets from consistent-hash queue routing) while the
+JSON->typed hop happens in parallel, JVM-side.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from datetime import datetime
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import catalog as _catalog_mod
+from .. import types as _types_mod
+from ..catalog import Interface, fixture_interfaces
+from ..functions import matchers as _matchers_mod
+from ..functions import payloads as _payloads_mod
+from ..functions import text as _text_mod
+from ..types import TYPED_COLUMNS
+from . import state_machine as _sm_mod
+from .state_machine import Catalog, DeviceState, process_device_messages
+
+# Ship the engine code WITH the job: grouped-map closures reference
+# these modules, and Spark workers unpickle them in processes whose
+# sys.path need not contain this package (the driver may run from any
+# cwd; on a real cluster executors have no copy at all). By-value
+# registration makes cloudpickle embed the definitions in the task
+# payload — the same mechanism spark-submit users get from --py-files,
+# without requiring deploy-time configuration.
+try:
+    from pyspark import cloudpickle  # bundled with pyspark
+
+    for _m in (_types_mod, _catalog_mod, _payloads_mod, _matchers_mod, _text_mod, _sm_mod):
+        cloudpickle.register_pickle_by_value(_m)
+    _state_dumps = cloudpickle.dumps
+    _state_loads = cloudpickle.loads
+except Exception:  # pragma: no cover - cloudpickle API moved
+    import pickle as _pickle
+
+    _state_dumps = _pickle.dumps
+    _state_loads = _pickle.loads
+
+#: A1 message_stream schema (FIXTURES.md)
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("message_id", T.StringType(), False),
+        T.StructField("reception_timestamp", T.TimestampType(), False),
+        T.StructField("realm", T.StringType(), False),
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("msg_type", T.StringType(), False),
+        T.StructField("interface", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("ip_address", T.StringType(), True),
+    ]
+)
+
+#: Union output of the state stage
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("realm", T.StringType(), False),
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("interface", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("payload_json", T.StringType(), True),
+    ]
+)
+
+#: Final per-device state snapshot (devices-table update rows)
+DEVICE_SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("realm", T.StringType(), False),
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("connected", T.BooleanType(), True),
+        T.StructField("total_received_msgs", T.LongType(), True),
+        T.StructField("total_received_bytes", T.LongType(), True),
+        T.StructField("last_seen_ip", T.StringType(), True),
+        T.StructField("last_connection", T.TimestampType(), True),
+        T.StructField("last_disconnection", T.TimestampType(), True),
+        T.StructField("introspection_json", T.StringType(), True),
+        T.StructField("interface_counters_json", T.StringType(), True),
+    ]
+)
+
+
+def _json_default(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    raise TypeError(str(type(v)))
+
+
+def _dumps(d: dict) -> str:
+    return json.dumps(d, default=_json_default, sort_keys=True)
+
+
+def _output_records(realm: str, device_id: str, out) -> list[dict]:
+    rows: list[dict] = []
+
+    def push(kind: str, *, interface=None, path=None, event_type=None, error=None,
+             timestamp=None, payload: dict | None = None) -> None:
+        rows.append(
+            {
+                "kind": kind,
+                "realm": realm,
+                "device_id": device_id,
+                "interface": interface,
+                "path": path,
+                "event_type": event_type,
+                "error": error,
+                "timestamp": timestamp,
+                "payload_json": _dumps(payload) if payload is not None else None,
+            }
+        )
+
+    for r in out.datastream_rows:
+        push("datastream", interface=r.get("interface"), path=r.get("path"),
+             timestamp=r.get("reception_timestamp"), payload=r)
+    for r in out.property_upserts:
+        push("property_upsert", interface=r.get("interface"), path=r.get("path"),
+             timestamp=r.get("reception_timestamp"), payload=r)
+    for r in out.property_deletes:
+        push("property_delete", interface=r.get("interface"), path=r.get("path"), payload=r)
+    for r in out.object_rows:
+        push("object_row", interface=r.get("table"), path=r.get("path"),
+             timestamp=r.get("reception_timestamp"), payload=r)
+    for e in out.events:
+        push("event", interface=e.get("interface"), path=e.get("path"),
+             event_type=e.get("event_type"), timestamp=e.get("timestamp"),
+             payload={k: v for k, v in e.items() if k not in (
+                 "realm", "device_id", "event_type", "timestamp", "interface", "path")})
+    for e in out.errors:
+        push("error", interface=e.get("interface"), path=e.get("path"),
+             error=e.get("error"), payload=e)
+    return rows
+
+
+def _snapshot(state: DeviceState) -> dict:
+    return {
+        "realm": state.realm,
+        "device_id": state.device_id,
+        "connected": state.connected,
+        "total_received_msgs": state.total_received_msgs,
+        "total_received_bytes": state.total_received_bytes,
+        "last_seen_ip": state.last_seen_ip,
+        "last_connection": state.last_connection,
+        "last_disconnection": state.last_disconnection,
+        "introspection_json": json.dumps(
+            {k: list(v) for k, v in sorted(state.introspection.items())}
+        ),
+        "interface_counters_json": json.dumps(
+            {
+                f"{name}:{major}": [
+                    state.interface_msgs.get((name, major), 0),
+                    state.interface_bytes.get((name, major), 0),
+                ]
+                for (name, major) in sorted(state.interface_msgs)
+            }
+        ),
+    }
+
+
+def _messages_from_pdf(pdf: pd.DataFrame) -> list[dict]:
+    msgs = pdf.to_dict("records")
+    for m in msgs:
+        ts = m["reception_timestamp"]
+        if hasattr(ts, "to_pydatetime"):
+            m["reception_timestamp"] = ts.to_pydatetime()
+        if m.get("payload") is not None:
+            m["payload"] = bytes(m["payload"])
+    return msgs
+
+
+def run_batch(
+    messages: DataFrame, interfaces: tuple[Interface, ...] | None = None
+) -> DataFrame:
+    """Batch mode: one shuffle on (realm, device_id), state folded
+    per group, union output frame returned."""
+    ifaces = interfaces or fixture_interfaces()
+
+    def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        realm, device_id = key
+        catalog = Catalog(ifaces)
+        state = DeviceState(realm=realm, device_id=device_id)
+        out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
+        rows = _output_records(realm, device_id, out)
+        rows.append(
+            {
+                "kind": "device_snapshot",
+                "realm": realm,
+                "device_id": device_id,
+                "interface": None,
+                "path": None,
+                "event_type": None,
+                "error": None,
+                "timestamp": None,
+                "payload_json": _dumps(_snapshot(state)),
+            }
+        )
+        return pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return (
+        messages.groupBy("realm", "device_id")
+        .applyInPandas(fold, schema=OUTPUT_SCHEMA)
+    )
+
+
+#: GroupState schema for streaming mode: the pickled DeviceState.
+STREAM_STATE_SCHEMA = T.StructType([T.StructField("state_pickle", T.BinaryType(), True)])
+
+
+def _stream_fold(ifaces: tuple[Interface, ...]):
+    def fold(key: tuple, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
+        realm, device_id = key
+        catalog = Catalog(ifaces)
+        if group_state.exists:
+            (blob,) = group_state.get
+            state = _state_loads(bytes(blob))
+        else:
+            state = DeviceState(realm=realm, device_id=device_id)
+        rows: list[dict] = []
+        for pdf in pdfs:
+            out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
+            rows.extend(_output_records(realm, device_id, out))
+        group_state.update((_state_dumps(state),))
+        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return fold
+
+
+def run_stream(messages: DataFrame, interfaces: tuple[Interface, ...] | None = None) -> DataFrame:
+    """Streaming mode: applyInPandasWithState keyed by (realm,
+    device_id); DeviceState persists across micro-batches in the
+    GroupState (SURVEY §1.4)."""
+    ifaces = interfaces or fixture_interfaces()
+    return messages.groupBy("realm", "device_id").applyInPandasWithState(
+        _stream_fold(ifaces),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materializers: union frame -> typed storage tables
+# ---------------------------------------------------------------------------
+
+_TYPED_JSON_FIELDS = [T.StructField(c, t, True) for c, t in TYPED_COLUMNS]
+
+DATASTREAM_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("interface_id", T.StringType(), True),
+        T.StructField("endpoint_id", T.StringType(), True),
+        T.StructField("value_timestamp", T.TimestampType(), True),
+        T.StructField("reception_timestamp", T.TimestampType(), True),
+        T.StructField("expires_at", T.TimestampType(), True),
+        *_TYPED_JSON_FIELDS,
+    ]
+)
+
+PROPERTY_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("interface_id", T.StringType(), True),
+        T.StructField("endpoint_id", T.StringType(), True),
+        T.StructField("reception_timestamp", T.TimestampType(), True),
+        T.StructField("expires_at", T.TimestampType(), True),
+        T.StructField("is_path_registry", T.BooleanType(), True),
+        *_TYPED_JSON_FIELDS,
+    ]
+)
+
+
+def datastream_table(outputs: DataFrame) -> DataFrame:
+    """individual_datastreams rows (database_test_helper.exs:214-241)."""
+    parsed = outputs.filter(F.col("kind") == "datastream").withColumn(
+        "p", F.from_json("payload_json", DATASTREAM_JSON_SCHEMA)
+    )
+    return parsed.select(
+        "realm", "device_id",
+        F.col("p.interface_id").alias("interface_id"),
+        "interface",
+        F.col("p.endpoint_id").alias("endpoint_id"),
+        "path",
+        F.col("p.value_timestamp").alias("value_timestamp"),
+        F.col("p.reception_timestamp").alias("reception_timestamp"),
+        F.col("p.expires_at").alias("expires_at"),
+        *[F.col(f"p.{c}").alias(c) for c, _ in TYPED_COLUMNS],
+    )
+
+
+def properties_table(outputs: DataFrame) -> DataFrame:
+    """individual_properties latest state: upserts LWW by reception
+    order, minus deletes — the MERGE of queries.ex:87-155 expressed as
+    window + anti-join (idempotent, re-runnable)."""
+    from pyspark.sql import Window
+
+    ups = (
+        outputs.filter(F.col("kind") == "property_upsert")
+        .withColumn("p", F.from_json("payload_json", PROPERTY_JSON_SCHEMA))
+        .filter(~F.coalesce(F.col("p.is_path_registry"), F.lit(False)))
+    )
+    w = Window.partitionBy("realm", "device_id", "interface", "path").orderBy(
+        F.col("p.reception_timestamp").desc()
+    )
+    latest = ups.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # rename the delete-side keys: both branches share lineage with
+    # `outputs`, and a same-attribute anti-join trips Spark's
+    # conflicting-reference resolution
+    dels = (
+        outputs.filter(F.col("kind") == "property_delete")
+        .select(
+            F.col("realm").alias("d_realm"),
+            F.col("device_id").alias("d_device_id"),
+            F.col("interface").alias("d_interface"),
+            F.col("path").alias("d_path"),
+        )
+        .distinct()
+    )
+    live = latest.join(
+        dels,
+        (F.col("realm") == F.col("d_realm"))
+        & (F.col("device_id") == F.col("d_device_id"))
+        & (F.col("interface") == F.col("d_interface"))
+        & (F.col("path") == F.col("d_path")),
+        "left_anti",
+    )
+    return live.select(
+        "realm", "device_id",
+        F.col("p.interface_id").alias("interface_id"),
+        "interface",
+        F.col("p.endpoint_id").alias("endpoint_id"),
+        "path",
+        F.col("p.reception_timestamp").alias("reception_timestamp"),
+        *[F.col(f"p.{c}").alias(c) for c, _ in TYPED_COLUMNS],
+    )
+
+
+def path_registry_table(outputs: DataFrame) -> DataFrame:
+    """Datastream path registry rows (queries.ex:353-393)."""
+    parsed = (
+        outputs.filter(F.col("kind") == "property_upsert")
+        .withColumn("p", F.from_json("payload_json", PROPERTY_JSON_SCHEMA))
+        .filter(F.coalesce(F.col("p.is_path_registry"), F.lit(False)))
+    )
+    return parsed.select(
+        "realm", "device_id", "interface", "path",
+        F.col("p.reception_timestamp").alias("reception_timestamp"),
+        F.col("p.datetime_value").alias("datetime_value"),
+        F.col("p.expires_at").alias("expires_at"),
+    )
+
+
+def events_table(outputs: DataFrame) -> DataFrame:
+    """SimpleEvent-shaped rows (triggers_handler.ex:377-394)."""
+    payload_schema = T.StructType(
+        [
+            T.StructField("value", T.StringType(), True),
+            T.StructField("old_value", T.StringType(), True),
+            T.StructField("new_value", T.StringType(), True),
+            T.StructField("ip_address", T.StringType(), True),
+            T.StructField("introspection", T.StringType(), True),
+        ]
+    )
+    parsed = outputs.filter(F.col("kind") == "event").withColumn(
+        "p", F.from_json("payload_json", payload_schema)
+    )
+    return parsed.select(
+        "realm", "device_id", "event_type", "timestamp", "interface", "path",
+        F.col("p.value").alias("value"),
+        F.col("p.old_value").alias("old_value"),
+        F.col("p.new_value").alias("new_value"),
+        F.col("p.ip_address").alias("ip_address"),
+        F.col("p.introspection").alias("introspection"),
+    )
+
+
+def errors_table(outputs: DataFrame) -> DataFrame:
+    """Dead-letter side-channel (impl.ex:463-524)."""
+    return outputs.filter(F.col("kind") == "error").select(
+        "realm", "device_id", "interface", "path", "error"
+    )
+
+
+def device_snapshots_table(outputs: DataFrame) -> DataFrame:
+    """devices-table update rows (queries.ex:460-510)."""
+    schema = T.StructType(
+        [f for f in DEVICE_SNAPSHOT_SCHEMA.fields if f.name not in ("realm", "device_id")]
+    )
+    parsed = outputs.filter(F.col("kind") == "device_snapshot").withColumn(
+        "p", F.from_json("payload_json", schema)
+    )
+    return parsed.select(
+        "realm", "device_id",
+        *[F.col(f"p.{f.name}").alias(f.name) for f in schema.fields],
+    )
+
+
+def object_table(outputs: DataFrame, interface: Interface) -> DataFrame:
+    """Per-interface wide table (queries.ex:199-297)."""
+    from ..catalog import object_column_name, object_table_name
+
+    cols = [object_column_name(m.endpoint) for m in interface.mappings]
+    schema = T.StructType(
+        [
+            T.StructField("reception_timestamp", T.TimestampType(), True),
+            T.StructField("value_timestamp", T.TimestampType(), True),
+        ]
+        + [
+            T.StructField(object_column_name(m.endpoint), _spark_type_of(m), True)
+            for m in interface.mappings
+        ]
+    )
+    parsed = outputs.filter(
+        (F.col("kind") == "object_row")
+        & (F.col("interface") == object_table_name(interface.name, interface.major))
+    ).withColumn("p", F.from_json("payload_json", schema))
+    return parsed.select(
+        "realm", "device_id", "path",
+        F.col("p.reception_timestamp").alias("reception_timestamp"),
+        F.col("p.value_timestamp").alias("value_timestamp"),
+        *[F.col(f"p.{c}").alias(c) for c in cols],
+    )
+
+
+def _spark_type_of(mapping) -> T.DataType:
+    from ..types import spark_type
+
+    return spark_type(mapping.value_type)
+
+
+# The grouped-map closures also reference THIS module's helpers
+# (_output_records, _messages_from_pdf, ...), so it must ship by value
+# with them; registered last so every definition above is in place.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass

@@ -1,0 +1,572 @@
+"""Per-device keyed state machine — the reference's device GenServer.
+
+The reference runs one Erlang process per (realm, device) holding a
+``%State{}`` (``data_updater/state.ex:19-45``) and processes messages
+strictly in order (``message_tracker/server.ex``). In Spark the same
+semantics become a keyed-state function: group the message stream by
+(realm, device_id), sort each group by (reception_timestamp,
+message_id), fold the pure transition function over it.
+
+``process_message`` is deliberately pure Python over plain dicts so
+that (a) unit tests exercise the exact semantics without a JVM, and
+(b) both execution modes share it:
+
+- batch reprocessing: ``groupBy(key).applyInPandas`` (pipeline.py)
+- streaming: ``groupBy(key).applyInPandasWithState`` with the state
+  serialized into the GroupState tuple (pipeline.py)
+
+Semantics ported (reference file:line in each handler):
+- message dedup on message_id          message_tracker/server.ex:45-159
+- connect / disconnect lifecycle       impl.ex:89-164
+- data-path validation ladder          impl.ex:311-525
+- property upsert/unset + change events impl.ex:233-309, queries.ex:87-155
+- object aggregation w/ unknown-key skip queries.ex:199-297
+- path registry gate w/ TTL            impl.ex:386-416,527-557
+- counters (total + per interface)     impl.ex:623-674
+- introspection diff -> add/remove     impl.ex:688-864
+- property prune (alive-set anti set)  impl.ex:1334-1411
+- empty cache control                  impl.ex:866-944
+- error side-channel                   impl.ex:463-524
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Any
+
+from ..catalog import (
+    Aggregation,
+    Interface,
+    InterfaceType,
+    Ownership,
+    Retention,
+    object_column_name,
+    object_table_name,
+)
+from ..functions.payloads import (
+    decode_bson_payload,
+    parse_introspection,
+    safe_inflate,
+)
+from ..types import ValueType, db_column_name, python_value_type
+
+#: path-registry TTL factor: 2.5x retention expiry (impl.ex:527-533)
+PATH_TTL_FACTOR = 2.5
+#: clock tolerance when judging an existing registry entry (impl.ex:535-557)
+PATH_TTL_TOLERANCE_S = 3600
+#: per-device paths cache size (impl.ex:46, cache.ex:24-40)
+PATHS_CACHE_SIZE = 32
+
+
+@dataclass
+class DeviceState:
+    """Spark-side mirror of %State{} (data_updater/state.ex:19-45)."""
+
+    realm: str
+    device_id: str
+    connected: bool = False
+    introspection: dict[str, tuple[int, int]] = field(default_factory=dict)
+    total_received_msgs: int = 0
+    total_received_bytes: int = 0
+    interface_msgs: dict[tuple[str, int], int] = field(default_factory=dict)
+    interface_bytes: dict[tuple[str, int], int] = field(default_factory=dict)
+    properties: dict[tuple[str, str], Any] = field(default_factory=dict)
+    paths_cache: dict[tuple[str, str], datetime] = field(default_factory=dict)
+    seen_message_ids: list[str] = field(default_factory=list)
+    pending_empty_cache: bool = False
+    last_seen_ip: str | None = None
+    last_connection: datetime | None = None
+    last_disconnection: datetime | None = None
+
+
+@dataclass
+class Outputs:
+    """Side-outputs of one message (the reference's Cassandra writes,
+    AMQP events and discards)."""
+
+    datastream_rows: list[dict] = field(default_factory=list)
+    property_upserts: list[dict] = field(default_factory=list)
+    property_deletes: list[dict] = field(default_factory=list)
+    object_rows: list[dict] = field(default_factory=list)
+    events: list[dict] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+
+    def extend(self, other: "Outputs") -> None:
+        self.datastream_rows += other.datastream_rows
+        self.property_upserts += other.property_upserts
+        self.property_deletes += other.property_deletes
+        self.object_rows += other.object_rows
+        self.events += other.events
+        self.errors += other.errors
+
+
+def _event(state: DeviceState, event_type: str, ts: datetime, **kw: Any) -> dict:
+    base = {
+        "realm": state.realm,
+        "device_id": state.device_id,
+        "event_type": event_type,
+        "timestamp": ts,
+        "interface": None,
+        "path": None,
+        "value": None,
+        "old_value": None,
+        "new_value": None,
+        "ip_address": None,
+        "introspection": None,
+    }
+    base.update(kw)
+    return base
+
+
+def _error(state: DeviceState, msg: dict, error: str) -> dict:
+    return {
+        "realm": state.realm,
+        "device_id": state.device_id,
+        "message_id": msg.get("message_id"),
+        "error": error,
+        "interface": msg.get("interface"),
+        "path": msg.get("path"),
+    }
+
+
+class Catalog:
+    """Interface lookup by (name, major) — the broadcast dimension the
+    stream joins against (impl.ex:1277-1332 cache-miss load)."""
+
+    def __init__(self, interfaces: tuple[Interface, ...]):
+        self.by_name_major = {(i.name, i.major): i for i in interfaces}
+
+    def get(self, name: str, major: int) -> Interface | None:
+        return self.by_name_major.get((name, major))
+
+
+def process_message(state: DeviceState, catalog: Catalog, msg: dict) -> Outputs:
+    """Fold one message into the state; returns side-outputs.
+
+    Dispatch mirrors amqp_data_consumer.ex:167-270 (5 message types).
+    """
+    out = Outputs()
+    mid = msg.get("message_id")
+    if mid is not None:
+        # redelivery dedup (message_tracker/server.ex:45-70)
+        if mid in state.seen_message_ids:
+            return out
+        state.seen_message_ids.append(mid)
+        if len(state.seen_message_ids) > 4096:
+            del state.seen_message_ids[:2048]
+
+    mtype = msg["msg_type"]
+    ts = msg["reception_timestamp"]
+    if mtype == "connection":
+        _handle_connection(state, msg, ts, out)
+    elif mtype == "disconnection":
+        _handle_disconnection(state, ts, out)
+    elif mtype == "introspection":
+        _handle_introspection(state, catalog, msg, ts, out)
+    elif mtype == "data":
+        _handle_data(state, catalog, msg, ts, out)
+    elif mtype == "control":
+        _handle_control(state, catalog, msg, ts, out)
+    else:
+        out.errors.append(_error(state, msg, "unknown_message_type"))
+    return out
+
+
+# -- connection lifecycle (impl.ex:89-164) ----------------------------------
+
+
+def _handle_connection(state: DeviceState, msg: dict, ts: datetime, out: Outputs) -> None:
+    state.connected = True
+    state.last_connection = ts
+    state.last_seen_ip = msg.get("ip_address")
+    out.events.append(
+        _event(state, "device_connected", ts, ip_address=state.last_seen_ip)
+    )
+
+
+def _handle_disconnection(state: DeviceState, ts: datetime, out: Outputs) -> None:
+    state.connected = False
+    state.last_disconnection = ts
+    out.events.append(_event(state, "device_disconnected", ts))
+
+
+# -- introspection (impl.ex:688-864) ----------------------------------------
+
+
+def _handle_introspection(
+    state: DeviceState, catalog: Catalog, msg: dict, ts: datetime, out: Outputs
+) -> None:
+    payload = msg.get("payload") or b""
+    text = payload.decode("utf-8", errors="replace")
+    parsed = parse_introspection(text)
+    if parsed is None:
+        out.errors.append(_error(state, msg, "invalid_introspection"))
+        return
+    _count_message(state, None, payload, out)
+    out.events.append(
+        _event(state, "incoming_introspection", ts, introspection=text)
+    )
+    new = {name: (major, minor) for name, major, minor in parsed}
+    old = state.introspection
+    # sorted diff (impl.ex:726-736) == set difference on names
+    for name in sorted(set(new) - set(old)):
+        major, minor = new[name]
+        out.events.append(
+            _event(state, "interface_added", ts, interface=name,
+                   value={"major_version": major, "minor_version": minor})
+        )
+    for name in sorted(set(old) - set(new)):
+        major, _minor = old[name]
+        out.events.append(
+            _event(state, "interface_removed", ts, interface=name,
+                   value={"major_version": major})
+        )
+        # drop stored properties of removed device-owned interfaces
+        state.properties = {
+            k: v for k, v in state.properties.items() if k[0] != name
+        }
+    state.introspection = new
+    state.paths_cache.clear()  # impl.ex:860
+
+
+# -- data (impl.ex:311-525) --------------------------------------------------
+
+
+def _handle_data(
+    state: DeviceState, catalog: Catalog, msg: dict, ts: datetime, out: Outputs
+) -> None:
+    interface_name = msg.get("interface") or ""
+    path = msg.get("path") or ""
+    payload = msg.get("payload") or b""
+
+    # 1. path validation (impl.ex:559-566)
+    if "//" in path or not path.startswith("/"):
+        out.errors.append(_error(state, msg, "invalid_path"))
+        return
+    # 2. interface must be in announced introspection (impl.ex:1277-1332)
+    if interface_name not in state.introspection:
+        out.errors.append(_error(state, msg, "interface_not_in_introspection"))
+        return
+    major, _minor = state.introspection[interface_name]
+    iface = catalog.get(interface_name, major)
+    if iface is None:
+        out.errors.append(_error(state, msg, "interface_loading_failed"))
+        return
+    # 3. ownership guard (impl.ex:1700-1708)
+    if iface.ownership is not Ownership.DEVICE:
+        out.errors.append(_error(state, msg, "cannot_write_on_server_owned_interface"))
+        return
+    # 4. decode (payloads_decoder.ex:29-62)
+    try:
+        decoded = decode_bson_payload(payload)
+    except Exception:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+
+    _count_message(state, (interface_name, major), payload, out)
+
+    if iface.aggregation is Aggregation.OBJECT:
+        _handle_object_data(state, iface, path, decoded, ts, out, msg)
+        return
+
+    # 5. endpoint resolution (impl.ex:1610-1645)
+    mapping = iface.resolve_path(path)
+    if mapping is None:
+        out.errors.append(_error(state, msg, "mapping_not_found"))
+        return
+
+    value = decoded.value
+    if value is None:
+        _handle_unset(state, iface, mapping, path, ts, out, msg)
+        return
+
+    # 7. type validation (impl.ex:568-598)
+    vt = python_value_type(value)
+    if not _type_ok(vt, mapping.value_type, value):
+        out.errors.append(_error(state, msg, "unexpected_value_type"))
+        return
+
+    # 8. timestamp selection (impl.ex:331-336)
+    value_ts = (
+        datetime.fromtimestamp(decoded.timestamp_ms / 1000.0, tz=ts.tzinfo)
+        if (mapping.explicit_timestamp and decoded.timestamp_ms is not None)
+        else ts
+    )
+
+    out.events.append(
+        _event(state, "incoming_data", ts, interface=interface_name, path=path, value=value)
+    )
+
+    if iface.type is InterfaceType.PROPERTIES:
+        _handle_property_set(state, iface, mapping, path, value, ts, out)
+    else:
+        _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out)
+
+
+def _handle_property_set(state, iface, mapping, path, value, ts, out) -> None:
+    """Property upsert + change-detection events (impl.ex:233-309)."""
+    key = (iface.name, path)
+    prev = state.properties.get(key)
+    if prev is None:
+        out.events.append(
+            _event(state, "path_created", ts, interface=iface.name, path=path, value=value)
+        )
+    elif prev != value:
+        out.events.append(
+            _event(state, "value_change", ts, interface=iface.name, path=path,
+                   old_value=prev, new_value=value)
+        )
+    state.properties[key] = value
+    row = _typed_row(state, iface, mapping, path, value, ts)
+    out.property_upserts.append(row)
+    if prev is not None and prev != value:
+        out.events.append(
+            _event(state, "value_change_applied", ts, interface=iface.name, path=path,
+                   old_value=prev, new_value=value)
+        )
+
+
+def _handle_unset(state, iface, mapping, path, ts, out, msg) -> None:
+    """Property unset -> DELETE (queries.ex:87-119); datastreams cannot
+    be unset."""
+    if iface.type is not InterfaceType.PROPERTIES:
+        out.errors.append(_error(state, msg, "unexpected_value_type"))
+        return
+    if not mapping.allow_unset:
+        # reference logs a warning but still deletes (queries.ex:87-97)
+        out.errors.append(_error(state, msg, "unset_not_allowed"))
+    key = (iface.name, path)
+    prev = state.properties.pop(key, None)
+    if prev is not None:
+        out.events.append(
+            _event(state, "path_removed", ts, interface=iface.name, path=path)
+        )
+    out.property_deletes.append(
+        {
+            "realm": state.realm,
+            "device_id": state.device_id,
+            "interface_id": iface.interface_id,
+            "interface": iface.name,
+            "endpoint_id": mapping.endpoint_id,
+            "path": path,
+        }
+    )
+
+
+def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) -> None:
+    """Individual datastream append (queries.ex:157-197) + path
+    registry gate (impl.ex:386-416)."""
+    key = (iface.name, path)
+    ttl_s = mapping.expiry * PATH_TTL_FACTOR if mapping.expiry else None
+    cached = state.paths_cache.get(key)
+    needs_registry = cached is None or (
+        ttl_s is not None
+        and (ts - cached).total_seconds() > max(ttl_s - PATH_TTL_TOLERANCE_S, 0)
+    )
+    if needs_registry:
+        if cached is None and len(state.paths_cache) >= PATHS_CACHE_SIZE:
+            # random eviction in the reference (cache.ex:24-40); evict
+            # deterministically (oldest) for reproducibility
+            oldest = min(state.paths_cache, key=lambda k: state.paths_cache[k])
+            del state.paths_cache[oldest]
+        state.paths_cache[key] = ts
+        out.property_upserts.append(
+            {
+                "realm": state.realm,
+                "device_id": state.device_id,
+                "interface_id": iface.interface_id,
+                "interface": iface.name,
+                "endpoint_id": mapping.endpoint_id,
+                "path": path,
+                "reception_timestamp": ts,
+                "datetime_value": value_ts,  # path registry row (queries.ex:353-393)
+                "is_path_registry": True,
+                "expires_at": ts + timedelta(seconds=ttl_s) if ttl_s else None,
+            }
+        )
+    row = _typed_row(state, iface, mapping, path, value, ts)
+    row["value_timestamp"] = value_ts
+    if mapping.retention is Retention.STORED and mapping.expiry:
+        row["expires_at"] = ts + timedelta(seconds=mapping.expiry)
+    out.datastream_rows.append(row)
+    out.events.append(
+        _event(state, "value_stored", ts, interface=iface.name, path=path, value=value)
+    )
+
+
+def _handle_object_data(state, iface, path, decoded, ts, out, msg) -> None:
+    """Object-aggregated insert (queries.ex:199-297): one wide row, one
+    column per known leaf; unknown keys skipped with a warning; absent
+    keys stay NULL but are never overwritten downstream."""
+    value = decoded.value
+    if not isinstance(value, dict):
+        out.errors.append(_error(state, msg, "unexpected_value_type"))
+        return
+    mappings = iface.resolve_object_prefix(path)
+    if not mappings:
+        out.errors.append(_error(state, msg, "mapping_not_found"))
+        return
+    by_leaf = {m.endpoint.rsplit("/", 1)[-1]: m for m in mappings}
+    row: dict[str, Any] = {
+        "realm": state.realm,
+        "device_id": state.device_id,
+        "table": object_table_name(iface.name, iface.major),
+        "path": path,
+        "reception_timestamp": ts,
+    }
+    wrote_any = False
+    for k, v in value.items():
+        m = by_leaf.get(k)
+        if m is None:
+            out.errors.append(_error(state, msg, f"unexpected_object_key:{k}"))
+            continue
+        vt = python_value_type(v)
+        if not _type_ok(vt, m.value_type, v):
+            out.errors.append(_error(state, msg, "unexpected_value_type"))
+            return
+        row[object_column_name(m.endpoint)] = v
+        wrote_any = True
+    if not wrote_any:
+        return  # tombstone avoidance: never write NULL-only rows (queries.ex:247-266)
+    if decoded.timestamp_ms is not None and any(m.explicit_timestamp for m in mappings):
+        row["value_timestamp"] = datetime.fromtimestamp(
+            decoded.timestamp_ms / 1000.0, tz=ts.tzinfo
+        )
+    out.object_rows.append(row)
+    out.events.append(
+        _event(state, "incoming_data", ts, interface=iface.name, path=path, value=value)
+    )
+
+
+# -- control (impl.ex:866-944) -----------------------------------------------
+
+
+def _handle_control(state, catalog, msg, ts, out) -> None:
+    path = msg.get("path") or ""
+    if path == "/producer/properties":
+        _handle_property_prune(state, catalog, msg, ts, out)
+    elif path == "/emptyCache":
+        state.pending_empty_cache = False
+        out.events.append(_event(state, "device_empty_cache_received", ts))
+    else:
+        out.errors.append(_error(state, msg, "unexpected_control_message"))
+
+
+def _handle_property_prune(state, catalog, msg, ts, out) -> None:
+    """Producer-properties prune (impl.ex:1334-1411): payload is
+    <<size::32, zlib(paths ';' joined)>> (payloads_decoder.ex:128-159);
+    every stored device-owned property path NOT in the set is deleted
+    with a path_removed event — the left anti join of SURVEY §2 A24."""
+    payload = msg.get("payload") or b""
+    if len(payload) < 4:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+    inflated = safe_inflate(payload[4:])
+    if inflated is None:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+    text = inflated.decode("utf-8", errors="replace")
+    alive: set[tuple[str, str]] = set()
+    if text:
+        for entry in text.split(";"):
+            name, _, p = entry.partition("/")
+            alive.add((name, "/" + p))
+    for (iface_name, path) in sorted(set(state.properties) - alive):
+        major_minor = state.introspection.get(iface_name)
+        if major_minor is None:
+            continue
+        iface = catalog.get(iface_name, major_minor[0])
+        if iface is None or iface.ownership is not Ownership.DEVICE:
+            continue
+        if iface.type is not InterfaceType.PROPERTIES:
+            continue
+        del state.properties[(iface_name, path)]
+        mapping = iface.resolve_path(path)
+        out.property_deletes.append(
+            {
+                "realm": state.realm,
+                "device_id": state.device_id,
+                "interface_id": iface.interface_id,
+                "interface": iface_name,
+                "endpoint_id": mapping.endpoint_id if mapping else None,
+                "path": path,
+            }
+        )
+        out.events.append(
+            _event(state, "path_removed", ts, interface=iface_name, path=path)
+        )
+
+
+# -- helpers -----------------------------------------------------------------
+
+
+def _count_message(state, iface_key, payload: bytes, out: Outputs) -> None:
+    """Counters (impl.ex:623-674): total msgs/bytes, per-interface."""
+    size = len(payload)
+    state.total_received_msgs += 1
+    state.total_received_bytes += size
+    if iface_key is not None:
+        state.interface_msgs[iface_key] = state.interface_msgs.get(iface_key, 0) + 1
+        state.interface_bytes[iface_key] = state.interface_bytes.get(iface_key, 0) + size
+
+
+def _type_ok(actual: ValueType | None, expected: ValueType, value: Any) -> bool:
+    """Type conformance (impl.ex:568-598): ints widen to longinteger
+    and to double (BSON int32/64 may carry numeric doubles); empty
+    arrays match any array type."""
+    if actual is None:
+        if isinstance(value, list) and not value:
+            return expected.is_array
+        return False
+    if actual == expected:
+        return True
+    if actual is ValueType.INTEGER and expected in (ValueType.LONGINTEGER, ValueType.DOUBLE):
+        return True
+    if actual is ValueType.LONGINTEGER and expected is ValueType.DOUBLE:
+        return True
+    if actual is ValueType.INTEGERARRAY and expected in (
+        ValueType.LONGINTEGERARRAY,
+        ValueType.DOUBLEARRAY,
+    ):
+        return True
+    return False
+
+
+def _typed_row(state, iface, mapping, path, value: Any, ts: datetime) -> dict:
+    """Route a value into its typed storage column
+    (CQLUtils.type_to_db_column_name; queries.ex:139,178)."""
+    vt = mapping.value_type
+    if vt in (ValueType.DOUBLE, ValueType.DOUBLEARRAY):
+        value = (
+            [float(v) for v in value] if isinstance(value, list) else float(value)
+        )
+    if vt in (ValueType.LONGINTEGER, ValueType.LONGINTEGERARRAY):
+        value = [int(v) for v in value] if isinstance(value, list) else int(value)
+    return {
+        "realm": state.realm,
+        "device_id": state.device_id,
+        "interface_id": iface.interface_id,
+        "interface": iface.name,
+        "endpoint_id": mapping.endpoint_id,
+        "path": path,
+        "reception_timestamp": ts,
+        db_column_name(vt): value,
+    }
+
+
+def process_device_messages(
+    state: DeviceState, catalog: Catalog, messages: list[dict]
+) -> Outputs:
+    """Fold a batch of one device's messages in order.
+
+    Ordering: (reception_timestamp, message_id) — the reference's
+    per-device FIFO (SURVEY §7 hard parts: cross-batch total order is
+    approximated by event-time sort + idempotent sinks).
+    """
+    out = Outputs()
+    for msg in sorted(
+        messages, key=lambda m: (m["reception_timestamp"], str(m.get("message_id")))
+    ):
+        out.extend(process_message(state, catalog, msg))
+    return out

@@ -1,0 +1,130 @@
+"""Spark-level ingest pipeline tests: the simple-flow scenario through
+run_batch (applyInPandas) and run_stream (applyInPandasWithState),
+asserting materialized table contents — the DataFrame-level port of
+the reference's Cassandra read-back assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from astarte_data_updater_plant_spark.catalog import fixture_interfaces
+from astarte_data_updater_plant_spark.streaming.pipeline import (
+    MESSAGE_SCHEMA,
+    datastream_table,
+    device_snapshots_table,
+    errors_table,
+    events_table,
+    object_table,
+    path_registry_table,
+    properties_table,
+    run_batch,
+    run_stream,
+)
+
+from .fixtures_flow import DEVICE, REALM, simple_flow_messages
+
+
+def _messages_df(spark):
+    rows = [
+        tuple(m.get(f.name) for f in MESSAGE_SCHEMA.fields)
+        for m in simple_flow_messages()
+    ]
+    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def outputs(spark):
+    df = run_batch(_messages_df(spark))
+    df.cache()
+    df.count()
+    return df
+
+
+def test_datastream_table(spark, outputs):
+    ds = datastream_table(outputs).orderBy("reception_timestamp").collect()
+    assert len(ds) == 2
+    assert [r.integer_value for r in ds] == [5, 6]
+    assert all(r.device_id == DEVICE and r.realm == REALM for r in ds)
+    assert all(r.value_timestamp is not None for r in ds)
+    # value routed to exactly one typed column
+    assert all(r.double_value is None and r.string_value is None for r in ds)
+
+
+def test_properties_table(spark, outputs):
+    props = {r.path: r for r in properties_table(outputs).collect()}
+    # after prune + unset only /weekSchedule/2/start remains
+    assert set(props) == {"/weekSchedule/2/start"}
+    assert props["/weekSchedule/2/start"].longinteger_value == 12
+
+
+def test_path_registry(spark, outputs):
+    reg = path_registry_table(outputs).collect()
+    assert {r.path for r in reg} == {"/0/value"}
+    assert all(r.datetime_value is not None for r in reg)
+
+
+def test_object_table(spark, outputs):
+    _, _, obj_iface = fixture_interfaces()
+    rows = object_table(outputs, obj_iface).orderBy("reception_timestamp").collect()
+    assert len(rows) == 2
+    assert rows[0].v_string == "aaa" and abs(rows[0].v_value - 1.1) < 1e-12
+    # tombstone avoidance: second row has v_value NULL (absent), not overwritten
+    assert rows[1].v_string == "bbb" and rows[1].v_value is None
+
+
+def test_events_table(spark, outputs):
+    ev = events_table(outputs)
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert counts["device_connected"] == 1
+    assert counts["device_disconnected"] == 1
+    assert counts["interface_added"] == 3
+    assert counts["value_change"] == 1
+    assert counts["path_removed"] == 2
+    assert counts["path_created"] == 3
+
+
+def test_errors_table(spark, outputs):
+    errs = errors_table(outputs).collect()
+    assert {r.error for r in errs} == {"invalid_path"}
+
+
+def test_device_snapshot(spark, outputs):
+    snap = device_snapshots_table(outputs).collect()
+    assert len(snap) == 1
+    s = snap[0]
+    assert s.connected is False
+    assert s.total_received_msgs == 10
+    assert s.last_seen_ip == "10.0.0.1"
+    assert "com.test.LCDMonitor" in s.introspection_json
+
+
+def test_streaming_parity(spark, tmp_path):
+    """run_stream over a file-per-trigger stream must produce the same
+    datastream/property rows as run_batch (cross-batch state carry)."""
+    msgs = _messages_df(spark)
+    src = str(tmp_path / "stream_src")
+    # two files -> at least two micro-batches; split mid-flow
+    pdf = msgs.toPandas()
+    spark.createDataFrame(pdf.iloc[:7], MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf.iloc[7:], MESSAGE_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pipe_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM pipe_out")
+    ds = datastream_table(got).orderBy("reception_timestamp").collect()
+    assert [r.integer_value for r in ds] == [5, 6]
+    props = {r.path for r in properties_table(got).collect()}
+    assert props == {"/weekSchedule/2/start"}

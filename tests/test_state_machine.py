@@ -1,0 +1,140 @@
+"""Simple-flow scenario against the pure state machine — the port of
+the reference's end-to-end integration test assertions
+(data_updater_test.exs:51-947), minus the broker/DB round-trips."""
+
+from __future__ import annotations
+
+from astarte_data_updater_plant_spark.catalog import fixture_interfaces
+from astarte_data_updater_plant_spark.streaming.state_machine import (
+    Catalog,
+    DeviceState,
+    process_device_messages,
+)
+
+from .fixtures_flow import DEVICE, REALM, simple_flow_messages
+
+
+def run_flow():
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    out = process_device_messages(state, catalog, simple_flow_messages())
+    return state, out
+
+
+def test_connection_lifecycle():
+    state, out = run_flow()
+    assert state.connected is False  # disconnected at the end
+    assert state.last_seen_ip == "10.0.0.1"
+    events = [e["event_type"] for e in out.events]
+    assert events[0] == "device_connected"
+    assert events[-1] == "device_disconnected"
+
+
+def test_introspection_events():
+    _, out = run_flow()
+    added = [e for e in out.events if e["event_type"] == "interface_added"]
+    assert {e["interface"] for e in added} == {
+        "com.test.LCDMonitor",
+        "com.test.SimpleStreamTest",
+        "com.example.TestObject",
+    }
+    intro = [e for e in out.events if e["event_type"] == "incoming_introspection"]
+    assert len(intro) == 1 and "com.test.LCDMonitor:1:0" in intro[0]["introspection"]
+
+
+def test_property_change_detection():
+    _, out = run_flow()
+    changes = [e for e in out.events if e["event_type"] == "value_change"]
+    assert len(changes) == 1
+    assert changes[0]["path"] == "/time/from"
+    assert changes[0]["old_value"] == 10 and changes[0]["new_value"] == 20
+    created = {e["path"] for e in out.events if e["event_type"] == "path_created"}
+    assert created == {"/time/from", "/weekSchedule/2/start", "/lcdCommand"}
+
+
+def test_property_state_after_prune_and_unset():
+    state, out = run_flow()
+    # prune removed /lcdCommand; unset removed /time/from
+    assert ("com.test.LCDMonitor", "/weekSchedule/2/start") in state.properties
+    assert ("com.test.LCDMonitor", "/lcdCommand") not in state.properties
+    assert ("com.test.LCDMonitor", "/time/from") not in state.properties
+    removed = {e["path"] for e in out.events if e["event_type"] == "path_removed"}
+    assert removed == {"/lcdCommand", "/time/from"}
+    deleted = {d["path"] for d in out.property_deletes}
+    assert deleted == {"/lcdCommand", "/time/from"}
+
+
+def test_datastream_rows_and_dedup():
+    _, out = run_flow()
+    ds = [r for r in out.datastream_rows]
+    # m07 redelivery is deduped: exactly 2 rows for /0/value
+    assert len(ds) == 2
+    assert [r["integer_value"] for r in ds] == [5, 6]
+    assert all(r["interface"] == "com.test.SimpleStreamTest" for r in ds)
+
+
+def test_object_rows_tombstone_avoidance():
+    _, out = run_flow()
+    assert len(out.object_rows) == 2
+    full, partial = out.object_rows
+    assert full["v_string"] == "aaa" and full["v_value"] == 1.1
+    # absent key -> column absent from the row (never written as NULL)
+    assert partial["v_string"] == "bbb" and "v_value" not in partial
+
+
+def test_counters():
+    state, _ = run_flow()
+    # counted: introspection + 8 data messages (m03-m10) + m13 unset;
+    # NOT counted: m11 (fails path validation before decode), dedup'd
+    # m07 redelivery, control/connection/disconnection
+    assert state.total_received_msgs == 10
+    key = ("com.test.SimpleStreamTest", 1)
+    assert state.interface_msgs[key] == 2
+    assert state.interface_bytes[key] > 0
+
+
+def test_error_side_channel():
+    _, out = run_flow()
+    errs = {e["error"] for e in out.errors}
+    assert "invalid_path" in errs
+    # unset on allow_unset=true mapping produces no unset error
+    assert "unset_not_allowed" not in errs
+
+
+def test_unknown_interface_rejected():
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+    from datetime import datetime, timezone
+
+    msgs = [
+        dict(message_id="x1", reception_timestamp=datetime(2020, 1, 1, tzinfo=timezone.utc),
+             realm=REALM, device_id=DEVICE, msg_type="data",
+             interface="org.unknown.Iface", path="/a", payload=encode_document({"v": 1}),
+             ip_address=None),
+    ]
+    out = process_device_messages(state, catalog, msgs)
+    assert out.errors[0]["error"] == "interface_not_in_introspection"
+    assert not out.datastream_rows
+
+
+def test_type_validation():
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+    from datetime import datetime, timezone
+
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None)
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    msgs = [
+        dict(base, message_id="i1", reception_timestamp=ts, msg_type="introspection",
+             interface=None, path=None,
+             payload=b"com.test.SimpleStreamTest:1:0"),
+        # string where integer expected -> unexpected_value_type
+        dict(base, message_id="i2", reception_timestamp=ts, msg_type="data",
+             interface="com.test.SimpleStreamTest", path="/0/value",
+             payload=encode_document({"v": "not an int"})),
+    ]
+    out = process_device_messages(state, catalog, msgs)
+    assert any(e["error"] == "unexpected_value_type" for e in out.errors)
+    assert not out.datastream_rows
