@@ -1,0 +1,100 @@
+"""Sessionization and pivot analytics over the events stream.
+
+Sessionization is the classical lag+cumsum composition (the batch
+equivalent of streaming ``session_window``); the pivot is conditional
+aggregation, which at scale beats a true PIVOT because it stays a
+single partial+final aggregate with no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q18_sessionization",
+    f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization: lag() gap detection + running cumsum session "
+    "ids + per-session rollup. Microsecond-precision gap compare so "
+    "batch and oracle agree exactly. Batch twin of session_window().",
+)
+def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(order))
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = lagged.withColumn("new_sess", new_sess)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(run).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q19_event_type_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)},
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Pivot by conditional aggregation: one pass, one shuffle, wide "
+    "counters per device — the exchanged_msgs-by-interface map of the "
+    "reference (queries.ex:493-494) unrolled to columns.",
+)
+def q19_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        ev.groupBy("user_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+        .orderBy("user_id")
+    )

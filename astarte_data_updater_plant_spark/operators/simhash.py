@@ -1,0 +1,109 @@
+"""SimHash document fingerprints (64-bit, md5 bit family).
+
+Charikar-style similarity hash: each 3-word shingle votes +1/-1 on 64
+bit positions according to its md5 bits; the sign of each position's
+tally becomes the fingerprint bit. Near-dup docs differ in few bits
+(Hamming distance), so at scale candidate pairs come from equi-joins
+on fingerprint prefixes — same bucket-join topology as MinHash-LSH.
+
+Everything is integer arithmetic over md5 nibbles, so Spark and the
+DuckDB oracle agree bit-for-bit. The 64 per-position tallies are
+generated as column expressions from one exploded (doc, shingle-hash)
+frame: one shuffle on doc_id, 64 algebraic aggregates (map-side
+partial), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_from_tokens
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+N_BITS = 64
+_HEX = "0123456789abcdef"
+
+
+def _nibble_sql(hash_col: str, i: int) -> str:
+    """DuckDB: value of hex digit i (0-based) of the md5 as 0..15."""
+    return f"(strpos('{_HEX}', substr({hash_col}, {i + 1}, 1)) - 1)"
+
+
+def _bit_sql(hash_col: str, bit: int) -> str:
+    """Bit `bit` (0..63) of the first 16 hex chars, as a +1/-1 vote."""
+    nib, off = divmod(bit, 4)
+    return f"CASE WHEN ({_nibble_sql(hash_col, nib)} // {2 ** off}) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def _tally_sql() -> str:
+    return ", ".join(f"SUM({_bit_sql('h', b)}) AS s{b}" for b in range(N_BITS))
+
+
+def _hexchar_sql(nib_expr: str) -> str:
+    return f"substr('{_HEX}', CAST({nib_expr} AS INT) + 1, 1)"
+
+
+def _simhash_hex_sql() -> str:
+    """Assemble 16 hex chars from the 64 sign bits (s_b >= 0 -> 1)."""
+    parts = []
+    for nib in range(16):
+        bits = [f"(CASE WHEN s{nib * 4 + o} >= 0 THEN 1 ELSE 0 END) * {2 ** o}" for o in range(4)]
+        parts.append(_hexchar_sql(" + ".join(bits)))
+    return " || ".join(parts)
+
+
+@register(
+    "q43_simhash",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(shingle) AS h FROM sh
+    ), tally AS (
+      SELECT doc_id, {_tally_sql()}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {_simhash_hex_sql()} AS simhash
+    FROM tally
+    ORDER BY doc_id
+    """,
+    doc="64-bit SimHash per document from md5 shingle bits; integer "
+    "votes + sign, fully hash-stable. Scale path for near-dup: bucket "
+    "by fingerprint prefix, verify by Hamming distance in-bucket.",
+)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 3))).alias("shingle"),
+    )
+    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("h"))
+
+    def nibble(i: int):
+        return F.instr(F.lit(_HEX), F.substring(F.col("h"), i + 1, 1)) - 1
+
+    def bit_vote(bit: int):
+        nib, off = divmod(bit, 4)
+        is_set = ((nibble(nib) / (2**off)).cast("int") % 2) == 1
+        return F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+    tally = hashed.groupBy("doc_id").agg(
+        *[F.sum(bit_vote(b)).alias(f"s{b}") for b in range(N_BITS)]
+    )
+    hex_arr = F.array(*[F.lit(c) for c in _HEX])
+    hex_chars = []
+    for nib in range(16):
+        val = None
+        for o in range(4):
+            term = F.when(F.col(f"s{nib * 4 + o}") >= 0, F.lit(2**o)).otherwise(F.lit(0))
+            val = term if val is None else (val + term)
+        hex_chars.append(F.element_at(hex_arr, (val + 1).cast("int")))
+    simhash = F.concat(*hex_chars)
+    return tally.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")

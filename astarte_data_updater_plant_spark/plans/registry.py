@@ -50,9 +50,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from ..operators import (  # noqa: F401
+        analytics,
+        ann,
         dedup,
         diff,
+        ingest,
+        multimodal,
         relational,
+        simhash,
         similarity,
         state_queries,
         textops,
