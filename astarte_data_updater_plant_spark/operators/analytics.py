@@ -98,3 +98,41 @@ def q19_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs, F.count(F.lit(1)).alias("n_total"))
         .orderBy("user_id")
     )
+
+
+_M = "DECIMAL(12,4)"
+_R = "DECIMAL(8,4)"
+
+
+@register(
+    "q09_cube_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Grouping-sets surface: CUBE over (returnflag, linestatus) — "
+    "all four grouping sets in ONE partial+final aggregate pass (Spark "
+    "expands the sets before the shuffle; no re-scan per set). Exact "
+    "decimal sums keep subtotal and grand-total rows hash-stable.",
+)
+def q09_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dmoney, drate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(drate("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dmoney("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

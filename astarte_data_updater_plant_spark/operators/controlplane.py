@@ -1,0 +1,216 @@
+"""Control-plane operators: event fan-out, property resend, reverse
+index maintenance.
+
+Three reference behaviors re-expressed as declarative queries:
+
+- A28 event fan-out (``triggers_handler.ex:35-58,396-402``): each
+  matched trigger publishes to EVERY configured target — a broadcast
+  join of the match stream against a (trigger -> targets) dimension.
+- A26 consumer-properties emit (``impl.ex:1728-1829``,
+  ``queries.ex:678-716``): scan the latest server-owned property value
+  per device and build the ``;``-joined compressed path list sent on
+  the control topic (``payloads_decoder.ex:128-159`` is its inverse).
+- A23 kv_store reverse index (``queries.ex:599-664``):
+  ``devices-by-interface-<name>-v<major>`` entries, one per interface,
+  listing the devices that announced it.
+
+Scale notes: the targets dimension is tiny -> broadcast, zero extra
+shuffle on the match stream. The resend scan is one window + one
+groupBy, both partitioned by device — co-partitioned, single shuffle
+under AQE. The reverse index is a single groupBy(event_type) whose
+collect_set stays bounded by the device population per interface
+(the reference stores exactly the same list as kv_store rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.matchers import value_match_any_op
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .triggers import _TRIGGER_VALUES_SQL, trigger_dim
+
+#: Target dimension (trigger_id -> delivery target), the shape of the
+#: reference's per-trigger target lists (triggers_handler.ex:396-402).
+TARGET_ROWS = [
+    ("t_purchase_high", "amqp", "events.purchase.high"),
+    ("t_purchase_high", "webhook", "hooks.example/high-value"),
+    ("t_error_low", "amqp", "events.error.low"),
+    ("t_any_extreme", "amqp", "events.extreme"),
+    ("t_any_extreme", "mqtt", "devices/extreme"),
+    ("t_signup_ge", "amqp", "events.signup"),
+    ("t_view_small", "mqtt", "devices/view-small"),
+    ("t_click_ne", "amqp", "events.click.ne"),
+]
+
+TARGET_SCHEMA = StructType(
+    [
+        StructField("trigger_id", StringType(), False),
+        StructField("target_type", StringType(), False),
+        StructField("destination", StringType(), False),
+    ]
+)
+
+_TARGET_VALUES_SQL = ", ".join(
+    f"('{tid}', '{tt}', '{dest}')" for tid, tt, dest in TARGET_ROWS
+)
+
+_MATCH_PRED_SQL = """
+     AND CASE t.op
+           WHEN 'ANY' THEN TRUE
+           WHEN 'EQUAL_TO' THEN COALESCE(e.value = t.known_value, FALSE)
+           WHEN 'NOT_EQUAL_TO' THEN COALESCE(e.value <> t.known_value, FALSE)
+           WHEN 'GREATER_THAN' THEN COALESCE(e.value > t.known_value, FALSE)
+           WHEN 'GREATER_OR_EQUAL_TO' THEN COALESCE(e.value >= t.known_value, FALSE)
+           WHEN 'LESS_THAN' THEN COALESCE(e.value < t.known_value, FALSE)
+           WHEN 'LESS_OR_EQUAL_TO' THEN COALESCE(e.value <= t.known_value, FALSE)
+           ELSE FALSE
+         END
+"""
+
+
+def target_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TARGET_ROWS, TARGET_SCHEMA)
+
+
+@register(
+    "q25_trigger_target_fanout",
+    f"""
+    WITH triggers(trigger_id, t_event_type, op, known_value) AS (
+      VALUES {_TRIGGER_VALUES_SQL}
+    ),
+    targets(trigger_id, target_type, destination) AS (
+      VALUES {_TARGET_VALUES_SQL}
+    ),
+    matches AS (
+      SELECT t.trigger_id, e.event_id, e.user_id
+      FROM events e
+      JOIN triggers t
+        ON (t.t_event_type = e.event_type OR t.t_event_type = '*')
+       {_MATCH_PRED_SQL}
+    )
+    SELECT m.trigger_id, g.target_type, g.destination,
+           COUNT(*) AS n_published,
+           COUNT(DISTINCT m.user_id) AS n_devices
+    FROM matches m
+    JOIN targets g ON g.trigger_id = m.trigger_id
+    GROUP BY m.trigger_id, g.target_type, g.destination
+    ORDER BY m.trigger_id, g.target_type, g.destination
+    """,
+    doc="A28 event fan-out (triggers_handler.ex:35-58,396-402): every "
+    "matched event is published once per configured target. Both dims "
+    "broadcast; the stream is scanned once, no extra shuffle before "
+    "the final per-destination accounting aggregate.",
+)
+def q25_trigger_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    trig = trigger_dim(spark)
+    tgt = target_dim(spark)
+    iface_ok = (F.col("t_event_type") == F.col("event_type")) | (
+        F.col("t_event_type") == "*"
+    )
+    pred = value_match_any_op(F.col("op"), F.col("value"), F.col("known_value"))
+    matches = ev.join(F.broadcast(trig), iface_ok & pred).select(
+        "trigger_id", "event_id", "user_id"
+    )
+    return (
+        matches.join(F.broadcast(tgt), "trigger_id")
+        .groupBy("trigger_id", "target_type", "destination")
+        .agg(
+            F.count(F.lit(1)).alias("n_published"),
+            F.countDistinct("user_id").alias("n_devices"),
+        )
+        .orderBy("trigger_id", "target_type", "destination")
+    )
+
+
+@register(
+    "q26_property_resend",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           COUNT(*) AS n_paths,
+           string_agg('/' || event_type || '/value', ';'
+                      ORDER BY '/' || event_type || '/value') AS paths,
+           CAST(len(string_agg('/' || event_type || '/value', ';'
+                      ORDER BY '/' || event_type || '/value')) AS BIGINT)
+             AS payload_bytes
+    FROM latest
+    GROUP BY user_id
+    ORDER BY device_id
+    """,
+    doc="A26 consumer-properties emit (impl.ex:1728-1829, "
+    "queries.ex:678-716): latest value per (device, path) via LWW "
+    "window, then the ';'-joined ordered path list the reference "
+    "deflates onto the control topic. Window and groupBy share the "
+    "device partitioning — one shuffle.",
+)
+def q26_property_resend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.concat(F.lit("/"), "event_type", F.lit("/value")).alias("path"))
+    )
+    agg = latest.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.array_join(F.array_sort(F.collect_list("path")), ";").alias("paths"),
+    )
+    return agg.select(
+        F.col("user_id").cast("string").alias("device_id"),
+        "n_paths",
+        "paths",
+        F.length("paths").cast("long").alias("payload_bytes"),
+    ).orderBy("device_id")
+
+
+@register(
+    "q27_device_index",
+    """
+    SELECT 'devices-by-interface-' || event_type || '-v1' AS index_key,
+           COUNT(DISTINCT user_id) AS n_devices,
+           string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                      ORDER BY CAST(user_id AS VARCHAR)) AS device_ids
+    FROM events
+    GROUP BY event_type
+    ORDER BY index_key
+    """,
+    doc="A23 kv_store reverse index (queries.ex:599-664): one "
+    "devices-by-interface-<name>-v<major> entry per interface with the "
+    "sorted announcing-device list. Single groupBy; collect_set "
+    "deduplicates map-side before the shuffle.",
+)
+def q27_device_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_devices"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("device_ids"),
+        )
+        .select(
+            F.concat(
+                F.lit("devices-by-interface-"), "event_type", F.lit("-v1")
+            ).alias("index_key"),
+            "n_devices",
+            "device_ids",
+        )
+        .orderBy("index_key")
+    )

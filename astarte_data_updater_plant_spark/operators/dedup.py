@@ -32,6 +32,14 @@ from ..sources.tables import load_table
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
 
+# q44 character-n-gram Jaccard knobs: 16-char grams are long enough to
+# be rare (median df 4 on the synthetic corpus); the document-frequency
+# cap bounds every inverted-list bucket, so candidate generation is
+# O(sum df^2) instead of O(n^2) — the classic stop-shingle filter.
+NGRAM_LEN = 16
+NGRAM_DF_MAX = 10
+NGRAM_JACCARD_MIN = 0.5
+
 
 @register(
     "q40_exact_dedup",
@@ -199,6 +207,103 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(ca, "doc_a")
         .join(cb, "doc_b")
         .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_GRAMS_SQL = f"""
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_LEN}) AS gram
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, len(text) - {NGRAM_LEN} + 2)) AS i
+    FROM documents WHERE len(text) >= {NGRAM_LEN}
+  )
+"""
+
+
+@register(
+    "q44_ngram_jaccard_pairs",
+    f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+    rare AS (
+      SELECT g.doc_id, g.gram FROM grams g JOIN df USING (gram)
+      WHERE df BETWEEN 2 AND {NGRAM_DF_MAX}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM candidates c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared)
+          >= {NGRAM_JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Character-n-gram Jaccard near-dup: inverted-index candidate "
+    "generation restricted to rare grams (df cap = stop-shingle "
+    "filter), exact gram-set Jaccard verification on candidates only. "
+    "Every stage is a keyed equi-join/groupBy; the df cap bounds "
+    "bucket fan-out, so no stage degrades to all-pairs at scale.",
+)
+def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= NGRAM_LEN
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
+                    f" i -> substring(text, i, {NGRAM_LEN}))"
+                )
+            )
+        ).alias("gram"),
+    ).cache()
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rare_grams = df.filter(
+        (F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_MAX)
+    ).select("gram")
+    rare = grams.join(rare_grams, "gram")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "gram")
+    candidates = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        candidates.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

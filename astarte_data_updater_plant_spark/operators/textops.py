@@ -303,3 +303,33 @@ def q35_introspection_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("entry"), F.lit(":"), F.lit(2)).cast("int").alias("major"),
         F.split_part(F.col("entry"), F.lit(":"), F.lit(3)).cast("int").alias("minor"),
     ).orderBy("user_id", "interface_name")
+
+
+#: BPE-ish token estimation: a GPT-2-style pre-tokenizer regex (runs of
+#: letters / digits / other-symbols) plus the chars/4 subword estimate.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "q36_bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_regex_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting, BPE-ish: regex pre-tokenizer run count "
+    "(letters/digits/symbol runs, the GPT-2 pre-tokenizer shape) and "
+    "the standard chars/4 subword estimate — both as codegen'd "
+    "expressions, zero Python in the scan.",
+)
+def q36_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_regex_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_number_runs"),
+    ).orderBy("doc_id")

@@ -52,9 +52,11 @@ def _load_all() -> None:
     from ..operators import (  # noqa: F401
         analytics,
         ann,
+        controlplane,
         dedup,
         diff,
         ingest,
+        ivf,
         multimodal,
         relational,
         simhash,
