@@ -148,3 +148,139 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "s73_stream_ingest_datastreams",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' || event_type || '/value' AS path,
+           ts AS value_timestamp,
+           value AS double_value
+    FROM events
+    ORDER BY device_id, path, value_timestamp
+    """,
+    doc="The ingest pipeline under REAL Structured Streaming: messages "
+    "written as time-ordered files, consumed with maxFilesPerTrigger=1 "
+    "(4 micro-batches), folded by applyInPandasWithState keyed on "
+    "(realm, device) with the DeviceState carried in the GroupState "
+    "across batches — the materialized datastream rows must still "
+    "equal the batch SQL oracle. Proves state continuity, not just "
+    "single-batch grouping.",
+)
+def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import MESSAGE_SCHEMA, run_stream
+
+    msgs = events_as_messages(spark, sf_dir)
+    lo, hi = msgs.agg(
+        F.min("reception_timestamp"), F.max("reception_timestamp")
+    ).first()
+    span = (hi - lo).total_seconds() + 1.0
+    n_slices = 4
+    src_dir = tempfile.mkdtemp(prefix="s73_src_")
+    # one file per time slice, named so listing order == time order:
+    # per-device intro precedes its data (intro ts = min(ts) - 1s), so
+    # time-ordered batches preserve the reference's FIFO guarantee
+    for i in range(n_slices):
+        s_lo = F.lit(lo) + F.expr(f"INTERVAL {int(span * i / n_slices)} SECONDS")
+        s_hi = F.lit(lo) + F.expr(f"INTERVAL {int(span * (i + 1) / n_slices)} SECONDS")
+        part_dir = os.path.join(src_dir, f"_slice{i}")
+        cond = F.col("reception_timestamp") >= s_lo
+        if i + 1 < n_slices:
+            cond = cond & (F.col("reception_timestamp") < s_hi)
+        msgs.filter(cond).coalesce(1).write.parquet(part_dir)
+        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.move(part_file, os.path.join(src_dir, f"{i:03d}.parquet"))
+        shutil.rmtree(part_dir)
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = run_stream(stream, interfaces=(telemetry_interface(),))
+    ds = datastream_table(out).select(
+        "device_id", "path", "value_timestamp", "double_value"
+    )
+    qname = "s73_stream_ingest"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        ds.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s73_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(600)
+    return spark.table(qname).orderBy("device_id", "path", "value_timestamp")
+
+
+@register(
+    "s74_stream_redelivery_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n_unique, COUNT(DISTINCT user_id) AS n_devices
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="A3 redelivery dedup as a stream: the source unioned with "
+    "itself (every message delivered twice, the reference's "
+    "at-least-once broker), dropDuplicates on message id restores "
+    "exactly-once counts — hash-checked against single-delivery SQL. "
+    "At scale the dedup state is bounded by dropDuplicatesWithinWatermark.",
+)
+def s74_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.tables import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored = spark.read.parquet(table_path(sf_dir, "events"))
+
+    def one_stream():
+        s = (
+            spark.readStream.schema(stored.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return s.select("event_id", "user_id", "event_type")
+
+    doubled = one_stream().union(one_stream())
+    deduped = doubled.dropDuplicates(["event_id"])
+    # exact COUNT(DISTINCT) is unsupported in streaming aggregation:
+    # pre-aggregate per (event_type, user_id) in the stream, finish
+    # the distinct count on the bounded complete-mode result.
+    per_user = (
+        deduped.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = "s74_per_user"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        per_user.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s74_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(600)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_unique"),
+            F.count(F.lit(1)).cast("long").alias("n_devices"),
+        )
+        .orderBy("event_type")
+    )

@@ -36,7 +36,15 @@ HEADLINE = (
     "q33_fingerprints",          # higher-order-function text pipeline
     "q42_lsh_near_dup_pairs",    # minhash LSH dedup topology
     "q50_cosine_topk",           # vector similarity
+    "q55_ivf_ann_topk",          # IVF cell-probe ANN
+    "q26_property_resend",       # LWW window + ordered string agg
 )
+
+#: One untimed pass to absorb one-time costs (JVM class loading,
+#: codegen compiler warm-up, parquet footer reads) so the timed loop
+#: measures steady-state per-query latency — on a long-lived cluster
+#: those costs are paid once at startup, not per query.
+WARMUP = ("q01_pricing_summary", "q50_cosine_topk", "q16_hourly_windows")
 
 
 def main() -> None:
@@ -44,6 +52,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     qmap = queries_map()
+
+    for name in WARMUP:
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
