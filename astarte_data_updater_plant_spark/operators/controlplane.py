@@ -214,3 +214,66 @@ def q27_device_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("index_key")
     )
+
+
+#: Per-interface retention policy (the reference's per-mapping
+#: ``database_retention_ttl``, database_test_helper.exs:102 attrs).
+RETENTION_ROWS = [
+    ("click", 3600),
+    ("view", 1800),
+    ("error", 86400),
+    ("purchase", 604800),
+    ("signup", 604800),
+]
+
+_RETENTION_VALUES_SQL = ", ".join(f"('{et}', {s})" for et, s in RETENTION_ROWS)
+
+
+@register(
+    "q28_ttl_expiry",
+    f"""
+    WITH retent(event_type, retention_s) AS (VALUES {_RETENTION_VALUES_SQL}),
+    cutoff AS (SELECT max(ts) AS c FROM events)
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE
+             make_timestamp(epoch_us(e.ts) + CAST(r.retention_s AS BIGINT) * 1000000) > c.c
+           ) AS n_live,
+           COUNT(*) FILTER (WHERE
+             make_timestamp(epoch_us(e.ts) + CAST(r.retention_s AS BIGINT) * 1000000) <= c.c
+           ) AS n_expired
+    FROM events e
+    JOIN retent r USING (event_type)
+    CROSS JOIN cutoff c
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="A20 TTL expiry (queries.ex:774-817, impl.ex:527-533): rows "
+    "carry expires_at = value_ts + per-interface retention; the live "
+    "view filters on it at a reproducible cutoff (max event time, not "
+    "wall clock). Retention dim broadcast; microsecond arithmetic "
+    "keeps both engines bit-identical.",
+)
+def q28_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField as SF_, StructType as ST_
+
+    ev = load_table(spark, sf_dir, "events")
+    ret = spark.createDataFrame(
+        RETENTION_ROWS,
+        ST_([SF_("event_type", StringType(), False), SF_("retention_s", IntegerType(), False)]),
+    )
+    cutoff = ev.agg(F.max("ts").alias("c"))
+    expires_at = F.timestamp_micros(
+        F.unix_micros("ts") + F.col("retention_s").cast("long") * 1_000_000
+    )
+    return (
+        ev.join(F.broadcast(ret), "event_type")
+        .crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(expires_at > F.col("c"), 1)).alias("n_live"),
+            F.count(F.when(expires_at <= F.col("c"), 1)).alias("n_expired"),
+        )
+        .orderBy("event_type")
+    )
