@@ -81,3 +81,39 @@ def value_match_any_op(op_col: Column, value: Column, known: Column) -> Column:
         .when(op_col == "LESS_OR_EQUAL_TO", F.coalesce(value <= known, F.lit(False)))
         .otherwise(F.lit(False))
     )
+
+
+def py_value_match(op: str, value, known) -> bool:
+    """Pure-Python twin of :func:`value_match` for the per-device state
+    machine (volatile triggers evaluate in-stream, not as a join).
+
+    Mirrors value_match_operators.ex:20-75 exactly: ANY matches
+    everything (:21); any other operator is False when either side is
+    nil (:24-26); CONTAINS is substring on strings and membership on
+    lists (:52-74); comparisons on mismatched types are False, like the
+    reference's rescue clauses.
+    """
+    if op == "ANY":
+        return True
+    if value is None or known is None:
+        return False
+    try:
+        if op == "EQUAL_TO":
+            return bool(value == known)
+        if op == "NOT_EQUAL_TO":
+            return bool(value != known)
+        if op == "GREATER_THAN":
+            return bool(value > known)
+        if op == "GREATER_OR_EQUAL_TO":
+            return bool(value >= known)
+        if op == "LESS_THAN":
+            return bool(value < known)
+        if op == "LESS_OR_EQUAL_TO":
+            return bool(value <= known)
+        if op == "CONTAINS":
+            return known in value
+        if op == "NOT_CONTAINS":
+            return known not in value
+    except TypeError:
+        return False
+    raise ValueError(f"unknown value match operator: {op}")

@@ -145,7 +145,8 @@ def _output_records(realm: str, device_id: str, out) -> list[dict]:
         push("property_upsert", interface=r.get("interface"), path=r.get("path"),
              timestamp=r.get("reception_timestamp"), payload=r)
     for r in out.property_deletes:
-        push("property_delete", interface=r.get("interface"), path=r.get("path"), payload=r)
+        push("property_delete", interface=r.get("interface"), path=r.get("path"),
+             timestamp=r.get("reception_timestamp"), payload=r)
     for r in out.object_rows:
         push("object_row", interface=r.get("table"), path=r.get("path"),
              timestamp=r.get("reception_timestamp"), payload=r)
@@ -315,40 +316,30 @@ def datastream_table(outputs: DataFrame) -> DataFrame:
 
 
 def properties_table(outputs: DataFrame) -> DataFrame:
-    """individual_properties latest state: upserts LWW by reception
-    order, minus deletes — the MERGE of queries.ex:87-155 expressed as
-    window + anti-join (idempotent, re-runnable)."""
+    """individual_properties latest state — the MERGE of
+    queries.ex:87-155 as timestamp-ordered LWW over the upsert +
+    tombstone log: latest row per key wins (delete beats a same-instant
+    set, Cassandra's tie rule), keys whose winner is a tombstone
+    disappear. Idempotent and re-runnable; a delete-then-re-set
+    resurrects the key, exactly like consecutive CQL DELETE + INSERT."""
     from pyspark.sql import Window
 
-    ups = (
-        outputs.filter(F.col("kind") == "property_upsert")
-        .withColumn("p", F.from_json("payload_json", PROPERTY_JSON_SCHEMA))
-        .filter(~F.coalesce(F.col("p.is_path_registry"), F.lit(False)))
+    log = outputs.filter(
+        F.col("kind").isin("property_upsert", "property_delete")
+    ).withColumn("p", F.from_json("payload_json", PROPERTY_JSON_SCHEMA))
+    log = log.filter(
+        (F.col("kind") == "property_delete")
+        | ~F.coalesce(F.col("p.is_path_registry"), F.lit(False))
+    ).withColumn(
+        "lww_ts", F.coalesce(F.col("p.reception_timestamp"), F.col("timestamp"))
     )
     w = Window.partitionBy("realm", "device_id", "interface", "path").orderBy(
-        F.col("p.reception_timestamp").desc()
+        F.col("lww_ts").desc(),
+        (F.col("kind") == "property_delete").desc(),
     )
-    latest = ups.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    # rename the delete-side keys: both branches share lineage with
-    # `outputs`, and a same-attribute anti-join trips Spark's
-    # conflicting-reference resolution
-    dels = (
-        outputs.filter(F.col("kind") == "property_delete")
-        .select(
-            F.col("realm").alias("d_realm"),
-            F.col("device_id").alias("d_device_id"),
-            F.col("interface").alias("d_interface"),
-            F.col("path").alias("d_path"),
-        )
-        .distinct()
-    )
-    live = latest.join(
-        dels,
-        (F.col("realm") == F.col("d_realm"))
-        & (F.col("device_id") == F.col("d_device_id"))
-        & (F.col("interface") == F.col("d_interface"))
-        & (F.col("path") == F.col("d_path")),
-        "left_anti",
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("kind") == "property_upsert"))
     )
     return live.select(
         "realm", "device_id",

@@ -44,6 +44,7 @@ from ..catalog import (
     object_column_name,
     object_table_name,
 )
+from ..functions.matchers import py_value_match
 from ..functions.payloads import (
     decode_bson_payload,
     parse_introspection,
@@ -73,6 +74,9 @@ class DeviceState:
     interface_bytes: dict[tuple[str, int], int] = field(default_factory=dict)
     properties: dict[tuple[str, str], Any] = field(default_factory=dict)
     paths_cache: dict[tuple[str, str], datetime] = field(default_factory=dict)
+    #: trigger_id -> {interface, path, op, known_value}
+    #: (impl.ex:946-1058 install, :1060-1189 delete)
+    volatile_triggers: dict[str, dict] = field(default_factory=dict)
     seen_message_ids: list[str] = field(default_factory=list)
     pending_empty_cache: bool = False
     last_seen_ip: str | None = None
@@ -168,6 +172,10 @@ def process_message(state: DeviceState, catalog: Catalog, msg: dict) -> Outputs:
         _handle_data(state, catalog, msg, ts, out)
     elif mtype == "control":
         _handle_control(state, catalog, msg, ts, out)
+    elif mtype == "install_volatile_trigger":
+        _handle_install_volatile_trigger(state, catalog, msg, ts, out)
+    elif mtype == "delete_volatile_trigger":
+        _handle_delete_volatile_trigger(state, msg, ts, out)
     else:
         out.errors.append(_error(state, msg, "unknown_message_type"))
     return out
@@ -297,6 +305,8 @@ def _handle_data(
     out.events.append(
         _event(state, "incoming_data", ts, interface=interface_name, path=path, value=value)
     )
+    # step 9 of the hot path (impl.ex:338-348): incoming-data triggers
+    _fire_volatile_triggers(state, iface, mapping, path, value, ts, out)
 
     if iface.type is InterfaceType.PROPERTIES:
         _handle_property_set(state, iface, mapping, path, value, ts, out)
@@ -350,6 +360,7 @@ def _handle_unset(state, iface, mapping, path, ts, out, msg) -> None:
             "interface": iface.name,
             "endpoint_id": mapping.endpoint_id,
             "path": path,
+            "reception_timestamp": ts,
         }
     )
 
@@ -439,6 +450,103 @@ def _handle_object_data(state, iface, path, decoded, ts, out, msg) -> None:
     )
 
 
+# -- volatile triggers, the A32 RPC control plane ----------------------------
+
+
+def _handle_install_volatile_trigger(state, catalog, msg, ts, out) -> None:
+    """Install a per-device volatile trigger (impl.ex:946-1058).
+
+    Spec arrives as a JSON payload {trigger_id, interface, path, op,
+    known_value} (the protobuf of rpc/handler.ex:35-48 flattened).
+    Validation mirrors the reference: the interface must be present in
+    the device introspection and loadable; object-aggregated
+    interfaces are rejected (impl.ex:976-980); the match path must
+    resolve against the endpoints (impl.ex:987,1015-1016).
+    """
+    import json as _json
+
+    try:
+        spec = _json.loads((msg.get("payload") or b"{}").decode("utf-8"))
+    except Exception:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+    trigger_id = spec.get("trigger_id")
+    iface_name = spec.get("interface")
+    match_path = spec.get("path")
+    if not trigger_id or not iface_name or not match_path:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+    major_minor = state.introspection.get(iface_name)
+    if major_minor is None:
+        out.errors.append(_error(state, msg, "interface_not_in_introspection"))
+        return
+    iface = catalog.get(iface_name, major_minor[0])
+    if iface is None:
+        out.errors.append(_error(state, msg, "interface_loading_failed"))
+        return
+    if iface.aggregation is Aggregation.OBJECT:
+        # volatile data triggers on object interfaces are unsupported
+        # in the reference too (impl.ex:976-980)
+        out.errors.append(_error(state, msg, "invalid_match_path"))
+        return
+    if iface.resolve_path(match_path) is None and not any(
+        m.endpoint == match_path for m in iface.mappings
+    ):
+        out.errors.append(_error(state, msg, "invalid_match_path"))
+        return
+    state.volatile_triggers[trigger_id] = {
+        "interface": iface_name,
+        "path": match_path,
+        "op": spec.get("op", "ANY"),
+        "known_value": spec.get("known_value"),
+    }
+    out.events.append(
+        _event(state, "volatile_trigger_installed", ts,
+               interface=iface_name, path=match_path, value=trigger_id)
+    )
+
+
+def _handle_delete_volatile_trigger(state, msg, ts, out) -> None:
+    """Delete a volatile trigger by id (impl.ex:1060-1189)."""
+    import json as _json
+
+    try:
+        spec = _json.loads((msg.get("payload") or b"{}").decode("utf-8"))
+    except Exception:
+        out.errors.append(_error(state, msg, "invalid_payload"))
+        return
+    trigger_id = spec.get("trigger_id")
+    dropped = state.volatile_triggers.pop(trigger_id, None)
+    if dropped is None:
+        out.errors.append(_error(state, msg, "trigger_not_found"))
+        return
+    out.events.append(
+        _event(state, "volatile_trigger_deleted", ts,
+               interface=dropped["interface"], path=dropped["path"],
+               value=trigger_id)
+    )
+
+
+def _fire_volatile_triggers(state, iface, mapping, path, value, ts, out) -> None:
+    """Evaluate installed volatile triggers against an incoming value
+    (the per-record match of impl.ex:1431-1469 restricted to the
+    device-local volatile set). A trigger matches when its interface
+    matches, its path is the literal incoming path or the endpoint
+    pattern the path resolved to, and the value operator passes."""
+    for trigger_id, spec in sorted(state.volatile_triggers.items()):
+        if spec["interface"] != iface.name:
+            continue
+        if spec["path"] not in (path, mapping.endpoint):
+            continue
+        if not py_value_match(spec["op"], value, spec.get("known_value")):
+            continue
+        out.events.append(
+            _event(state, "volatile_trigger_fired", ts,
+                   interface=iface.name, path=path, value=trigger_id,
+                   new_value=value)
+        )
+
+
 # -- control (impl.ex:866-944) -----------------------------------------------
 
 
@@ -491,6 +599,7 @@ def _handle_property_prune(state, catalog, msg, ts, out) -> None:
                 "interface": iface_name,
                 "endpoint_id": mapping.endpoint_id if mapping else None,
                 "path": path,
+                "reception_timestamp": ts,
             }
         )
         out.events.append(

@@ -138,3 +138,87 @@ def test_type_validation():
     out = process_device_messages(state, catalog, msgs)
     assert any(e["error"] == "unexpected_value_type" for e in out.errors)
     assert not out.datastream_rows
+
+
+def _vt_msgs(trigger_payloads_then_data):
+    """Build an introspection + given messages list."""
+    from datetime import datetime, timedelta, timezone
+
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None)
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    msgs = [
+        dict(base, message_id="vt-i", reception_timestamp=t0,
+             msg_type="introspection", interface=None, path=None,
+             payload=b"com.test.SimpleStreamTest:1:0;com.test.LCDMonitor:1:3;"
+                     b"com.example.TestObject:1:0"),
+    ]
+    for i, m in enumerate(trigger_payloads_then_data):
+        msgs.append(
+            dict(base, message_id=f"vt-{i}",
+                 reception_timestamp=t0 + timedelta(seconds=i + 1), **m)
+        )
+    return msgs
+
+
+def test_volatile_trigger_lifecycle():
+    import json
+
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    install = json.dumps({
+        "trigger_id": "vt1", "interface": "com.test.SimpleStreamTest",
+        "path": "/0/value", "op": "GREATER_THAN", "known_value": 10,
+    }).encode()
+    msgs = _vt_msgs([
+        dict(msg_type="install_volatile_trigger", interface=None, path=None,
+             payload=install),
+        # fires: 42 > 10
+        dict(msg_type="data", interface="com.test.SimpleStreamTest",
+             path="/0/value", payload=encode_document({"v": 42})),
+        # does not fire: 5 <= 10
+        dict(msg_type="data", interface="com.test.SimpleStreamTest",
+             path="/0/value", payload=encode_document({"v": 5})),
+        dict(msg_type="delete_volatile_trigger", interface=None, path=None,
+             payload=json.dumps({"trigger_id": "vt1"}).encode()),
+        # deleted: no fire even though it matches
+        dict(msg_type="data", interface="com.test.SimpleStreamTest",
+             path="/0/value", payload=encode_document({"v": 99})),
+    ])
+    out = process_device_messages(state, catalog, msgs)
+    evs = [e["event_type"] for e in out.events]
+    assert evs.count("volatile_trigger_installed") == 1
+    assert evs.count("volatile_trigger_deleted") == 1
+    fired = [e for e in out.events if e["event_type"] == "volatile_trigger_fired"]
+    assert len(fired) == 1
+    assert fired[0]["value"] == "vt1" and fired[0]["new_value"] == 42
+    assert state.volatile_triggers == {}
+
+
+def test_volatile_trigger_install_validation():
+    import json
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+
+    def inst(spec):
+        return dict(msg_type="install_volatile_trigger", interface=None,
+                    path=None, payload=json.dumps(spec).encode())
+
+    msgs = _vt_msgs([
+        inst({"trigger_id": "bad1", "interface": "org.nope.Iface", "path": "/x"}),
+        inst({"trigger_id": "bad2", "interface": "com.test.SimpleStreamTest",
+              "path": "/not/a/real/endpoint"}),
+        # object-aggregated interfaces are rejected (impl.ex:976-980)
+        inst({"trigger_id": "bad3", "interface": "com.example.TestObject",
+              "path": "/string"}),
+        # parametric endpoint pattern is a valid match path
+        inst({"trigger_id": "ok1", "interface": "com.test.LCDMonitor",
+              "path": "/weekSchedule/%{day}/start", "op": "ANY"}),
+    ])
+    out = process_device_messages(state, catalog, msgs)
+    errs = [e["error"] for e in out.errors]
+    assert errs.count("interface_not_in_introspection") == 1
+    assert errs.count("invalid_match_path") == 2
+    assert list(state.volatile_triggers) == ["ok1"]
