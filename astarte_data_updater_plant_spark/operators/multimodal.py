@@ -108,6 +108,70 @@ def q61_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+#: fixed-size "frame" window over the media payload and the sampling
+#: stride — a real deployment reads container metadata instead.
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+
+def _sample_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1 media row -> N sampled frames: every FRAME_STRIDE-th
+    FRAME_BYTES-sized window. Real frame decode (libav) would slot in
+    here; the fan-out, offsets and per-frame metadata are the part the
+    engine owns."""
+    for pdf in it:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            data = bytes(payload)
+            n_frames = len(data) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                off = i * FRAME_BYTES
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_md5"].append(
+                    hashlib.md5(data[off : off + FRAME_BYTES]).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q62_frame_sample",
+    f"""
+    WITH frames AS (
+      SELECT doc_id,
+             unnest(range(0, len(text) // {FRAME_BYTES}, {FRAME_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    SELECT f.doc_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           CAST(f.frame_idx * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+           md5(substr(d.text, 1 + f.frame_idx * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_md5
+    FROM frames f JOIN documents d USING (doc_id)
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Frame sampling: one media row fans out to every 4th fixed-size "
+    "frame window with offset metadata and a per-frame digest (the "
+    "video keyframe-sampling shape). Arrow-batched mapInPandas, "
+    "partition-parallel, output size bounded by stride.",
+)
+def q62_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return media.mapInPandas(_sample_frames, schema=FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # keep the by-value shipping invariant for mapInPandas closures
 try:
     import sys as _sys
