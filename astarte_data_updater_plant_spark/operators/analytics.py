@@ -136,3 +136,37 @@ def q09_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q29_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(MIN(value), 6) AS v_min,
+           round(MAX(value), 6) AS v_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (both engines sort "
+    "and linearly interpolate, so rounded values hash-match). At scale "
+    "the exact form is a sort-based aggregate per group; the cheap "
+    "path is approx_percentile, kept out of the oracle contract "
+    "because it is sketch-based by design.",
+)
+def q29_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
