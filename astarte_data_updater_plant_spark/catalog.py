@@ -259,3 +259,105 @@ def fixture_interfaces() -> tuple[Interface, ...]:
         ),
     )
     return (lcd, stream, obj)
+
+
+# ---------------------------------------------------------------------------
+# Catalog <-> dimension tables (the reference's `interfaces` +
+# `endpoints` Cassandra tables, queries.ex:512-541 load path)
+# ---------------------------------------------------------------------------
+
+INTERFACES_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("major_version", T.IntegerType(), False),
+        T.StructField("minor_version", T.IntegerType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("ownership", T.StringType(), False),
+        T.StructField("aggregation", T.StringType(), False),
+        T.StructField("interface_id", T.StringType(), False),
+    ]
+)
+
+ENDPOINTS_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("interface_id", T.StringType(), False),
+        T.StructField("endpoint", T.StringType(), False),
+        T.StructField("endpoint_id", T.StringType(), False),
+        T.StructField("value_type", T.StringType(), False),
+        T.StructField("reliability", T.StringType(), False),
+        T.StructField("retention", T.StringType(), False),
+        T.StructField("expiry", T.IntegerType(), False),
+        T.StructField("allow_unset", T.BooleanType(), False),
+        T.StructField("explicit_timestamp", T.BooleanType(), False),
+    ]
+)
+
+
+def catalog_to_rows(
+    interfaces: tuple[Interface, ...],
+) -> tuple[list[tuple], list[tuple]]:
+    """Flatten Interface objects into (interfaces, endpoints) dim rows."""
+    irows, erows = [], []
+    for i in interfaces:
+        irows.append(
+            (i.name, i.major, i.minor, i.type.value, i.ownership.value,
+             i.aggregation.value, i.interface_id)
+        )
+        for m in i.mappings:
+            erows.append(
+                (i.interface_id, m.endpoint, m.endpoint_id, m.value_type.value,
+                 m.reliability.value, m.retention.value, m.expiry,
+                 m.allow_unset, m.explicit_timestamp)
+            )
+    return irows, erows
+
+
+def write_catalog(spark, interfaces: tuple[Interface, ...], base_dir: str) -> None:
+    """Persist the schema catalog as two small dimension tables — the
+    broadcast side of the stream's metadata join (A8)."""
+    irows, erows = catalog_to_rows(interfaces)
+    spark.createDataFrame(irows, INTERFACES_DIM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base_dir}/interfaces")
+    spark.createDataFrame(erows, ENDPOINTS_DIM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base_dir}/endpoints")
+
+
+def load_catalog(spark, base_dir: str) -> tuple[Interface, ...]:
+    """Rebuild Interface objects from the dimension tables (the
+    cache-miss load of impl.ex:1277-1332; here one driver-side read of
+    two bounded dims, then broadcast with the state-machine closure)."""
+    ifaces = spark.read.parquet(f"{base_dir}/interfaces").collect()
+    endpoints = spark.read.parquet(f"{base_dir}/endpoints").collect()
+    by_iface: dict[str, list] = {}
+    for e in endpoints:
+        by_iface.setdefault(e.interface_id, []).append(e)
+    out = []
+    for r in sorted(ifaces, key=lambda r: (r.name, r.major_version)):
+        mappings = tuple(
+            Mapping(
+                endpoint=e.endpoint,
+                value_type=ValueType(e.value_type),
+                reliability=Reliability(e.reliability),
+                retention=Retention(e.retention),
+                expiry=e.expiry,
+                allow_unset=e.allow_unset,
+                explicit_timestamp=e.explicit_timestamp,
+                endpoint_id=e.endpoint_id,
+            )
+            for e in sorted(by_iface.get(r.interface_id, []), key=lambda e: e.endpoint)
+        )
+        out.append(
+            Interface(
+                name=r.name,
+                major=r.major_version,
+                minor=r.minor_version,
+                type=InterfaceType(r.type),
+                ownership=Ownership(r.ownership),
+                aggregation=Aggregation(r.aggregation),
+                interface_id=r.interface_id,
+                mappings=mappings,
+            )
+        )
+    return tuple(out)

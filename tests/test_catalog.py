@@ -73,3 +73,54 @@ def test_object_schema_columns():
     _, _, obj = fixture_interfaces()
     sch = object_table_schema(obj)
     assert "v_string" in sch.fieldNames() and "v_value" in sch.fieldNames()
+
+
+def test_catalog_dimension_roundtrip(spark, tmp_path):
+    from astarte_data_updater_plant_spark.catalog import (
+        fixture_interfaces,
+        load_catalog,
+        write_catalog,
+    )
+
+    base = str(tmp_path / "catalog")
+    orig = fixture_interfaces()
+    write_catalog(spark, orig, base)
+    back = load_catalog(spark, base)
+    by_name = {i.name: i for i in back}
+    assert set(by_name) == {i.name for i in orig}
+    for i in orig:
+        j = by_name[i.name]
+        assert (j.major, j.minor, j.type, j.ownership, j.aggregation,
+                j.interface_id) == (i.major, i.minor, i.type, i.ownership,
+                                    i.aggregation, i.interface_id)
+        assert sorted(j.mappings, key=lambda m: m.endpoint) == sorted(
+            i.mappings, key=lambda m: m.endpoint
+        )
+
+
+def test_flow_with_loaded_catalog_matches_fixture_catalog(spark, tmp_path):
+    from astarte_data_updater_plant_spark.catalog import (
+        fixture_interfaces,
+        load_catalog,
+        write_catalog,
+    )
+    from astarte_data_updater_plant_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        run_batch,
+    )
+    from .fixtures_flow import simple_flow_messages
+
+    base = str(tmp_path / "catalog")
+    write_catalog(spark, fixture_interfaces(), base)
+    msgs = simple_flow_messages()
+    df = spark.createDataFrame(
+        [tuple(m[f.name] for f in MESSAGE_SCHEMA.fields) for m in msgs],
+        MESSAGE_SCHEMA,
+    )
+    a = run_batch(df, interfaces=fixture_interfaces()).orderBy(
+        "kind", "path", "timestamp", "payload_json"
+    ).collect()
+    b = run_batch(df, interfaces=load_catalog(spark, base)).orderBy(
+        "kind", "path", "timestamp", "payload_json"
+    ).collect()
+    assert a == b
