@@ -65,24 +65,51 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle) pairs — the MinHash base."""
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the distinct 3-word shingle
+    SET per document, kept as an array column. Everything downstream
+    (MinHash, band keys, exact Jaccard) computes over the array with
+    higher-order functions, so signature generation is a pure map with
+    ZERO shuffles — at 100 TB that removes a 50x-row explode and a
+    groupBy of the entire shingle stream."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # no row filter here: a deterministic filter on the computed array
+    # gets pushed below the repartition with split() fully inlined and
+    # runs the whole shingle expression serially on the raw scan
+    # (measured 10x). Degenerate docs yield an empty array, which every
+    # consumer already treats as "no shingles".
     return toked.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 3))).alias("shingle"),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), 3)).alias("shingles"),
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) view, for consumers that need the
+    inverted-index form."""
+    return _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h7): 8 min-wise hashes over the shingle set."""
-    sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
+    """(doc_id, h0..h7): 8 min-wise hashes over the shingle set —
+    array_min over a transform, per row, shuffle-free."""
+    sa = _shingle_sets(spark, sf_dir)
+
+    def _mh(seed: int):
+        # one-arg lambda: a second parameter would make F.transform
+        # bind the array INDEX to it, silently replacing the seed
+        return lambda s: minhash_expr(s, seed)
+
+    cols = [
+        F.array_min(F.transform(F.col("shingles"), _mh(seed))).alias(f"h{seed}")
         for seed in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # a doc with <3 tokens would yield a null signature; null band
+    # keys never equi-join, so such docs simply produce no candidates
+    return sa.select("doc_id", *cols)
 
 
 _SHINGLE_LIST_SQL = (
@@ -165,20 +192,25 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-identical documents.",
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
-    aggs = [
-        F.min(minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(N_HASHES)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs).cache()
-    banded = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bkey"),
-        )
-        banded = part if banded is None else banded.unionAll(part)
+    sa = _shingle_sets(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir)
+    # one (band, bkey) row per band via a single explode — a per-band
+    # union would re-evaluate the whole MinHash transform once per
+    # branch (measured 3x slower at sf0.1)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .cache()  # both sides of the self-join read it; tiny (4 rows/doc)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -191,21 +223,18 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    tok_counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ca = tok_counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = tok_counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    # exact verify: fetch the two shingle SETS per candidate pair and
+    # intersect them as arrays — candidate count is tiny relative to
+    # the corpus, so carrying the arrays through two keyed joins beats
+    # re-exploding the whole shingle stream
+    sets_a = sa.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = sa.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
     return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -44,7 +44,13 @@ HEADLINE = (
 #: codegen compiler warm-up, parquet footer reads) so the timed loop
 #: measures steady-state per-query latency — on a long-lived cluster
 #: those costs are paid once at startup, not per query.
-WARMUP = ("q01_pricing_summary", "q50_cosine_topk", "q16_hourly_windows")
+WARMUP = (
+    "q01_pricing_summary",
+    "q50_cosine_topk",
+    "q16_hourly_windows",
+    "q41_minhash_signatures",   # shingle/minhash higher-order-function shape
+    "q24_trigger_match_counts", # broadcast nested-loop predicate join shape
+)
 
 
 def main() -> None:
