@@ -183,43 +183,63 @@ def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame
     span = (hi - lo).total_seconds() + 1.0
     n_slices = 4
     src_dir = tempfile.mkdtemp(prefix="s73_src_")
+    stage_dir = os.path.join(src_dir, "_staged")
     # one file per time slice, named so listing order == time order:
     # per-device intro precedes its data (intro ts = min(ts) - 1s), so
-    # time-ordered batches preserve the reference's FIFO guarantee
+    # time-ordered batches preserve the reference's FIFO guarantee.
+    # One partitioned write (not a filter+write per slice: that would
+    # recompute the BSON synthesis once per slice).
+    slice_col = F.least(
+        F.floor(
+            (F.unix_micros("reception_timestamp") - F.unix_micros(F.lit(lo)))
+            / F.lit(span * 1_000_000.0 / n_slices)
+        ),
+        F.lit(n_slices - 1),
+    ).cast("int")
+    (
+        msgs.withColumn("slice", slice_col)
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .parquet(stage_dir)
+    )
     for i in range(n_slices):
-        s_lo = F.lit(lo) + F.expr(f"INTERVAL {int(span * i / n_slices)} SECONDS")
-        s_hi = F.lit(lo) + F.expr(f"INTERVAL {int(span * (i + 1) / n_slices)} SECONDS")
-        part_dir = os.path.join(src_dir, f"_slice{i}")
-        cond = F.col("reception_timestamp") >= s_lo
-        if i + 1 < n_slices:
-            cond = cond & (F.col("reception_timestamp") < s_hi)
-        msgs.filter(cond).coalesce(1).write.parquet(part_dir)
-        (part_file,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        shutil.move(part_file, os.path.join(src_dir, f"{i:03d}.parquet"))
-        shutil.rmtree(part_dir)
+        parts = glob.glob(os.path.join(stage_dir, f"slice={i}", "part-*.parquet"))
+        for j, part_file in enumerate(sorted(parts)):
+            shutil.move(part_file, os.path.join(src_dir, f"{i:03d}_{j}.parquet"))
+    shutil.rmtree(stage_dir)
 
-    stream = (
-        spark.readStream.schema(MESSAGE_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
+    # scope the stateful shuffle width to the machine: the driver's
+    # plain session defaults to 200 partitions, a 6x overhead for the
+    # grouped-state stage at test scale (restored after the drain)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    out = run_stream(stream, interfaces=(telemetry_interface(),))
-    ds = datastream_table(out).select(
-        "device_id", "path", "value_timestamp", "double_value"
-    )
-    qname = "s73_stream_ingest"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        ds.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s73_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(600)
+    try:
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = run_stream(stream, interfaces=(telemetry_interface(),))
+        ds = datastream_table(out).select(
+            "device_id", "path", "value_timestamp", "double_value"
+        )
+        qname = "s73_stream_ingest"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            ds.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s73_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("device_id", "path", "value_timestamp")
 
 
