@@ -304,3 +304,34 @@ def s74_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s75_ingest_object_rows",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' AS path,
+           ts AS reception_timestamp,
+           event_type AS v_kind,
+           value AS v_reading
+    FROM events
+    ORDER BY device_id, reception_timestamp, v_kind
+    """,
+    doc="Object-aggregated ingest (A18, queries.ex:199-297) oracle-"
+    "checked end-to-end: events re-encoded as BSON object documents, "
+    "validated against the object interface (per-key type check, "
+    "unknown-key skip), materialized into the per-interface wide "
+    "table — one typed column per endpoint leaf.",
+)
+def s75_ingest_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.stream import events_as_object_messages, object_interface
+    from ..streaming.pipeline import object_table, run_batch
+
+    iface = object_interface()
+    msgs = events_as_object_messages(spark, sf_dir)
+    out = run_batch(msgs, interfaces=(iface,))
+    obj = object_table(out, iface)
+    return obj.select(
+        "device_id", "path", "reception_timestamp",
+        F.col("v_kind"), F.col("v_reading"),
+    ).orderBy("device_id", "reception_timestamp", "v_kind")
