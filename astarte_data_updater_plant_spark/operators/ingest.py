@@ -150,6 +150,41 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices_") -> str:
+    """Write df as n time-range files whose listing order equals event-
+    time order (so maxFilesPerTrigger=1 yields time-ordered micro-
+    batches). One partitioned write — a filter+write per slice would
+    recompute the upstream plan once per slice."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    span = (hi - lo).total_seconds() + 1.0
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    stage_dir = os.path.join(src_dir, "_staged")
+    slice_col = F.least(
+        F.floor(
+            (F.unix_micros(ts_col) - F.unix_micros(F.lit(lo)))
+            / F.lit(span * 1_000_000.0 / n_slices)
+        ),
+        F.lit(n_slices - 1),
+    ).cast("int")
+    (
+        df.withColumn("slice", slice_col)
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .parquet(stage_dir)
+    )
+    for i in range(n_slices):
+        parts = glob.glob(os.path.join(stage_dir, f"slice={i}", "part-*.parquet"))
+        for j, part_file in enumerate(sorted(parts)):
+            shutil.move(part_file, os.path.join(src_dir, f"{i:03d}_{j}.parquet"))
+    shutil.rmtree(stage_dir)
+    return src_dir
+
+
 @register(
     "s73_stream_ingest_datastreams",
     """
@@ -169,44 +204,14 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-batch grouping.",
 )
 def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from ..streaming.pipeline import MESSAGE_SCHEMA, run_stream
 
     msgs = events_as_messages(spark, sf_dir)
-    lo, hi = msgs.agg(
-        F.min("reception_timestamp"), F.max("reception_timestamp")
-    ).first()
-    span = (hi - lo).total_seconds() + 1.0
-    n_slices = 4
-    src_dir = tempfile.mkdtemp(prefix="s73_src_")
-    stage_dir = os.path.join(src_dir, "_staged")
-    # one file per time slice, named so listing order == time order:
     # per-device intro precedes its data (intro ts = min(ts) - 1s), so
-    # time-ordered batches preserve the reference's FIFO guarantee.
-    # One partitioned write (not a filter+write per slice: that would
-    # recompute the BSON synthesis once per slice).
-    slice_col = F.least(
-        F.floor(
-            (F.unix_micros("reception_timestamp") - F.unix_micros(F.lit(lo)))
-            / F.lit(span * 1_000_000.0 / n_slices)
-        ),
-        F.lit(n_slices - 1),
-    ).cast("int")
-    (
-        msgs.withColumn("slice", slice_col)
-        .repartition("slice")
-        .write.partitionBy("slice")
-        .parquet(stage_dir)
-    )
-    for i in range(n_slices):
-        parts = glob.glob(os.path.join(stage_dir, f"slice={i}", "part-*.parquet"))
-        for j, part_file in enumerate(sorted(parts)):
-            shutil.move(part_file, os.path.join(src_dir, f"{i:03d}_{j}.parquet"))
-    shutil.rmtree(stage_dir)
+    # time-ordered batches preserve the reference's FIFO guarantee
+    src_dir = _time_sliced_files(msgs, "reception_timestamp", prefix="s73_src_")
 
     # scope the stateful shuffle width to the machine: the driver's
     # plain session defaults to 200 partitions, a 6x overhead for the
@@ -335,3 +340,67 @@ def s75_ingest_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "device_id", "path", "reception_timestamp",
         F.col("v_kind"), F.col("v_reading"),
     ).orderBy("device_id", "reception_timestamp", "v_kind")
+
+
+@register(
+    "s76_stream_watermarked_windows",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Event-time watermark semantics under append mode: the stream "
+    "is consumed as 4 time-ordered micro-batches with a 1-hour "
+    "watermark; a window row is emitted exactly when the watermark "
+    "passes its end, so the drained result equals the batch aggregate "
+    "RESTRICTED to windows closed by max(event_time) - 1h — the "
+    "still-open tail windows are withheld, which the oracle reproduces "
+    "with the same cutoff predicate. This is the state-bounding "
+    "mechanism that caps window/dedup state at 100 TB.",
+)
+def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src_dir = _time_sliced_files(ev, "ts", prefix="s76_src_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        qname = "s76_watermarked"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s76_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(qname)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
