@@ -37,3 +37,13 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, digits: int = 6) -> Column:
     """Cosine similarity rounded for hash-stable ranking."""
     return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column,
+                      digits: int = 6) -> Column:
+    """Cosine from pre-projected norms: inside a pair join, norm(a)
+    and norm(b) would otherwise be re-evaluated PER PAIR (O(pairs*dim)
+    extra work — half the join's compute). Computing them once per
+    vector in the projection is bit-identical: same sqrt, same
+    product, same division, same rounding."""
+    return F.round(dot(a, b) / (norm_a * norm_b), digits)

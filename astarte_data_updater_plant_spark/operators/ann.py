@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import cosine_with_norms, norm, to_double_array
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -103,17 +103,23 @@ def q53_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array(F.col("embedding")).alias("embedding")
     )
-    base = emb.withColumn("bucket", _bucket_col(F.col("embedding"))).cache()
+    base = (
+        emb.withColumn("bucket", _bucket_col(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+        .cache()
+    )
     q = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket"),
+        F.col("nrm").alias("qn"),
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("cv"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("cn"),
     )
     pairs = q.join(
         c,
@@ -123,7 +129,7 @@ def q53_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "neighbor_label",
         "bucket",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import cosine, cosine_with_norms, norm, to_double_array
 from ..plans.registry import register
 from ..sources.tables import load_table
 from .ann import _bucket_col, _bucket_sql
@@ -66,16 +66,20 @@ def q54_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    base = emb.withColumn("bucket", _bucket_col(F.col("v")))
+    base = emb.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
+    )
     a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket",
+        F.col("nrm").alias("na"),
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("nb"),
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(
             b,
@@ -144,16 +148,19 @@ def q55_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "v", "centroid_id")
     )
+    assigned = assigned.withColumn("nrm", norm(F.col("v")))
     q = assigned.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         "centroid_id",
+        F.col("nrm").alias("qn"),
     )
     n = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("v").alias("nv"),
         F.col("centroid_id").alias("n_centroid"),
+        F.col("nrm").alias("nn"),
     )
     pairs = q.join(
         n,
@@ -164,7 +171,7 @@ def q55_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         "neighbor_id",
         "neighbor_label",
-        cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        cosine_with_norms(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")).alias("sim"),
     )
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm, to_double_array
+from ..functions.vectors import cosine_with_norms, norm, to_double_array
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -58,21 +58,22 @@ _COS_SQL = """
 )
 def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    qv = to_double_array(F.col("embedding"))
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), to_double_array(F.col("embedding")).alias("qv")
-    )
+        F.col("vec_id").alias("query_id"), qv.alias("qv")
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        to_double_array(F.col("embedding")).alias("cv"),
-    )
+        qv.alias("cv"),
+    ).select("neighbor_id", "neighbor_label", "cv", norm(F.col("cv")).alias("cn"))
     pairs = corpus.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
         "neighbor_label",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
