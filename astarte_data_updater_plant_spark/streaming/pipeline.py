@@ -102,7 +102,9 @@ DEVICE_SNAPSHOT_SCHEMA = T.StructType(
         T.StructField("last_connection", T.TimestampType(), True),
         T.StructField("last_disconnection", T.TimestampType(), True),
         T.StructField("introspection_json", T.StringType(), True),
+        T.StructField("old_introspection_json", T.StringType(), True),
         T.StructField("interface_counters_json", T.StringType(), True),
+        T.StructField("pending_empty_cache", T.BooleanType(), True),
     ]
 )
 
@@ -158,6 +160,8 @@ def _output_records(realm: str, device_id: str, out) -> list[dict]:
     for e in out.errors:
         push("error", interface=e.get("interface"), path=e.get("path"),
              error=e.get("error"), payload=e)
+    for c in out.commands:
+        push("command", event_type=c.get("command"), timestamp=c.get("timestamp"))
     return rows
 
 
@@ -174,6 +178,13 @@ def _snapshot(state: DeviceState) -> dict:
         "introspection_json": json.dumps(
             {k: list(v) for k, v in sorted(state.introspection.items())}
         ),
+        "old_introspection_json": json.dumps(
+            {
+                f"{name}:{major}": minor
+                for (name, major), minor in sorted(state.old_introspection.items())
+            }
+        ),
+        "pending_empty_cache": state.pending_empty_cache,
         "interface_counters_json": json.dumps(
             {
                 f"{name}:{major}": [
@@ -395,6 +406,17 @@ def errors_table(outputs: DataFrame) -> DataFrame:
     """Dead-letter side-channel (impl.ex:463-524)."""
     return outputs.filter(F.col("kind") == "error").select(
         "realm", "device_id", "interface", "path", "error"
+    )
+
+
+def commands_table(outputs: DataFrame) -> DataFrame:
+    """Device command channel (A29): clean-session / disconnect asks
+    the reference sends over the VerneMQ RPC (rpc/vmq_plugin.ex:40-65,
+    impl.ex:1413-1429)."""
+    return outputs.filter(F.col("kind") == "command").select(
+        "realm", "device_id",
+        F.col("event_type").alias("command"),
+        "timestamp",
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..storage.layout import write_device_table
 from .pipeline import (
     PROPERTY_JSON_SCHEMA,
+    commands_table,
     datastream_table,
     device_snapshots_table,
     errors_table,
@@ -114,6 +115,10 @@ def write_outputs_batch(outputs: DataFrame, base_dir: str) -> None:
         errs = errors_table(outputs)
         with_retry(
             lambda: errs.write.mode("append").parquet(f"{base_dir}/dead_letters")
+        )
+        cmds = commands_table(outputs)
+        with_retry(
+            lambda: cmds.write.mode("append").parquet(f"{base_dir}/device_commands")
         )
         snaps = device_snapshots_table(outputs)
         with_retry(

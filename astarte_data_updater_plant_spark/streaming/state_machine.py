@@ -68,6 +68,9 @@ class DeviceState:
     device_id: str
     connected: bool = False
     introspection: dict[str, tuple[int, int]] = field(default_factory=dict)
+    #: (name, major) -> minor for interfaces removed or major-bumped
+    #: (impl.ex:826-834, queries.ex:561-597)
+    old_introspection: dict[tuple[str, int], int] = field(default_factory=dict)
     total_received_msgs: int = 0
     total_received_bytes: int = 0
     interface_msgs: dict[tuple[str, int], int] = field(default_factory=dict)
@@ -87,7 +90,7 @@ class DeviceState:
 @dataclass
 class Outputs:
     """Side-outputs of one message (the reference's Cassandra writes,
-    AMQP events and discards)."""
+    AMQP events, device commands and discards)."""
 
     datastream_rows: list[dict] = field(default_factory=list)
     property_upserts: list[dict] = field(default_factory=list)
@@ -95,6 +98,9 @@ class Outputs:
     object_rows: list[dict] = field(default_factory=list)
     events: list[dict] = field(default_factory=list)
     errors: list[dict] = field(default_factory=list)
+    #: MQTT/RPC commands back to the device (A29): clean-session asks
+    #: after processing errors (impl.ex:463-524,1413-1429)
+    commands: list[dict] = field(default_factory=list)
 
     def extend(self, other: "Outputs") -> None:
         self.datastream_rows += other.datastream_rows
@@ -103,6 +109,7 @@ class Outputs:
         self.object_rows += other.object_rows
         self.events += other.events
         self.errors += other.errors
+        self.commands += other.commands
 
 
 def _event(state: DeviceState, event_type: str, ts: datetime, **kw: Any) -> dict:
@@ -162,6 +169,7 @@ def process_message(state: DeviceState, catalog: Catalog, msg: dict) -> Outputs:
 
     mtype = msg["msg_type"]
     ts = msg["reception_timestamp"]
+    n_errors_before = len(out.errors)
     if mtype == "connection":
         _handle_connection(state, msg, ts, out)
     elif mtype == "disconnection":
@@ -178,6 +186,20 @@ def process_message(state: DeviceState, catalog: Catalog, msg: dict) -> Outputs:
         _handle_delete_volatile_trigger(state, msg, ts, out)
     else:
         out.errors.append(_error(state, msg, "unknown_message_type"))
+    # every data/control/introspection processing error asks the device
+    # for a clean session over MQTT RPC and flags pending_empty_cache
+    # (impl.ex:463-524, :676-686, :1413-1429); trigger-RPC failures
+    # reply on the RPC channel instead
+    if mtype in ("data", "control", "introspection") and len(out.errors) > n_errors_before:
+        state.pending_empty_cache = True
+        out.commands.append(
+            {
+                "realm": state.realm,
+                "device_id": state.device_id,
+                "command": "clean_session",
+                "timestamp": ts,
+            }
+        )
     return out
 
 
@@ -217,20 +239,28 @@ def _handle_introspection(
     )
     new = {name: (major, minor) for name, major, minor in parsed}
     old = state.introspection
-    # sorted diff (impl.ex:726-736) == set difference on names
-    for name in sorted(set(new) - set(old)):
-        major, minor = new[name]
+    # sorted Myers diff over (name, major) pairs (impl.ex:726-736):
+    # a major bump appears as removed(old major) + added(new major);
+    # a minor-only update is "eq" and fires nothing
+    old_pairs = {(n, mm[0]) for n, mm in old.items()}
+    new_pairs = {(n, mm[0]) for n, mm in new.items()}
+    for name, major in sorted(new_pairs - old_pairs):
         out.events.append(
             _event(state, "interface_added", ts, interface=name,
-                   value={"major_version": major, "minor_version": minor})
+                   value={"major_version": major, "minor_version": new[name][1]})
         )
-    for name in sorted(set(old) - set(new)):
-        major, _minor = old[name]
+        # re-announced (name, major) leaves the old-introspection map
+        # (queries.ex:561-597 remove_old_interfaces)
+        state.old_introspection.pop((name, major), None)
+    for name, major in sorted(old_pairs - new_pairs):
         out.events.append(
             _event(state, "interface_removed", ts, interface=name,
                    value={"major_version": major})
         )
-        # drop stored properties of removed device-owned interfaces
+        # park the dropped version (impl.ex:826-834 add_old_interfaces)
+        state.old_introspection[(name, major)] = old[name][1]
+        # purge stored properties: data written under the old
+        # interface_id must not leak into the new major (impl.ex:836-846)
         state.properties = {
             k: v for k, v in state.properties.items() if k[0] != name
         }

@@ -222,3 +222,81 @@ def test_volatile_trigger_install_validation():
     assert errs.count("interface_not_in_introspection") == 1
     assert errs.count("invalid_match_path") == 2
     assert list(state.volatile_triggers) == ["ok1"]
+
+
+def test_error_asks_clean_session():
+    from datetime import datetime, timezone
+
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None)
+    msgs = [
+        dict(base, message_id="c1", reception_timestamp=ts, msg_type="data",
+             interface="org.unknown.Iface", path="/a",
+             payload=encode_document({"v": 1})),
+    ]
+    out = process_device_messages(state, catalog, msgs)
+    assert [c["command"] for c in out.commands] == ["clean_session"]
+    assert state.pending_empty_cache is True
+    # device answers /emptyCache -> flag cleared (impl.ex:930)
+    out2 = process_device_messages(state, catalog, [
+        dict(base, message_id="c2", reception_timestamp=ts, msg_type="control",
+             interface=None, path="/emptyCache", payload=b""),
+    ])
+    assert state.pending_empty_cache is False
+    assert not out2.commands
+
+
+def test_interface_major_bump_tracks_old_introspection():
+    from datetime import datetime, timedelta, timezone
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None,
+                interface=None, path=None)
+    out = process_device_messages(state, catalog, [
+        dict(base, message_id="o1", reception_timestamp=t0,
+             msg_type="introspection", payload=b"com.test.LCDMonitor:1:3"),
+        dict(base, message_id="o2", reception_timestamp=t0 + timedelta(seconds=1),
+             msg_type="introspection", payload=b"com.test.LCDMonitor:2:0"),
+    ])
+    evs = [(e["event_type"], e["interface"], e["value"]) for e in out.events
+           if e["event_type"] in ("interface_added", "interface_removed")]
+    assert ("interface_added", "com.test.LCDMonitor",
+            {"major_version": 1, "minor_version": 3}) in evs
+    assert ("interface_removed", "com.test.LCDMonitor",
+            {"major_version": 1}) in evs
+    assert ("interface_added", "com.test.LCDMonitor",
+            {"major_version": 2, "minor_version": 0}) in evs
+    # the dropped (name, major) parks its minor (impl.ex:826-834)
+    assert state.old_introspection == {("com.test.LCDMonitor", 1): 3}
+    # re-announcing v1 clears the parked entry
+    process_device_messages(state, catalog, [
+        dict(base, message_id="o3", reception_timestamp=t0 + timedelta(seconds=2),
+             msg_type="introspection", payload=b"com.test.LCDMonitor:1:3"),
+    ])
+    assert state.old_introspection == {("com.test.LCDMonitor", 2): 0}
+
+
+def test_minor_only_update_fires_nothing():
+    from datetime import datetime, timedelta, timezone
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None,
+                interface=None, path=None)
+    out = process_device_messages(state, catalog, [
+        dict(base, message_id="n1", reception_timestamp=t0,
+             msg_type="introspection", payload=b"com.test.LCDMonitor:1:3"),
+        dict(base, message_id="n2", reception_timestamp=t0 + timedelta(seconds=1),
+             msg_type="introspection", payload=b"com.test.LCDMonitor:1:4"),
+    ])
+    evs = [e["event_type"] for e in out.events]
+    assert evs.count("interface_added") == 1  # only the first announce
+    assert evs.count("interface_removed") == 0
+    assert state.introspection == {"com.test.LCDMonitor": (1, 4)}
