@@ -170,3 +170,26 @@ def q29_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q56_approx_sketches",
+    None,  # sketch-based: no exact SQL oracle by construction
+    doc="Approximate aggregation surface: HyperLogLog++ distinct counts "
+    "and quantile sketches per group — the scale path when exact "
+    "DISTINCT/percentile shuffles are too expensive. No DuckDB oracle "
+    "(sketches differ across engines by design); the driver records "
+    "the weaker rows-only check. Error bounds: rsd=0.05 for HLL, "
+    "accuracy 10000 for the percentile sketch.",
+)
+def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_devices"),
+            F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )

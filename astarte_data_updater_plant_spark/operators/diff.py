@@ -118,3 +118,65 @@ def q22_property_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored.join(alive, ["user_id", "event_type"], "left_anti")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q57_full_outer_reconcile",
+    """
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo,
+             epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_first_half
+      FROM events, bounds WHERE epoch_us(ts) < bounds.mid GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*) AS n_second_half
+      FROM events, bounds WHERE epoch_us(ts) >= bounds.mid GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.n_first_half, b.n_second_half,
+           CASE WHEN a.user_id IS NULL THEN 'appeared'
+                WHEN b.user_id IS NULL THEN 'vanished'
+                ELSE 'active_both' END AS status
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    ORDER BY user_id
+    """,
+    doc="Full outer join: device activity reconciled across the two "
+    "halves of the event-time range, null-preserving on both sides "
+    "with appeared/vanished/active_both classification — the join "
+    "shape the reference's Myers diff implies for eq+ins+del in one "
+    "pass. Midpoint via integer microsecond arithmetic so both engines "
+    "split identically.",
+)
+def q57_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        (
+            F.unix_micros(F.min("ts"))
+            + (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(2)
+        ).cast("long").alias("mid"),
+    )
+    with_mid = ev.crossJoin(F.broadcast(bounds))
+    a = (
+        with_mid.filter(F.unix_micros("ts") < F.col("mid"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_first_half"))
+    )
+    b = (
+        with_mid.filter(F.unix_micros("ts") >= F.col("mid"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_second_half"))
+    )
+    joined = a.join(b, ["user_id"], "full")
+    status = (
+        F.when(F.col("n_first_half").isNull(), F.lit("appeared"))
+        .when(F.col("n_second_half").isNull(), F.lit("vanished"))
+        .otherwise(F.lit("active_both"))
+    )
+    return joined.select(
+        "user_id", "n_first_half", "n_second_half", status.alias("status")
+    ).orderBy("user_id")
