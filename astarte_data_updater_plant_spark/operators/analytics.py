@@ -193,3 +193,45 @@ def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q58_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT event_type, MAX(value) AS type_max
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(e.user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS n_events,
+           round(MAX(d.type_max - e.value), 6) AS max_gap
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, user_bucket
+    ORDER BY e.event_type, user_bucket
+    """,
+    doc="Skewed fact x dim enrichment through functions.skew.salted_join: "
+    "event_type has ~5 distinct values, so an unsalted shuffle join puts "
+    "each hot key on one task; the salt spreads every key across 8 "
+    "sub-keys while the dim side is replicated 8x. Result is provably "
+    "identical to the plain join (tests/test_skew.py), and the oracle "
+    "here checks it against DuckDB's unsalted plan. Aggregates avoid "
+    "double-precision sums (COUNT + MAX only) so values hash-match.",
+)
+def q58_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("type_max"))
+    joined = salted_join(ev, dim, ["event_type"], salt_from="event_id", n_salts=8)
+    return (
+        joined.groupBy(
+            "event_type",
+            (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max(F.col("type_max") - F.col("value")), 6).alias("max_gap"),
+        )
+        .orderBy("event_type", "user_bucket")
+    )

@@ -117,3 +117,34 @@ def test_ttl_live_view_and_vacuum(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert back.filter(F.col("expires_at").isNotNull()).count() == 1
+
+
+def test_maintenance_jobs(spark, tmp_path):
+    """End-to-end: sink a flow, compact + vacuum, read back."""
+    import pyspark.sql.functions as F2
+
+    from astarte_data_updater_plant_spark.storage.jobs import run_maintenance
+    from astarte_data_updater_plant_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        run_batch,
+    )
+    from astarte_data_updater_plant_spark.streaming.sinks import write_outputs_batch
+
+    from .fixtures_flow import simple_flow_messages
+
+    base = str(tmp_path / "maint")
+    msgs = simple_flow_messages()
+    df = spark.createDataFrame(
+        [tuple(m[f.name] for f in MESSAGE_SCHEMA.fields) for m in msgs],
+        MESSAGE_SCHEMA,
+    )
+    write_outputs_batch(run_batch(df), base)
+    stats = run_maintenance(
+        spark, base, F2.lit("2020-01-01 00:00:00").cast("timestamp")
+    )
+    assert stats["properties_live"] == 1  # only /weekSchedule/2/start survives
+    assert stats["datastreams_live"] >= 2
+    props = spark.read.parquet(f"{base}/individual_properties")
+    assert [r.path for r in props.select("path").collect()] == [
+        "/weekSchedule/2/start"
+    ]
