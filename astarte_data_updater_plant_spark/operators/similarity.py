@@ -160,3 +160,88 @@ def q52_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q59_matmul_cosine_topk",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_COS_SQL} AS sim
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT query_id, neighbor_id, neighbor_label, sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= {TOP_K}
+    ORDER BY query_id, sim DESC, neighbor_id
+    """,
+    doc="Same contract as q50 but on the Pandas-UDF scale path: the "
+    "query batch ships to every task as a NumPy matrix, each Arrow "
+    "batch of the corpus does ONE BLAS matmul (batch x dim @ dim x "
+    "n_queries) instead of per-pair JVM expression evaluation, and "
+    "each task emits only its per-batch top-k per query (map-side "
+    "pruning: shuffle volume is O(k * n_queries * n_batches), never "
+    "O(corpus)). The global window re-ranks the surviving candidates. "
+    "This is the path to take when dim or corpus size makes the "
+    "expression-based dot product the bottleneck; the oracle is "
+    "identical to q50's, proving plan equivalence.",
+)
+def q59_matmul_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("qv"))
+        .collect()
+    )  # bounded: 1/QUERY_STRIDE of the corpus; same budget as a broadcast
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+
+    def topk_batches(it):
+        for pdf in it:
+            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+            sims = np.round(
+                (c_mat @ q_mat.T) / np.outer(c_norm, q_norm), 6
+            )  # (batch, n_queries)
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                keep = nid != qid  # self-exclusion
+                order = np.lexsort((nid[keep], -col[keep]))[:TOP_K]
+                idx = np.flatnonzero(keep)[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[idx],
+                            "neighbor_label": pdf["label"].to_numpy()[idx],
+                            "sim": col[keep][order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    candidates = emb.select("vec_id", "label", "embedding").mapInPandas(
+        topk_batches,
+        schema="query_id long, neighbor_id long, neighbor_label int, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "sim")
+        .orderBy("query_id", F.col("sim").desc(), "neighbor_id")
+    )

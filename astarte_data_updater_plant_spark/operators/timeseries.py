@@ -1,0 +1,166 @@
+"""Time-series operators Spark lacks as built-ins: as-of join and
+gap-fill/forward-fill.
+
+The reference stores per-device datastreams and answers "value at or
+before t" style lookups through Cassandra's clustering order
+(``queries.ex:157-232`` reads ``individual_datastreams`` ordered by
+reception timestamp). Re-expressed for analytics, that lookup is an
+AS-OF JOIN; downsampling a sparse stream onto a regular grid is
+GAP-FILL. Neither is a built-in DataFrame operator, so both are
+compositions:
+
+- as-of join: union the two sides tagged, one keyed window sorted by
+  (ts, id), forward-fill the right side's value with
+  ``last(..., ignorenulls)``, keep left rows. ONE shuffle on the key,
+  no range join, no per-row probe — the classic scale-safe plan
+  (a sort-merge as-of). An actual range join would be O(pairs);
+  this is O(n log n) within each key partition.
+- gap-fill: per-key bounds → ``sequence()`` time spine (explode is
+  allowed to blow up rows: spine size is bounded by the time range,
+  not the data) → left join the observed buckets → forward-fill.
+
+Determinism: "at or before" ties break on event_id (same lexicographic
+(ts, id) order on both engines), values pass through without
+arithmetic, so bits match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "q63_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id, event_id, ts, value, last_click_ts, last_click_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="AS-OF JOIN as a union + keyed forward-fill window: every "
+    "purchase picks up the latest at-or-before click per user. One "
+    "shuffle on user_id, sort within partition — never a range-probe "
+    "join, so the plan is O(n log n) per key and survives any scale. "
+    "Mirrors the reference's clustering-order 'value at or before t' "
+    "reads (queries.ex:157-232).",
+)
+def q63_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    filled = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "event_type",
+        F.last(F.when(is_click, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_value"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value", "last_click_ts", "last_click_value")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "q64_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, hour, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.user_id, s.hour,
+           last_value(h.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(h.value IS NULL AS BOOLEAN) AS is_gap
+    FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+    ORDER BY s.user_id, s.hour
+    """,
+    doc="Gap-fill onto a regular hourly grid with forward-fill: per-key "
+    "bounds drive a sequence() spine (rows bounded by the TIME RANGE, "
+    "not data volume), observed buckets left-join in on (key, hour) — "
+    "a keyed equi-join, broadcast-able per AQE — and last(ignorenulls) "
+    "carries the previous observation across gaps. Both engines agree "
+    "bit-for-bit because the value passes through with no arithmetic "
+    "(Spark sequence() and DuckDB generate_series are both "
+    "end-inclusive).",
+)
+def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    wlast = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.select("user_id", hour, "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "value")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("value", ignorenulls=True).over(wfill).alias("filled_value"),
+            F.col("value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )

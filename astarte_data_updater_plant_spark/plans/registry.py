@@ -63,6 +63,7 @@ def _load_all() -> None:
         similarity,
         state_queries,
         textops,
+        timeseries,
         triggers,
     )
 

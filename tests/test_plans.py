@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions: the scale properties the oracle
+cannot see.
+
+Each test pins a property that must survive refactors: filters
+reaching the parquet scan, scans pruned to the projected columns,
+dimension joins broadcast, no quadratic nested-loop joins outside the
+deliberately-broadcast ANN pair generators, bounded shuffle counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from astarte_data_updater_plant_spark.plans.inspect import (
+    codegen_stages,
+    count_op,
+    formatted_plan,
+    plan_summary,
+    pushed_filters,
+    scan_columns,
+)
+from astarte_data_updater_plant_spark.plans.registry import queries_map
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries_map()
+
+
+def test_q06_pushdown_and_pruning(spark, qs):
+    plan = formatted_plan(qs["q06_forecast_revenue"](spark, SF_DIR))
+    pf = " ".join(pushed_filters(plan))
+    assert "l_discount" in pf and "l_quantity" in pf
+    # scan reads only the three referenced columns of 16
+    (cols,) = scan_columns(plan)
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount"}
+    assert codegen_stages(spark, lambda: qs["q06_forecast_revenue"](spark, SF_DIR)) >= 1
+
+
+def test_q05_star_join_broadcasts_dims(spark, qs):
+    s = plan_summary(qs["q05_local_supplier_volume"](spark, SF_DIR))
+    # supplier, nation, region (and at this SF possibly customer) broadcast;
+    # at most the two fact-fact joins may shuffle
+    assert s["broadcast_joins"] >= 3
+    assert s["shuffle_joins"] <= 2
+    assert s["nested_loop_joins"] == 0
+
+
+def test_q01_aggregate_is_partial_then_final(spark, qs):
+    plan = formatted_plan(qs["q01_pricing_summary"](spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert count_op(plan, "Exchange") <= 2  # agg + presentation sort
+
+
+def test_q10_latest_value_single_shuffle(spark, qs):
+    s = plan_summary(qs["q10_latest_value_per_key"](spark, SF_DIR))
+    # one shuffle for the keyed window/agg + at most one for ordering
+    assert s["exchanges"] <= 2
+    assert s["nested_loop_joins"] == 0
+
+
+def test_q50_ann_broadcasts_query_side(spark, qs):
+    plan = formatted_plan(qs["q50_cosine_topk"](spark, SF_DIR))
+    # pair generation must be broadcast (query batch), never a shuffle
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 1
+    assert count_op(plan, "SortMergeJoin") == 0
+
+
+def test_q42_lsh_join_is_equi_not_cartesian(spark, qs):
+    plan = formatted_plan(qs["q42_lsh_near_dup_pairs"](spark, SF_DIR))
+    # near-dup candidate generation is keyed (band, signature) equi-join
+    assert count_op(plan, "CartesianProduct") == 0
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q59_python_stage_is_arrow_batched(spark, qs):
+    plan = formatted_plan(qs["q59_matmul_cosine_topk"](spark, SF_DIR))
+    assert count_op(plan, "MapInPandas") == 1
+    assert count_op(plan, "BatchEvalPython") == 0  # no row-at-a-time Python
+
+
+def test_events_filter_pushdown(spark, qs):
+    plan = formatted_plan(qs["q23_trigger_matches"](spark, SF_DIR))
+    assert count_op(plan, "BatchEvalPython") == 0
+
+
+def test_no_rowwise_python_anywhere(spark, qs):
+    """Row-at-a-time Python UDFs are banned from every batch query."""
+    for name, fn in sorted(qs.items()):
+        if name.startswith("s"):
+            continue
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert count_op(plan, "BatchEvalPython") == 0, name
