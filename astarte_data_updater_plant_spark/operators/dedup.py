@@ -22,7 +22,7 @@ oracle (lexicographic min over hex digests is a valid min-wise hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_expr, shingles_from_tokens
@@ -149,10 +149,10 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.orderBy("doc_id")
 
 
-@register(
-    "q42_lsh_near_dup_pairs",
-    f"""
-    WITH sig AS ({_SIG_SQL}),
+# The full LSH near-dup pair derivation as oracle SQL CTEs, shared by
+# q42 (pairs) and q45 (connected components over the pairs).
+_NEAR_DUP_CTES_SQL = f"""
+    sig AS ({_SIG_SQL}),
     banded AS (
       SELECT doc_id, band, bkey FROM (
         SELECT doc_id,
@@ -175,13 +175,23 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tok ta ON ta.doc_id = c.doc_a
       JOIN tok tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
       GROUP BY c.doc_a, c.doc_b
+    ),
+    near_dup_pairs AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) AS jaccard
+      FROM shared s
+      JOIN tok_counts ca ON ca.doc_id = s.doc_a
+      JOIN tok_counts cb ON cb.doc_id = s.doc_b
+      WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) >= 0.5
     )
-    SELECT s.doc_a, s.doc_b,
-           CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) AS jaccard
-    FROM shared s
-    JOIN tok_counts ca ON ca.doc_id = s.doc_a
-    JOIN tok_counts cb ON cb.doc_id = s.doc_b
-    WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) >= 0.5
+"""
+
+
+@register(
+    "q42_lsh_near_dup_pairs",
+    f"""
+    WITH {_NEAR_DUP_CTES_SQL}
+    SELECT doc_a, doc_b, jaccard FROM near_dup_pairs
     ORDER BY doc_a, doc_b
     """,
     doc="Near-dup detection, full LSH topology: band-key equi-join "
@@ -335,4 +345,95 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q45_near_dup_components",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near_dup_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="Dedup GROUPS, not just pairs: connected components over the "
+    "LSH near-dup graph, so each cluster of mutual near-duplicates "
+    "elects one canonical doc (the component min). Spark side is "
+    "iterative min-label propagation with pointer-jumping "
+    "(label := label-of-label each round), the Pregel-style plan that "
+    "converges in O(log n) rounds of pure keyed equi-joins — no "
+    "driver-side graph, no quadratic closure. Per round the lineage "
+    "is cut with localCheckpoint so the plan stays bounded. The "
+    "oracle states the same components via a recursive-CTE transitive "
+    "closure, affordable at test scale only — which is exactly the "
+    "point of the distributed formulation.",
+)
+def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(32):  # safety bound far above log2(corpus)
+        # propagate: every vertex takes the min label over itself and
+        # its neighbors — one keyed equi-join + partial/final min agg
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer-jump: label := label(label), doubling the hop reach
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            prop.join(parent, prop.label == parent.p_id)
+            .select("doc_id", F.col("p_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("component_id"))
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
     )

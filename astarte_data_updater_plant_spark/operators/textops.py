@@ -13,7 +13,7 @@ survive a 100x corpus. Only the final presentation ORDER BY sorts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -333,3 +333,67 @@ def q36_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_bpe_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_number_runs"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q37_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rn FROM scored
+    ) t
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    doc="TF-IDF top-3 terms per document: explode -> (doc, term) "
+    "partial+final count -> document-frequency aggregate on term -> "
+    "equi-join back on term (both sides already hash-partitioned by "
+    "term, so the join reuses the aggregation's shuffle) -> windowed "
+    "top-k per doc. The corpus size joins in as a broadcast scalar, "
+    "never a driver-side collect. Classic two-pass distributed "
+    "TF-IDF; ranking ties break on the term so both engines pick the "
+    "same top-3.",
+)
+def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

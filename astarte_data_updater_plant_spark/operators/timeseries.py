@@ -164,3 +164,129 @@ def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+# Composite (ts, event_id) ordering key both engines compare identically:
+# zero-padded decimal strings sort lexicographically as the numbers do.
+_KEY_SQL = "printf('%020d%010d', epoch_us(ts), event_id)"
+
+
+def _order_key():
+    return F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+
+
+@register(
+    "q65_ohlc_downsample",
+    f"""
+    SELECT user_id,
+           date_trunc('hour', ts) AS hour,
+           min_by(value, {_KEY_SQL}) AS open_v,
+           max_by(value, {_KEY_SQL}) AS close_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, hour
+    """,
+    doc="OHLC downsampling: one partial+final aggregate per (key, time "
+    "bucket) — open/close via min_by/max_by on a composite (ts, "
+    "event_id) ordering key, so no window, no second shuffle, and the "
+    "whole rollup is algebraic (map-side combinable). This is the "
+    "batch twin of the reference's clustering-ordered first/last "
+    "datastream reads (queries.ex:157-232, LIMIT 1 at :226); the sum "
+    "goes through exact DECIMAL so both engines agree bitwise.",
+)
+def q65_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dmoney, snap
+
+    ev = load_table(spark, sf_dir, "events")
+    key = _order_key()
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            snap(F.sum(dmoney("value"))).alias("value_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+_US_HOUR = 3_600_000_000
+
+
+@register(
+    "q66_bounded_range_join",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           COUNT(c.cts) AS n_clicks,
+           CAST(CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(12,4))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS click_value_sum
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.cts) >= epoch_us(p.ts) - {_US_HOUR}
+     AND epoch_us(c.cts) <  epoch_us(p.ts)
+    GROUP BY p.user_id, p.event_id, p.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+    doc="Bounded-interval range join (clicks in the hour before each "
+    "purchase) WITHOUT a theta join: both sides bucket to the hour, "
+    "each probe explodes to its two candidate buckets, the join is a "
+    "keyed (user_id, bucket) EQUI-join, and the exact range predicate "
+    "filters the at-most-2x candidates. Work is O(matches), never "
+    "O(probe x build) — the plan a naive BroadcastNestedLoopJoin "
+    "range join degrades to. The oracle states the same query as the "
+    "declarative range join DuckDB's IEJoin can afford at test scale.",
+)
+def q66_bounded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dmoney, snap
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.unix_micros("ts").alias("cus"),
+            F.col("value").alias("c_value"),
+        )
+        .withColumn("c_bucket", F.floor(F.col("cus") / _US_HOUR))
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("pus"))
+        .withColumn(
+            "c_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("pus") / _US_HOUR) - 1,
+                    F.floor(F.col("pus") / _US_HOUR),
+                )
+            ),
+        )
+    )
+    joined = pur.join(
+        clicks,
+        (pur.user_id == clicks.c_user)
+        & (pur.c_bucket == clicks.c_bucket)
+        & (clicks.cus >= pur.pus - _US_HOUR)
+        & (clicks.cus < pur.pus),
+        "left",
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        joined.groupBy("user_id", "event_id", "ts")
+        .agg(
+            F.count("cus").alias("n_clicks"),
+            snap(F.coalesce(F.sum(dmoney("c_value")), zero)).alias("click_value_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
