@@ -235,3 +235,65 @@ def q58_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "user_bucket")
     )
+
+
+@register(
+    "q68_ranking_windows",
+    """
+    SELECT user_id, event_id, value,
+           ROW_NUMBER()   OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+           RANK()         OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+           DENSE_RANK()   OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk,
+           round(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value DESC), 6) AS prnk,
+           round(CUME_DIST()    OVER (PARTITION BY user_id ORDER BY value DESC), 6) AS cdist,
+           NTILE(4)       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile,
+           LAG(value)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           FIRST_VALUE(value) OVER (
+             PARTITION BY user_id ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_value,
+           LAST_VALUE(value) OVER (
+             PARTITION BY user_id ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_value
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    doc="The ranking-window family in one declared query: row_number / "
+    "rank / dense_rank / percent_rank / cume_dist / ntile / lag / lead "
+    "/ first+last_value with explicit frames. All windows share the "
+    "user_id partitioning, so Catalyst evaluates them over a SINGLE "
+    "shuffle with per-partition sorts — rank ties are deterministic "
+    "because tie-broken orders include event_id and tie-INSENSITIVE "
+    "functions (rank, percent_rank) order by value alone.",
+)
+def q68_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    by_val = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    by_val_id = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full_frame = by_val_id.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(by_val_id).alias("rn"),
+            F.rank().over(by_val).alias("rnk"),
+            F.dense_rank().over(by_val).alias("drnk"),
+            F.round(F.percent_rank().over(by_val), 6).alias("prnk"),
+            F.round(F.cume_dist().over(by_val), 6).alias("cdist"),
+            F.ntile(4).over(by_val_id).alias("quartile"),
+            F.lag("value").over(by_ts).alias("prev_value"),
+            F.lead("value").over(by_ts).alias("next_value"),
+            F.first("value").over(full_frame).alias("max_value"),
+            F.last("value").over(full_frame).alias("min_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

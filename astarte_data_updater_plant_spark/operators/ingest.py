@@ -404,3 +404,184 @@ def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "s77_stream_interval_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <  epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream INTERVAL JOIN with watermarks on both sides: "
+    "each purchase matches the clicks of its preceding hour as both "
+    "streams flow in as time-ordered micro-batches. The event-time "
+    "range condition is what BOUNDS the join state — a click is "
+    "evicted as soon as the watermark proves no future purchase can "
+    "reach back to it, so state is O(events per watermark horizon), "
+    "never O(stream). Drained over closed input, the append-mode "
+    "result equals the batch range join the oracle states (q66 is the "
+    "same query's batch formulation).",
+)
+def s77_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = _time_sliced_files(ev, "ts", prefix="s77_src_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        def side():
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+
+        purchases = (
+            side()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            side()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+            ),
+        )
+        qname = "s77_interval_join"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s77_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(qname)
+        .select(F.col("p_user").alias("user_id"), "purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "s78_stream_session_windows",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM lagged
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT s.user_id,
+           MIN(s.ts) AS session_start,
+           MAX(s.ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess s, wm
+    GROUP BY s.user_id, s.sid, wm.w
+    HAVING MAX(s.ts) + INTERVAL 30 MINUTE <= wm.w
+    ORDER BY user_id, session_start
+    """,
+    doc="Native streaming SESSION WINDOWS: session_window(ts, 30 min) "
+    "under a 1-hour watermark in append mode, drained over 4 "
+    "time-ordered micro-batches. Sessions merge across micro-batches "
+    "in the state store and emit exactly when the watermark passes "
+    "session_end (last event + gap) — so the result equals batch "
+    "sessionization (q18's lag+cumsum formulation, which the oracle "
+    "restates) RESTRICTED to sessions closed by max(event_time) - 1h. "
+    "This is the streaming-native twin of q18: same sessions, but "
+    "with O(open sessions) state instead of a full-history sort.",
+)
+def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src_dir = _time_sliced_files(ev, "ts", prefix="s78_src_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        qname = "s78_session_windows"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s78_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(qname)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -299,3 +299,96 @@ def q08_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name")
     )
+
+
+@register(
+    "q67_grouping_sets",
+    f"""
+    SELECT
+      COALESCE(o_orderpriority, 'ALL') AS order_priority,
+      COALESCE(o_orderstatus, 'ALL') AS order_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE) AS total_revenue,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_priority, g_status, order_priority, order_status
+    """,
+    doc="Explicit GROUPING SETS (two independent dimension rollups + "
+    "grand total in ONE pass over the fact table — one shuffle instead "
+    "of three separate aggregates union-ed), with GROUPING() flags "
+    "disambiguating the ALL rows. Completes the grouping-analytics "
+    "family next to ROLLUP (q08) and CUBE (q09).",
+)
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            dsum("o_totalprice", "total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
+            "g_priority",
+            "g_status",
+            "total_revenue",
+            "n_orders",
+        )
+        .orderBy("g_priority", "g_status", "order_priority", "order_status")
+    )
+
+
+@register(
+    "q69_above_customer_average",
+    f"""
+    SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+           o.o_totalprice AS totalprice,
+           cavg.avg_price AS cust_avg
+    FROM orders o
+    JOIN (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey
+    ) cavg ON cavg.o_custkey = o.o_custkey
+    WHERE o.o_totalprice > cavg.avg_price
+    ORDER BY custkey, orderkey
+    """,
+    doc="Correlated scalar subquery (each order vs ITS customer's "
+    "average) decorrelated into a window aggregate: one shuffle on "
+    "the correlation key computes the per-customer average and the "
+    "comparison in the same pass — no second scan of the fact table, "
+    "no join, which is the plan a naive correlated rewrite (self-join "
+    "on the aggregate, as the oracle states it) would cost. Averages "
+    "compare in exact DECIMAL so the predicate cuts identically on "
+    "both engines.",
+)
+def q69_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # exact DECIMAL sum, divided ONCE in double (same as the oracle's
+    # CAST(SUM(...) AS DOUBLE) / COUNT(*)) so the predicate cut and
+    # the surfaced average are both bit-identical
+    avg_price = F.sum(dmoney("o_totalprice")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            avg_price.alias("cust_avg"),
+        )
+        .filter(F.col("totalprice") > F.col("cust_avg"))
+        .orderBy("custkey", "orderkey")
+    )

@@ -54,10 +54,10 @@ def _simhash_hex_sql() -> str:
     return " || ".join(parts)
 
 
-@register(
-    "q43_simhash",
-    f"""
-    WITH sh AS (
+# Fingerprint derivation as oracle CTEs, shared by q43 (fingerprints)
+# and q46 (banded near-dup pairs over the fingerprints).
+_SIMHASH_CTES_SQL = f"""
+    sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
         range(1, greatest(len(string_split(text,' ')) - 1, 1)),
         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
@@ -68,9 +68,17 @@ def _simhash_hex_sql() -> str:
     ), tally AS (
       SELECT doc_id, {_tally_sql()}
       FROM hashed GROUP BY doc_id
+    ), fingerprints AS (
+      SELECT doc_id, {_simhash_hex_sql()} AS simhash FROM tally
     )
-    SELECT doc_id, {_simhash_hex_sql()} AS simhash
-    FROM tally
+"""
+
+
+@register(
+    "q43_simhash",
+    f"""
+    WITH {_SIMHASH_CTES_SQL}
+    SELECT doc_id, simhash FROM fingerprints
     ORDER BY doc_id
     """,
     doc="64-bit SimHash per document from md5 shingle bits; integer "
@@ -78,6 +86,11 @@ def _simhash_hex_sql() -> str:
     "by fingerprint prefix, verify by Hamming distance in-bucket.",
 )
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash hex16) — shared by q43 and q46."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     sh = toked.select(
@@ -106,4 +119,93 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             val = term if val is None else (val + term)
         hex_chars.append(F.element_at(hex_arr, (val + 1).cast("int")))
     simhash = F.concat(*hex_chars)
-    return tally.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return tally.select("doc_id", simhash.alias("simhash"))
+
+
+N_SIM_BANDS = 4  # 4 bands x 16 bits: any pair within Hamming 3 is guaranteed a band hit
+HAMMING_MAX = 16
+
+
+def _ham_nib_sql(a: str, b: str, i: int) -> str:
+    return f"bit_count(xor({_nibble_sql(a, i)}, {_nibble_sql(b, i)}))"
+
+
+_HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in range(16))
+
+
+@register(
+    "q46_simhash_near_dup",
+    f"""
+    WITH {_SIMHASH_CTES_SQL},
+    bands AS (
+      SELECT doc_id, b, substr(simhash, 1 + 4 * b, 4) AS bval
+      FROM fingerprints, (SELECT unnest(range(0, {N_SIM_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST({_HAMMING_SQL} AS BIGINT) AS hamming
+    FROM cand
+    JOIN fingerprints x ON x.doc_id = cand.doc_a
+    JOIN fingerprints y ON y.doc_id = cand.doc_b
+    WHERE {_HAMMING_SQL} <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup pairs, the banded scale topology: the 64-bit "
+    "fingerprint splits into 4 16-bit bands, candidates come from a "
+    "keyed equi-join on (band, value) — any pair within Hamming "
+    "distance 3 is pigeonhole-guaranteed a band collision, farther "
+    "pairs probabilistically — and exact Hamming distance "
+    "(bit_count(xor) per nibble, integer-exact on both engines) "
+    "verifies candidates only. Same candidate-generation/verify "
+    "separation as MinHash-LSH (q42) but with O(1)-size fingerprints "
+    "instead of shingle sets, which is what you ship when state per "
+    "doc must be constant at 100 TB.",
+)
+def q46_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fingerprints(spark, sf_dir).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.substring("simhash", 1 + 4 * b, 4).alias("bval"),
+            )
+            for b in range(N_SIM_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval")
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bval") == F.col("c.bval"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    def nib_of(col: str, i: int):
+        return F.instr(F.lit(_HEX), F.substring(F.col(col), i + 1, 1)) - 1
+
+    hamming = None
+    for i in range(16):
+        term = F.bit_count(nib_of("sim_a", i).bitwiseXOR(nib_of("sim_b", i)))
+        hamming = term if hamming is None else (hamming + term)
+    xa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    xb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -361,13 +361,14 @@ def q36_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, tfidf DESC, term
     """,
     doc="TF-IDF top-3 terms per document: explode -> (doc, term) "
-    "partial+final count -> document-frequency aggregate on term -> "
-    "equi-join back on term (both sides already hash-partitioned by "
-    "term, so the join reuses the aggregation's shuffle) -> windowed "
-    "top-k per doc. The corpus size joins in as a broadcast scalar, "
-    "never a driver-side collect. Classic two-pass distributed "
-    "TF-IDF; ranking ties break on the term so both engines pick the "
-    "same top-3.",
+    "partial+final count -> document frequency as a COUNT() OVER "
+    "(PARTITION BY term) window on the tf rows (one row per (doc, "
+    "term), so the window count IS the df) instead of a "
+    "groupBy-then-self-join, which would re-compute the whole explode "
+    "subtree a second time -> windowed top-k per doc. The corpus size "
+    "joins in as a broadcast scalar, never a driver-side collect. "
+    "Ranking ties break on the term so both engines pick the same "
+    "top-3.",
 )
 def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -375,10 +376,10 @@ def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wterm = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wterm))
         .crossJoin(F.broadcast(ndf))
         .select(
             "doc_id",
