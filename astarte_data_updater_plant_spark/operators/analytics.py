@@ -297,3 +297,72 @@ def q68_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q73_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id AS user_id, v.t_view, c.t_click, p.t_purchase,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_depth
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="Strict-order funnel (view -> click -> purchase): each stage "
+    "is the earliest event AFTER the previous stage's timestamp, so a "
+    "click that precedes the first view never counts. Stage frames "
+    "are per-user aggregates — bounded by |users|, broadcast onto the "
+    "event scan — so each stage is one map-side-partial aggregate "
+    "over a broadcast-joined scan, never an event x event self-join. "
+    "Three passes over events is the price of strict ordering; at "
+    "100 TB each pass is a pruned 3-column scan.",
+)
+def q73_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = stage("click", views, "t_view", "t_click")
+    purchases = stage("purchase", clicks, "t_click", "t_purchase")
+    depth = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth"))
+        .orderBy("user_id")
+    )

@@ -348,10 +348,10 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q45_near_dup_components",
-    f"""
-    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+# Transitive closure over the near-dup pair graph as oracle CTEs
+# (requires WITH RECURSIVE), shared by q45 (components) and q47
+# (canonical-doc election).
+_COMPONENT_CTES_SQL = """
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM near_dup_pairs
       UNION
@@ -366,6 +366,14 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
       FROM reach GROUP BY a
     )
+"""
+
+
+@register(
+    "q45_near_dup_components",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL}
     SELECT doc_id, component_id,
            COUNT(*) OVER (PARTITION BY component_id) AS component_size
     FROM comp
@@ -435,5 +443,58 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.select("doc_id", F.col("label").alias("component_id"))
         .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q47_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL},
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component_id, n_tokens,
+           (ROW_NUMBER() OVER (
+              PARTITION BY component_id
+              ORDER BY n_tokens DESC, doc_id) = 1) AS is_canonical
+    FROM lab
+    ORDER BY doc_id
+    """,
+    doc="The dedup ladder's final rung: corpus-wide canonical-doc "
+    "election. Every document gets its near-dup component label "
+    "(singletons label themselves — the left join keeps the whole "
+    "corpus, not just paired docs), then ONE representative per "
+    "component wins by content quality (most tokens, doc_id "
+    "tie-break). Downstream training reads WHERE is_canonical. The "
+    "election is a row_number window over the component key — one "
+    "shuffle after the component labels exist; no per-group collect, "
+    "no driver-side anything, so it scales with the corpus.",
+)
+def q47_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import n_tokens
+
+    comp = q45_near_dup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens")
+    )
+    lab = (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", "doc_id"))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return (
+        lab.select(
+            "doc_id",
+            "component_id",
+            "n_tokens",
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
         .orderBy("doc_id")
     )

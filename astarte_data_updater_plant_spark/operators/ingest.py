@@ -585,3 +585,61 @@ def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "s79_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS segment,
+           e.event_type, e.value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    ORDER BY e.event_id
+    """,
+    doc="Stream-static enrichment join: the event stream joins a "
+    "static dimension snapshot (customer) per micro-batch, the "
+    "streaming form of the reference's per-message schema lookup "
+    "(A8, impl.ex:1277-1332 — every inbound message resolves its "
+    "interface descriptor against a cached dimension). The static "
+    "side is broadcast, so each micro-batch is a map-side hash join "
+    "with ZERO shuffle and zero streaming state — the one join shape "
+    "whose cost per batch is independent of stream history. Stateless "
+    "append mode needs no watermark; drained over closed input it "
+    "equals the batch join the oracle states.",
+)
+def s79_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    src_dir = _time_sliced_files(ev, "ts", prefix="s79_src_")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "customer_name", "segment", "event_type", "value")
+    qname = "s79_static_join"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s79_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(600)
+    return spark.table(qname).orderBy("event_id")

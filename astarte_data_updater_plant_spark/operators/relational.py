@@ -392,3 +392,135 @@ def q69_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("totalprice") > F.col("cust_avg"))
         .orderBy("custkey", "orderkey")
     )
+
+
+@register(
+    "q70_unpivot_measures",
+    f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM agg
+    ORDER BY l_returnflag, measure
+    """,
+    doc="UNPIVOT (melt): the wide per-flag aggregate flips into long "
+    "(key, measure, value) rows — the inverse of q19's pivot, "
+    "completing the reshape pair. Spark's native unpivot expands "
+    "columns to rows inside the projection (zero extra shuffles "
+    "beyond the aggregate); the oracle states the portable UNION ALL "
+    "formulation, which would re-scan the aggregate per measure.",
+)
+def q70_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum_expr(drate("l_quantity"), "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return (
+        agg.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_items"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+_HI_SQL = ", ".join(f"'{p}'" for p in _HIGH_PRIORITIES)
+
+
+@register(
+    "q71_priority_line_classes",
+    f"""
+    SELECT l.l_returnflag,
+           COUNT(CASE WHEN o.o_orderpriority IN ({_HI_SQL}) THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ({_HI_SQL}) THEN 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape: fact x fact equi-join (lineitem x orders "
+    "shuffle on orderkey, AQE-managed) feeding CONDITIONAL "
+    "aggregation — both priority classes counted in the single "
+    "post-join pass instead of two filtered scans. Partial "
+    "aggregation runs map-side on the join output before the "
+    "group-by shuffle on returnflag.",
+)
+def q71_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin(*_HIGH_PRIORITIES)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(is_high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~is_high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: Orders whose total line quantity exceeds this are "large" (99th
+#: percentile is ~262 at sf0.01; the cut stays selective at any SF
+#: because per-order line count is scale-invariant).
+LARGE_ORDER_MIN_QTY = 250
+
+
+@register(
+    "q72_large_order_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS {_R})) AS DOUBLE) > {LARGE_ORDER_MIN_QTY}
+    )
+    SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate, o.o_totalprice AS totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY orderkey
+    """,
+    doc="TPC-H Q18 shape: aggregate-then-filter (HAVING) produces a "
+    "tiny survivor set (~1% of orders), which then drives the joins "
+    "BUILD-side: broadcast the survivors against orders, then join "
+    "customer. The group-by shuffle is the only full-fact shuffle; "
+    "everything after it moves rows proportional to the survivors, "
+    "which is the property that matters when lineitem is 100 TB.",
+)
+def q72_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum_expr(drate("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy("orderkey")
+    )

@@ -398,3 +398,57 @@ def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+_HEXD = "0123456789abcdef"
+
+
+def _md5_nib_sql(expr: str, i: int) -> str:
+    """Value of hex nibble i (0-based) of md5 hex string ``expr``."""
+    return f"CAST(strpos('{_HEXD}', substr({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+
+
+_SPLIT_V_SQL = " + ".join(
+    f"{_md5_nib_sql('hx', i)} * {16 ** (7 - i)}" for i in range(8)
+)
+
+
+@register(
+    "q74_hash_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ({_SPLIT_V_SQL}) % 10 AS bucket FROM h
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Deterministic train/validation/test assignment: md5 of the "
+    "stable document id -> first 32 bits -> mod 10 -> 80/10/10 split. "
+    "Hash-of-id (never rand()) is the only split that survives "
+    "re-runs, re-partitions and incremental corpus growth — the same "
+    "doc always lands in the same split on any cluster layout, so "
+    "no training example ever leaks across the boundary between "
+    "pipeline runs. Pure per-row projection: zero shuffles, "
+    "whole-stage-codegen'd, embarrassingly parallel at 100 TB.",
+)
+def q74_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % 10
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 8, F.lit("train"))
+            .when(F.col("bucket") == 8, F.lit("validation"))
+            .otherwise(F.lit("test")),
+        )
+        .orderBy("doc_id")
+    )
