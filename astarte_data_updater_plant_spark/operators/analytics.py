@@ -366,3 +366,37 @@ def q73_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q79_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY f.cohort_week, CAST(date_trunc('week', e.ts) AS TIMESTAMP)
+    ORDER BY cohort_week, active_week
+    """,
+    doc="Cohort retention matrix: users keyed by first-seen week, "
+    "counted distinct per (cohort, activity) week. The per-user "
+    "first-seen frame is an aggregate bounded by |users| and "
+    "broadcast back onto the event scan, so the whole query is one "
+    "full shuffle (the groupBy) plus a map-side join — the retention "
+    "triangle every growth dashboard needs, at event-log scale.",
+)
+def q79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_week", F.date_trunc("week", F.col("ts")).alias("active_week"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "active_week")
+    )

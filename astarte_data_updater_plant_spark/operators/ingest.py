@@ -643,3 +643,74 @@ def s79_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(600)
     return spark.table(qname).orderBy("event_id")
+
+
+@register(
+    "s80_stream_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="State-BOUNDED streaming dedup: after the 4 time-ordered "
+    "micro-batches drain, the entire stream is REDELIVERED (same "
+    "event times — a broker replay after a lost ack), and "
+    "dropDuplicatesWithinWatermark(event_id) keeps the output "
+    "exactly-once while holding each key only until the 1-hour "
+    "watermark passes it — unlike plain dropDuplicates, whose key "
+    "set grows with the stream forever. Replayed rows older than "
+    "the watermark are discarded as late without touching state; "
+    "the recent tail still finds its original in the state store. "
+    "This is the at-least-once -> exactly-once gate of the "
+    "reference's message tracker (message_tracker/server.ex:45-159) "
+    "in its scale-safe form: state is O(events per watermark "
+    "horizon). Drained over closed input the result is exactly the "
+    "distinct event set, which the oracle states trivially.",
+)
+def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = _time_sliced_files(ev, "ts", prefix="s80_src_")
+    # redelivery pass: copy every slice file under a name that sorts
+    # AFTER all originals, so the file source replays the whole stream
+    # in later micro-batches with unchanged event times
+    for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+        shutil.copy(f, os.path.join(src_dir, "z_replay_" + os.path.basename(f)))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        qname = "s80_dedup"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s80_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_id")

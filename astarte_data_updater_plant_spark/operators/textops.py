@@ -452,3 +452,41 @@ def q74_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+STRATUM_SAMPLE_K = 5
+
+
+@register(
+    "q77_stratified_sample",
+    f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= {STRATUM_SAMPLE_K}
+    ORDER BY lang, sample_rank
+    """,
+    doc="Deterministic stratified sampling: exactly K documents per "
+    "language stratum, chosen by ranking on md5(doc_id) — a "
+    "reproducible pseudo-random order that is identical on any "
+    "cluster, any partitioning, any re-run (rand() is none of "
+    "those). One shuffle on the stratum key; the rank-and-filter is "
+    "the same top-k-per-group shape as q15, so skewed strata cost "
+    "one partition's sort, never a global one. The eval-set / "
+    "human-review sampling primitive of a corpus pipeline.",
+)
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= STRATUM_SAMPLE_K)
+        .orderBy("lang", "sample_rank")
+    )

@@ -290,3 +290,50 @@ def q66_bounded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q76_rolling_hourly_stats",
+    """
+    SELECT user_id, event_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(8,4))) OVER w AS DOUBLE) AS sum_1h,
+           MIN(value) OVER w AS min_1h,
+           MAX(value) OVER w AS max_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, event_id
+    """,
+    doc="Trailing-hour rolling stats per device: a RANGE frame over "
+    "event-time microseconds — each row aggregates every event of the "
+    "SAME KEY within the preceding hour, however many rows that is "
+    "(ROWS frames can't express this; the frame is value-bounded, not "
+    "row-bounded). One shuffle on user_id, one in-partition sort, "
+    "then a single forward sweep with a sliding aggregate — O(n) per "
+    "partition, no self-join, no explode; the sum is exact DECIMAL "
+    "so any frame-evaluation order matches the oracle bit-for-bit. "
+    "Tied timestamps share an identical frame, so output is "
+    "deterministic under any tie order.",
+)
+def q76_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(8,4)")).over(w).cast("double").alias("sum_1h"),
+            F.min("value").over(w).alias("min_1h"),
+            F.max("value").over(w).alias("max_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )

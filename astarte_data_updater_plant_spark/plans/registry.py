@@ -55,6 +55,7 @@ def _load_all() -> None:
         controlplane,
         dedup,
         diff,
+        formats,
         ingest,
         ivf,
         multimodal,
