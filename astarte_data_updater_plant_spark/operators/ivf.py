@@ -148,6 +148,10 @@ def q55_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "v", "centroid_id")
     )
+    # no cache on the shared assignment: the query side's stride
+    # filter pushes below the crossJoin-argmin, so its "recompute"
+    # touches ~1% of vectors (A/B-measured: caching is a wash at
+    # sf0.1 and would pin the full corpus in executor memory at scale)
     assigned = assigned.withColumn("nrm", norm(F.col("v")))
     q = assigned.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
