@@ -400,3 +400,110 @@ def q79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "active_week")
     )
+
+
+HIST_BUCKET_WIDTH = 25
+
+
+@register(
+    "q81_value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max
+    FROM events
+    GROUP BY event_type, CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT)
+    ORDER BY event_type, bucket
+    """,
+    doc="Fixed-width histogram per event type: bucket = floor(value / "
+    "width), counted in one partial+final aggregate — the "
+    "distribution-profiling primitive that runs BEFORE choosing "
+    "quantile cuts at scale (cardinality = types x buckets, tiny "
+    "regardless of input size). Min/max per bucket are "
+    "order-independent exact doubles, so the result hash-matches "
+    "without decimal routing.",
+)
+def q81_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "q82_mode_per_user",
+    """
+    SELECT user_id, event_type AS mode_event_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+             ) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Statistical mode per key (most frequent event type, "
+    "lexicographic tie-break): count-then-rank — the counts shuffle "
+    "is partial+final so the heavy lifting is map-side, and the rank "
+    "window runs over at most |event types| rows per key. The "
+    "label-vote shape (q51 kNN vote is the same plan over joined "
+    "neighbors).",
+)
+def q82_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+_SLIDE_US = 15 * 60 * 1_000_000  # 15-minute hop
+_WIN_SLICES = 4  # 1-hour window = 4 hops
+
+
+@register(
+    "q84_sliding_windows",
+    f"""
+    SELECT make_timestamp(
+             (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - n.n * {_SLIDE_US}
+           ) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest(range(0, {_WIN_SLICES})) AS n) n
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Sliding event-time windows (1-hour width, 15-minute hop): "
+    "every event lands in exactly 4 overlapping windows, which "
+    "Spark's window(ts, '1 hour', '15 minutes') expands BEFORE the "
+    "aggregate — the 4x row expansion happens map-side and is "
+    "immediately collapsed by partial aggregation, so the shuffle "
+    "carries (window x type) partials, not 4x the events. The oracle "
+    "derives the same window starts with integer epoch arithmetic. "
+    "Batch twin of the streaming sliding window (s81).",
+)
+def q84_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )

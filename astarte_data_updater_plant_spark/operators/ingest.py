@@ -714,3 +714,74 @@ def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
+
+
+@register(
+    "s81_stream_sliding_windows",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT make_timestamp(
+             (epoch_us(ts) // 900000000) * 900000000 - n.n * 900000000
+           ) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest(range(0, 4)) AS n) n, wm
+    GROUP BY 1, 2, wm.w
+    HAVING make_timestamp(
+             (epoch_us(ts) // 900000000) * 900000000 - n.n * 900000000
+           ) + INTERVAL 1 HOUR <= wm.w
+    ORDER BY window_start, event_type
+    """,
+    doc="Sliding windows (1-hour width, 15-minute hop) under a 1-hour "
+    "watermark in append mode, drained over 4 time-ordered "
+    "micro-batches: each event updates 4 open windows in the state "
+    "store, and every window emits exactly once when the watermark "
+    "passes its end — so an event's counts materialize "
+    "progressively, one window per hop, never re-emitted. Equals the "
+    "batch sliding aggregate (q84) restricted to windows closed by "
+    "max(event_time) - 1h, which the oracle states with the same "
+    "cutoff. State is O(open windows x types), bounded by width/hop "
+    "x horizon — the sliding-window cost model that matters at "
+    "stream scale.",
+)
+def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src_dir = _time_sliced_files(ev, "ts", prefix="s81_src_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        qname = "s81_sliding"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s81_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(qname)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
