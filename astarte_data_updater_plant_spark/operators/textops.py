@@ -490,3 +490,43 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= STRATUM_SAMPLE_K)
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "q83_array_functions",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first_terms,
+           list_reverse(string_split(text, ' '))[1:3] AS last_tokens_rev,
+           len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long_tokens,
+           list_reduce(list_transform(string_split(text, ' '), x -> len(x)),
+                       (a, b) -> a + b) AS total_chars,
+           CAST(list_contains(string_split(text, ' '), 'the') AS BOOLEAN) AS has_the
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="The array higher-order-function surface in one declared "
+    "query: sort / distinct / slice / reverse / filter / transform / "
+    "aggregate(reduce) / contains over the token array — every one a "
+    "codegen'd JVM expression on an unexploded array column, zero "
+    "shuffles, zero Python. This is the idiom the whole text layer is "
+    "built on (q30-q44): per-row collection work stays inside the row "
+    "instead of exploding to a 50x row stream and re-grouping.",
+)
+def q83_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok_lens = F.transform(toks, lambda x: F.length(x))
+    return (
+        docs.select(
+            "doc_id",
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first_terms"),
+            F.slice(F.reverse(toks), 1, 3).alias("last_tokens_rev"),
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+            F.aggregate(
+                tok_lens, F.lit(0), lambda acc, x: acc + x
+            ).alias("total_chars"),
+            F.array_contains(toks, "the").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
