@@ -524,3 +524,51 @@ def q72_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+@register(
+    "q86_date_functions",
+    """
+    SELECT o_orderkey AS orderkey,
+           o_orderdate AS orderdate,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           weekofyear(o_orderdate) AS iso_week,
+           isodow(o_orderdate) - 1 AS weekday0,
+           dayname(o_orderdate) AS day_name,
+           last_day(o_orderdate) AS month_end,
+           date_diff('day', DATE '1970-01-01', o_orderdate) AS epoch_days,
+           o_orderdate + INTERVAL 7 DAY AS next_week
+    FROM orders
+    ORDER BY orderkey
+    """,
+    doc="The calendar/date scalar surface in one declared query: "
+    "year/quarter/month/day extraction, ISO week, Monday-zero "
+    "weekday, day name, month end, epoch-day arithmetic, interval "
+    "addition — all whole-stage-codegen'd projections. Weekday "
+    "conventions differ across engines (Spark dayofweek is "
+    "Sunday=1, DuckDB dayofweek is Sunday=0), so both sides state "
+    "the unambiguous Monday-zero form explicitly.",
+)
+def q86_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            d.alias("orderdate"),
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+            F.dayofmonth(d).alias("d"),
+            F.weekofyear(d).alias("iso_week"),
+            F.expr("weekday(o_orderdate)").alias("weekday0"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.last_day(d).alias("month_end"),
+            F.datediff(d, F.lit("1970-01-01")).alias("epoch_days"),
+            (d + F.expr("INTERVAL 7 DAYS")).alias("next_week"),
+        )
+        .orderBy("orderkey")
+    )
