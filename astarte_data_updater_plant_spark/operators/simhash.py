@@ -133,10 +133,39 @@ def _ham_nib_sql(a: str, b: str, i: int) -> str:
 _HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in range(16))
 
 
-@register(
-    "q46_simhash_near_dup",
-    f"""
-    WITH {_SIMHASH_CTES_SQL},
+def simhash_band_candidates(fp: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the 4x16-bit band equi-join
+    over the fingerprints — shared by q46 (Hamming verify) and q87
+    (edit-distance verify)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.substring("simhash", 1 + 4 * b, 4).alias("bval"),
+            )
+            for b in range(N_SIM_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval")
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bval") == F.col("c.bval"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# Band-candidate CTEs over the fingerprints, the oracle twin of
+# simhash_band_candidates.
+_SIMHASH_CAND_CTES_SQL = f"""
     bands AS (
       SELECT doc_id, b, substr(simhash, 1 + 4 * b, 4) AS bval
       FROM fingerprints, (SELECT unnest(range(0, {N_SIM_BANDS})) AS b)
@@ -146,6 +175,14 @@ _HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in ran
       FROM bands a JOIN bands c
         ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
     )
+"""
+
+
+@register(
+    "q46_simhash_near_dup",
+    f"""
+    WITH {_SIMHASH_CTES_SQL},
+    {_SIMHASH_CAND_CTES_SQL}
     SELECT cand.doc_a, cand.doc_b,
            CAST({_HAMMING_SQL} AS BIGINT) AS hamming
     FROM cand
@@ -167,30 +204,7 @@ _HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in ran
 )
 def q46_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash_fingerprints(spark, sf_dir).cache()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.substring("simhash", 1 + 4 * b, 4).alias("bval"),
-            )
-            for b in range(N_SIM_BANDS)
-        ]
-    )
-    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval")
-    )
-    a = bands.alias("a")
-    c = bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.bval") == F.col("c.bval"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = simhash_band_candidates(fp)
 
     def nib_of(col: str, i: int):
         return F.instr(F.lit(_HEX), F.substring(F.col(col), i + 1, 1)) - 1
@@ -207,5 +221,53 @@ def q46_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Accept a pair when 10*levenshtein <= 3*max(len) — integer-exact
+#: formulation of "edit distance within 30% of the longer text".
+LEV_NUM, LEV_DEN = 3, 10
+
+
+@register(
+    "q87_edit_distance_near_dup",
+    f"""
+    WITH {_SIMHASH_CTES_SQL},
+    {_SIMHASH_CAND_CTES_SQL}
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN documents da ON da.doc_id = cand.doc_a
+    JOIN documents db ON db.doc_id = cand.doc_b
+    WHERE {LEV_DEN} * levenshtein(da.text, db.text)
+          <= {LEV_NUM} * greatest(len(da.text), len(db.text))
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Fuzzy matching with an exact metric: Levenshtein edit "
+    "distance verifies near-duplicate candidates, accepting pairs "
+    "within 30% of the longer text (stated in integer arithmetic so "
+    "both engines cut identically). Computing O(n*m) edit distance "
+    "on ALL pairs is unthinkable at corpus scale, so the SimHash "
+    "band join supplies the candidates and the quadratic metric "
+    "touches only those — the candidate-generation/verify split "
+    "again, now with the costliest verifier in the ladder. The "
+    "record-linkage primitive for noisy near-identical text "
+    "(OCR scans, crawl re-fetches, template drift).",
+)
+def q87_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fingerprints(spark, sf_dir).cache()
+    cand = simhash_band_candidates(fp)
+    docs = load_table(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(
+            LEV_DEN * lev <= LEV_NUM * F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        .select("doc_a", "doc_b", lev.cast("bigint").alias("edit_distance"))
         .orderBy("doc_a", "doc_b")
     )
