@@ -572,3 +572,67 @@ def q86_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+N_BUCKETS = 8
+
+
+@register(
+    "q88_bucketed_join",
+    f"""
+    SELECT o.o_orderpriority AS order_priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS {_M})) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY order_priority
+    """,
+    doc="Co-located fact x fact join via BUCKETING: both tables are "
+    "written bucketed by the join key (hash into {N_BUCKETS} "
+    "buckets, sorted within), so the join plan has NO Exchange on "
+    "either side — bucket i of lineitem joins bucket i of orders "
+    "where each already sits. At 100 TB this turns the biggest "
+    "shuffle in the workload (re-partitioning both fact tables by "
+    "orderkey per query) into a one-time layout cost amortized over "
+    "every subsequent join on that key — the lakehouse equivalent "
+    "of the reference's Cassandra clustering by device key. The "
+    "oracle states the same join declaratively; results are "
+    "layout-independent by definition.",
+)
+def q88_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="q88_bucketed_")
+    for name, df, key in (
+        ("q88_lineitem", li, "l_orderkey"),
+        ("q88_orders", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(root, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    lb = spark.table("q88_lineitem")
+    # the merge hint pins the sort-merge strategy (at test scale the
+    # optimizer would broadcast the small side and never exercise the
+    # bucket layout; at 100 TB sort-merge IS the choice) — with both
+    # inputs bucketed+sorted on the key, the join needs no Exchange
+    # and no Sort on either side
+    ob = spark.table("q88_orders").hint("merge")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("order_priority")
+    )

@@ -93,3 +93,15 @@ def test_no_rowwise_python_anywhere(spark, qs):
             continue
         plan = formatted_plan(fn(spark, SF_DIR))
         assert count_op(plan, "BatchEvalPython") == 0, name
+
+
+def test_q88_bucketed_join_has_no_join_exchange(spark, qs):
+    df = qs["q88_bucketed_join"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the join must be sort-merge over the bucketed layout...
+    assert count_op(plan, "SortMergeJoin") == 1
+    assert count_op(plan, "BroadcastHashJoin") == 0
+    # ...and the only exchanges are the aggregate + presentation sort;
+    # neither join input is re-partitioned (that's what bucketing buys)
+    s = plan_summary(df)
+    assert s["exchanges"] <= 2
