@@ -785,3 +785,111 @@ def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "s82_stream_outer_interval_join",
+    """
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')
+      ) - INTERVAL 1 HOUR AS w
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <  epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    UNION ALL
+    SELECT p.user_id, p.event_id, CAST(NULL AS BIGINT)
+    FROM events p, wm
+    WHERE p.event_type = 'purchase' AND p.ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(c.ts) <  epoch_us(p.ts)
+      )
+    ORDER BY purchase_id, click_id
+    """,
+    doc="LEFT OUTER stream-stream interval join: matches emit "
+    "immediately (the s77 inner results), and a purchase with NO "
+    "click in its preceding hour emits ONCE with nulls — but only "
+    "when the watermark proves no matching click can still arrive. "
+    "The oracle encodes the exact emission rule, validated against "
+    "the engine: the global watermark is the MIN over both streams' "
+    "(max event time - delay), so unmatched purchases newer than "
+    "that horizon are withheld, still open in state. This is the "
+    "outer-join completeness/latency trade every streaming engine "
+    "must make explicit; state stays bounded by the same horizon as "
+    "the inner join.",
+)
+def s82_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = _time_sliced_files(ev, "ts", prefix="s82_src_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        def side():
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+
+        purchases = (
+            side()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            side()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+            ),
+            "leftOuter",
+        )
+        qname = "s82_outer_join"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s82_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(qname)
+        .select(F.col("p_user").alias("user_id"), "purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
