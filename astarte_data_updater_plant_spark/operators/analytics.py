@@ -507,3 +507,54 @@ def q84_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q89_cumulative_distinct",
+    """
+    WITH first_seen AS (
+      SELECT event_type, user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, d, COUNT(*) AS new_users
+      FROM first_seen GROUP BY event_type, d
+    )
+    SELECT event_type, d AS day,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    doc="Cumulative distinct users per event type by day — via the "
+    "FIRST-APPEARANCE rewrite: a user contributes on the day they "
+    "first appear, so the running distinct count is a cumulative sum "
+    "of first-appearance counts. Neither engine supports "
+    "COUNT(DISTINCT) OVER, and the naive per-day re-scan is "
+    "O(days x events); this form is one distinct-keys aggregate + "
+    "one tiny window — the only formulation that survives an "
+    "unbounded event log.",
+)
+def q89_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d")
+    )
+    daily = first_seen.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+        )
+        .orderBy("event_type", "day")
+    )
