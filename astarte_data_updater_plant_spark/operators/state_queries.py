@@ -269,3 +269,46 @@ def q17_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(drate("value")).over(w).cast("double").alias("running_bytes"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "q90_scd2_intervals",
+    """
+    SELECT user_id, event_type,
+           value AS state_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(LEAD(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    ORDER BY user_id, event_type, valid_from
+    """,
+    doc="Slowly-changing-dimension type 2 materialization: every "
+    "observed value becomes a validity interval [valid_from, "
+    "valid_to) with the successor's timestamp as the exclusive upper "
+    "bound and NULL marking the current row — the historized form of "
+    "the properties table (q10 reads only the is_current slice; the "
+    "reference keeps just that last write, queries.ex:121-155, and "
+    "this is what it costs to keep ALL of history queryable). One "
+    "shuffle on the SCD key, one in-partition sort, lead() fills both "
+    "the bound and the current flag in a single window pass — the "
+    "as-of audit-query substrate at any scale.",
+)
+def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "event_type", "valid_from")
+    )
