@@ -530,3 +530,49 @@ def q83_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q91_text_normalize",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean_text
+      FROM documents
+    )
+    SELECT doc_id,
+           clean_text,
+           len(clean_text) AS n_chars_clean,
+           len(string_split(clean_text, ' ')) AS n_tokens_clean
+    FROM norm
+    ORDER BY doc_id
+    """,
+    doc="Corpus normalization — the cleaning stage that precedes "
+    "every dedup/tokenize pass: lowercase, strip non-alphanumerics "
+    "to spaces, squeeze runs, trim. Pure regexp_replace projections "
+    "(Spark replaces globally by default; the oracle states the 'g' "
+    "flag), zero shuffles, and the cleaned text + token counts are "
+    "byte-exact across engines so downstream hash-dedup on the "
+    "normalized form is reproducible anywhere.",
+)
+def q91_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", clean.alias("clean_text"))
+        .select(
+            "doc_id",
+            "clean_text",
+            F.length("clean_text").alias("n_chars_clean"),
+            F.size(F.split("clean_text", " ")).alias("n_tokens_clean"),
+        )
+        .orderBy("doc_id")
+    )
