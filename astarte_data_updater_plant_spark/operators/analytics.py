@@ -558,3 +558,52 @@ def q89_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q94_map_functions",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), kept AS (
+      SELECT user_id, event_type AS k, c * 10 AS v FROM counts WHERE c >= 2
+    ), totals AS (
+      SELECT user_id, '__total' AS k, CAST(SUM(c) AS BIGINT) AS v
+      FROM counts GROUP BY user_id
+    )
+    SELECT user_id, k, v FROM kept
+    UNION ALL
+    SELECT user_id, k, v FROM totals
+    """,
+    doc="Map-typed function surface (map_from_entries, map_filter, "
+    "transform_values, map_values, map_concat, aggregate, explode-of-map) "
+    "mirroring the reference's per-device keyed counter maps "
+    "(impl.ex:623-674). All map ops are JVM-side higher-order functions "
+    "over a single grouped row — no extra shuffle beyond the one "
+    "count aggregate; the oracle states the same result relationally.",
+)
+def q94_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "c"))).alias("m")
+    )
+    enriched = per_user.select(
+        "user_id",
+        F.map_concat(
+            F.transform_values(
+                F.map_filter("m", lambda _k, v: v >= F.lit(2)),
+                lambda _k, v: v * F.lit(10),
+            ),
+            F.create_map(
+                F.lit("__total"),
+                F.aggregate(
+                    F.map_values("m"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ).alias("m2"),
+    )
+    return enriched.select("user_id", F.explode("m2").alias("k", "v"))

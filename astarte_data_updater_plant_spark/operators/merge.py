@@ -1,0 +1,96 @@
+"""Delta-style MERGE (upsert + delete) compiled to a full-outer join.
+
+The reference applies incoming device state changes to the stored
+state table with per-row upsert/delete semantics (set-value inserts
+or overwrites, unset deletes — ``impl.ex:1100-1180``).  Lakehouse
+engines compile ``MERGE INTO`` to exactly the plan declared here: a
+full-outer join of target and source on the merge key, followed by a
+per-row CASE that routes each row to update / insert / delete /
+keep.  Expressing it declaratively keeps Catalyst in charge of the
+join strategy.
+
+Scale notes: the merge key is the join key, so the shuffle is a single
+hash partition on ``user_id`` for each side.  On a real 100 TB target
+the base table would be bucketed (or Z-ordered) by the merge key so
+only the much smaller change-set shuffles; AQE handles skewed keys.
+The two window scans push their disjoint ``ts`` predicates into the
+parquet scan, so each side reads only its half of the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q92_merge_upsert",
+    f"""
+    WITH base AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SPLIT}'
+      ) WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, value, ts, event_type FROM (
+        SELECT user_id, value, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_SPLIT}'
+      ) WHERE rn = 1
+    )
+    SELECT
+      COALESCE(b.user_id, c.user_id) AS user_id,
+      CASE WHEN c.user_id IS NULL THEN b.value ELSE c.value END AS value,
+      CASE WHEN c.user_id IS NULL THEN b.ts ELSE c.ts END AS ts,
+      CASE WHEN b.user_id IS NULL THEN 'insert'
+           WHEN c.user_id IS NULL THEN 'keep'
+           ELSE 'update' END AS op
+    FROM base b FULL JOIN chg c ON b.user_id = c.user_id
+    WHERE c.user_id IS NULL OR c.event_type <> 'error'
+    """,
+    doc="MERGE INTO base USING changes ON user_id: matched+error deletes, "
+    "matched updates, unmatched non-error inserts (reference state upsert, "
+    "impl.ex:1100-1180). Compiled as full-outer join + row routing, the "
+    "same physical shape Delta/Iceberg produce for MERGE.",
+)
+def q92_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    base = latest(ev.filter(F.col("ts") < split)).select(
+        "user_id", F.col("value").alias("b_value"), F.col("ts").alias("b_ts")
+    )
+    chg = latest(ev.filter(F.col("ts") >= split)).select(
+        "user_id",
+        F.col("value").alias("c_value"),
+        F.col("ts").alias("c_ts"),
+        "event_type",
+    )
+    matched_change = F.col("c_ts").isNotNull()
+    return (
+        base.join(chg, "user_id", "full_outer")
+        # WHEN MATCHED AND source is an error event THEN DELETE; an
+        # unmatched error change is likewise not inserted.
+        .filter(F.col("event_type").isNull() | (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.when(matched_change, F.col("c_value")).otherwise(F.col("b_value")).alias("value"),
+            F.when(matched_change, F.col("c_ts")).otherwise(F.col("b_ts")).alias("ts"),
+            F.when(F.col("b_ts").isNull(), F.lit("insert"))
+            .when(F.col("c_ts").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+        )
+    )

@@ -576,3 +576,84 @@ def q91_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q95_repetition_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(w) AS word FROM d
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word
+    ), topw AS (
+      SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ), gstat AS (
+      SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT g) AS ndg
+      FROM grams GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_words,
+           ROUND(CAST(t.mx AS DOUBLE) / t.n_words, 6) AS top_word_ratio,
+           COALESCE(
+             ROUND(CAST(1 AS DOUBLE) - CAST(g.ndg AS DOUBLE) / g.ng, 6),
+             CAST(0 AS DOUBLE)) AS dup_3gram_ratio,
+           (COALESCE(
+              ROUND(CAST(1 AS DOUBLE) - CAST(g.ndg AS DOUBLE) / g.ng, 6),
+              CAST(0 AS DOUBLE)) > 0.3
+            OR ROUND(CAST(t.mx AS DOUBLE) / t.n_words, 6) > 0.2) AS repetitive
+    FROM topw t LEFT JOIN gstat g ON t.doc_id = g.doc_id
+    """,
+    doc="Gopher/ccnet-style repetition quality signals per document: "
+    "duplicate word-3-gram fraction and top-single-word fraction, with a "
+    "repetitive flag. Entirely array-side higher-order functions — one "
+    "narrow scan of documents, zero shuffles, zero explodes; the oracle "
+    "computes the same statistics via unnest+group-by.",
+)
+def q95_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 3,
+        F.expr(
+            "transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
+            "element_at(w, i + 3)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    top_count = F.expr(
+        "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+    )
+    stats = d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        grams.alias("g"),
+        top_count.alias("mx"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("mx").cast("double") / F.col("n_words"), 6).alias("top_word_ratio"),
+        F.when(
+            F.size("g") > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("g")).cast("double") / F.size("g"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_ratio"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "top_word_ratio",
+        "dup_3gram_ratio",
+        ((F.col("dup_3gram_ratio") > 0.3) | (F.col("top_word_ratio") > 0.2)).alias(
+            "repetitive"
+        ),
+    )

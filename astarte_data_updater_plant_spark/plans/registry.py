@@ -56,8 +56,10 @@ def _load_all() -> None:
         dedup,
         diff,
         formats,
+        graph,
         ingest,
         ivf,
+        merge,
         multimodal,
         relational,
         simhash,
