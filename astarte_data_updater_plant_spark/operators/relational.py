@@ -636,3 +636,68 @@ def q88_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_priority")
     )
+
+
+_BLOOM_CONFS = {
+    # Force the shuffle-join path (runtime filters are not injected for
+    # broadcast joins) and make the injection thresholds reachable at
+    # test scale; at 100 TB the defaults trigger on their own.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+@register(
+    "q97_bloom_semi_join",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = lineitem.l_orderkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice > 150000
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Semi-join pruned by an optimizer-injected runtime bloom filter: the "
+    "selective orders side builds a bloom_filter_agg, broadcast as a scalar "
+    "subquery, and might_contain() prunes lineitem rows BEFORE the shuffle "
+    "— Spark's runtime-filter answer to the reference's per-device cache "
+    "membership test (cache.ex:24-40). At 100 TB this cuts the shuffled "
+    "fact rows to ~the matching fraction; result is bloom-independent "
+    "(false positives removed by the exact join), so the oracle is the "
+    "plain EXISTS.",
+)
+def q97_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(drate("l_quantity")).cast("double").alias("sum_qty"),
+            )
+        )
+        # Materialize the physical plan while the scoped confs are set;
+        # QueryExecution caches it, so the caller's later collect() keeps
+        # the bloom-pruned plan even after the confs are restored.
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

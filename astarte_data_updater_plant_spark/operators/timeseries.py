@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dmoney, snap
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -336,4 +337,64 @@ def q76_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").over(w).alias("max_1h"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q98_time_weighted_avg",
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             epoch_us(ts) // 1000000 AS t,
+             LEAD(epoch_us(ts) // 1000000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    ), spans AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(12,4)) * (t_next - t) AS w,
+             t_next - t AS dt
+      FROM ordered WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) + 1 AS n_samples,
+           CAST(SUM(dt) AS BIGINT) AS span_seconds,
+           ROUND(CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(SUM(dt) AS DOUBLE), 6) AS twa
+    FROM spans
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+    doc="Time-weighted average per device key: each sample holds its value "
+    "until the next sample (the hypertable/IoT rollup semantics the "
+    "reference's datastreams imply, queries.ex:718-743). lag-free LEAD "
+    "window + one aggregate; value*duration products stay in exact DECIMAL "
+    "(seconds granularity keeps the scaled sum under 2^53) so the weighted "
+    "sum is order-insensitive across engines and cluster re-runs.",
+)
+def q98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(ts) div 1000000")
+    ordered = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    spans = ordered.filter(F.col("t_next").isNotNull()).select(
+        "user_id",
+        (dmoney("value") * (F.col("t_next") - F.col("t"))).alias("w"),
+        (F.col("t_next") - F.col("t")).alias("dt"),
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).alias("n_samples"),
+            F.sum("dt").alias("span_seconds"),
+            F.round(
+                snap(F.sum("w")) / F.sum("dt").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .filter(F.col("span_seconds") > 0)
     )

@@ -105,3 +105,41 @@ def test_q88_bucketed_join_has_no_join_exchange(spark, qs):
     # neither join input is re-partitioned (that's what bucketing buys)
     s = plan_summary(df)
     assert s["exchanges"] <= 2
+
+
+def test_q95_repetition_is_shuffle_free(spark, qs):
+    # all repetition statistics are array-side per row: the only exchange
+    # is load_table's round-robin spread of the single parquet file —
+    # no key shuffle (ENSURE_REQUIREMENTS) may appear
+    df = qs["q95_repetition_filter"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_q97_injects_runtime_bloom_filter_and_restores_confs(spark, qs):
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = qs["q97_bloom_semi_join"](spark, SF_DIR)
+    # scoped confs must not leak into the session
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact side is pruned by might_contain BEFORE its shuffle
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
+def test_q93_pagerank_reuses_cached_edges(spark, qs):
+    plan = qs["q93_pagerank"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # every iteration must read the cached edge list (and node list), never
+    # re-derive them from lineitem: one InMemoryTableScan per reference
+    # (plan.toString re-prints the cached child under each, so parquet-scan
+    # counts are not meaningful here)
+    assert plan.count("InMemoryTableScan") >= 2 * 5  # cedges + nodes per iteration
+
+
+def test_q92_merge_bounded_shuffles(spark, qs):
+    s = plan_summary(qs["q92_merge_upsert"](spark, SF_DIR))
+    # two windowed dedups + one full-outer join on the same key: the join
+    # reuses the window partitioning, so at most 3 exchanges total
+    assert s["exchanges"] <= 3
+    assert s["nested_loop_joins"] == 0
