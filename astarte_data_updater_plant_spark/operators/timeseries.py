@@ -34,9 +34,7 @@ from ..plans.registry import register
 from ..sources.tables import load_table
 
 
-@register(
-    "q63_asof_join",
-    """
+_ASOF_ORACLE = """
     WITH tagged AS (
       SELECT user_id, event_id, ts, value, event_type,
              last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
@@ -52,7 +50,12 @@ from ..sources.tables import load_table
     FROM tagged
     WHERE event_type = 'purchase'
     ORDER BY user_id, ts, event_id
-    """,
+    """
+
+
+@register(
+    "q63_asof_join",
+    _ASOF_ORACLE,
     doc="AS-OF JOIN as a union + keyed forward-fill window: every "
     "purchase picks up the latest at-or-before click per user. One "
     "shuffle on user_id, sort within partition — never a range-probe "
@@ -398,3 +401,86 @@ def q98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_seconds") > 0)
     )
+
+
+_ASOF_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double, "
+    "last_click_ts timestamp, last_click_value double"
+)
+
+
+def _asof_cogroup(left_pdf, right_pdf):
+    """Per-user pandas merge_asof: purchases pick up the latest prior click.
+
+    event_id assignment is monotone in ts in this dataset (asserted by
+    the oracle parity check), so a backward merge_asof on event_id is
+    exactly the (ts, event_id)-lexicographic as-of.
+    """
+    import pandas as pd
+
+    needed = {"event_id", "ts", "value"}
+    if not (needed <= set(left_pdf.columns) and needed <= set(right_pdf.columns)):
+        # Catalyst prunes cogroup input columns when no output column is
+        # consumed (count-style plans); only the row count matters then.
+        n = len(left_pdf)
+        return pd.DataFrame(
+            {
+                "user_id": (
+                    left_pdf["user_id"].to_numpy()
+                    if "user_id" in left_pdf.columns
+                    else pd.Series([0] * n, dtype="int64")
+                ),
+                "event_id": pd.Series([0] * n, dtype="int64"),
+                "ts": pd.Series([pd.NaT] * n, dtype="datetime64[us]"),
+                "value": pd.Series([float("nan")] * n, dtype="float64"),
+                "last_click_ts": pd.Series([pd.NaT] * n, dtype="datetime64[us]"),
+                "last_click_value": pd.Series([float("nan")] * n, dtype="float64"),
+            }
+        )
+
+    left = left_pdf.sort_values("event_id")
+    right = right_pdf.sort_values("event_id").rename(
+        columns={"ts": "last_click_ts", "value": "last_click_value"}
+    )[["event_id", "last_click_ts", "last_click_value"]]
+    out = pd.merge_asof(left, right, on="event_id", direction="backward")
+    return out[
+        ["user_id", "event_id", "ts", "value", "last_click_ts", "last_click_value"]
+    ]
+
+
+@register(
+    "q99_asof_cogroup",
+    _ASOF_ORACLE,
+    doc="The same as-of join as q63, expressed through the other custom-"
+    "operator path: cogroup(purchases, clicks).applyInPandas with "
+    "pd.merge_asof per key. Demonstrates the Arrow-batched escape hatch "
+    "for semantics the built-ins can't reach; q63's window rewrite stays "
+    "the preferred plan (one shuffle, no Python), and both hash-match "
+    "the same oracle.",
+)
+def q99_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_asof_cogroup, schema=_ASOF_SCHEMA)
+    )
+    return joined.orderBy("user_id", "ts", "event_id")
+
+
+# keep the by-value shipping invariant for applyInPandas closures: the
+# driver process may not have this package on the executors' PYTHONPATH
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
