@@ -82,5 +82,44 @@ def minhash_expr(token_col: Column, seed: int) -> Column:
     md5 is the shared deterministic hash family between Spark and the
     DuckDB oracle; lexicographic min over hex digests is a valid
     min-wise hash. Use as an aggregate: F.min(minhash_expr(...)).
+
+    NOTE: superseded in the LSH pipeline by shingle_h32 +
+    minhash_perm — one md5 per shingle instead of one per
+    (shingle, seed). Kept for ad-hoc single-coordinate use.
     """
     return F.md5(F.concat(F.lit(f"{seed}:"), token_col))
+
+
+#: Smallest prime above 2^32 — the universal-hash modulus shared with
+#: the DuckDB oracle. a*h32 < 2^30 * 2^32 = 2^62 never overflows a
+#: signed 64-bit in either engine.
+MINHASH_PRIME = 4294967311
+
+#: Fixed (a, b) permutation constants (a < 2^30): h_i = (a*h + b) % P.
+MINHASH_PERMS = (
+    (1000000007, 12821),
+    (999999937, 55871),
+    (998244353, 34543),
+    (985661441, 81919),
+    (976224257, 17),
+    (943718401, 2029),
+    (935329793, 50021),
+    (897581057, 65537),
+)
+
+
+def shingle_h32(s: Column) -> Column:
+    """32-bit integer hash of a shingle: first 8 hex chars of md5,
+    parsed base-16. Computed ONCE per shingle; the k MinHash
+    coordinates are then k cheap integer permutations of it, instead
+    of k full md5 evaluations (measured ~8x less hashing in the LSH
+    pipeline). Bit-identical to the oracle's
+    ``('0x' || substr(md5(s),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_perm(i: int):
+    """Closure factory: 1-arg lambda for F.transform (a 2-arg lambda
+    would bind the array index as the 2nd parameter)."""
+    a, b = MINHASH_PERMS[i]
+    return lambda h: (F.lit(a).cast("bigint") * h + F.lit(b)) % F.lit(MINHASH_PRIME)

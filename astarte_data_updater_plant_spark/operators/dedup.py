@@ -4,8 +4,9 @@ The pretraining-corpus dedup ladder, each stage designed for 100 TB:
 
 - exact dedup: hash-groupBy on md5(text) — one shuffle on the hash,
   map-side partial aggregation, no driver state.
-- MinHash + LSH near-dup: distinct (doc, 3-word shingle) -> 8 MinHash
-  coordinates (md5-family min-wise hashes) -> 4 bands of 2 -> band
+- MinHash + LSH near-dup: distinct (doc, 3-word shingle) -> one md5
+  base hash per shingle -> 8 MinHash coordinates via integer
+  permutations (a*h+b) % P -> 4 bands of 2 -> band
   equality join generates candidates -> exact shingle-set Jaccard
   verifies candidates only. Candidate generation never compares all
   pairs: the only joins are equi-joins on band signatures and
@@ -16,8 +17,9 @@ vocabulary makes token SETS collide pathologically (measured on the
 synthetic corpus: a 31-word vocabulary put 3k of 5k docs in one LSH
 bucket -> O(n^2) candidates; 3-word shingles cap buckets at ~8).
 
-The md5 hash family keeps every stage bit-identical to the DuckDB
-oracle (lexicographic min over hex digests is a valid min-wise hash).
+The md5-seeded universal-hash family ((a*h32+b) % P over the first 32
+bits of md5) keeps every stage bit-identical to the DuckDB oracle
+while hashing each shingle only once.
 """
 
 from __future__ import annotations
@@ -25,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_expr, shingles_from_tokens
+from ..functions.text import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    minhash_perm,
+    shingle_h32,
+    shingles_from_tokens,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -95,21 +103,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h7): 8 min-wise hashes over the shingle set —
-    array_min over a transform, per row, shuffle-free."""
+    array_min over a transform, per row, shuffle-free.
+
+    md5 runs ONCE per shingle (the h32 base hash, materialized as its
+    own projection so CollapseProject can't inline it 8x); each
+    coordinate is then an integer permutation (a*h+b) % P of that base
+    array — hashing cost is 1/8th of an md5-per-(seed, shingle)
+    family, with the same min-wise guarantees.
+    """
     sa = _shingle_sets(spark, sf_dir)
-
-    def _mh(seed: int):
-        # one-arg lambda: a second parameter would make F.transform
-        # bind the array INDEX to it, silently replacing the seed
-        return lambda s: minhash_expr(s, seed)
-
+    hashed = sa.select("doc_id", F.transform("shingles", shingle_h32).alias("hs"))
     cols = [
-        F.array_min(F.transform(F.col("shingles"), _mh(seed))).alias(f"h{seed}")
-        for seed in range(N_HASHES)
+        F.array_min(F.transform(F.col("hs"), minhash_perm(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
     ]
     # a doc with <3 tokens would yield a null signature; null band
     # keys never equi-join, so such docs simply produce no candidates
-    return sa.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 _SHINGLE_LIST_SQL = (
@@ -119,10 +129,17 @@ _SHINGLE_LIST_SQL = (
     " || ' ' || string_split(text,' ')[i+2]))"
 )
 _SH_SQL = f"SELECT doc_id, unnest({_SHINGLE_LIST_SQL}) AS shingle FROM documents"
+_H32_SQL = (
+    "SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h32 "
+    f"FROM ({_SH_SQL})"
+)
 _SIG_SQL = (
     "SELECT doc_id, "
-    + ", ".join(f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(N_HASHES))
-    + f" FROM ({_SH_SQL}) GROUP BY doc_id"
+    + ", ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    + f" FROM ({_H32_SQL}) GROUP BY doc_id"
 )
 
 
@@ -131,20 +148,21 @@ _SIG_SQL = (
     f"""
     WITH sig AS ({_SIG_SQL})
     SELECT doc_id, {", ".join(f"h{s}" for s in range(N_HASHES))},
-           md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
-           md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+           h0 || ':' || h1 AS band0, h2 || ':' || h3 AS band1,
+           h4 || ':' || h5 AS band2, h6 || ':' || h7 AS band3
     FROM sig
     ORDER BY doc_id
     """,
-    doc="MinHash signature + LSH band keys per document: 8 md5-family "
-    "min-wise hashes over the distinct 3-word-shingle set, banded 4x2. "
-    "The explode+groupBy shape is one shuffle partitioned by doc_id.",
+    doc="MinHash signature + LSH band keys per document: one md5 base "
+    "hash per distinct 3-word shingle, 8 integer-permutation min-wise "
+    "coordinates, banded 4x2. Signature generation is a pure map — "
+    "zero shuffles.",
 )
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
     for b in range(N_BANDS):
         sig = sig.withColumn(
-            f"band{b}", F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+            f"band{b}", F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
         )
     return sig.orderBy("doc_id")
 
@@ -156,10 +174,10 @@ _NEAR_DUP_CTES_SQL = f"""
     banded AS (
       SELECT doc_id, band, bkey FROM (
         SELECT doc_id,
-               0 AS band, md5(h0 || h1) AS bkey FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+               0 AS band, h0 || ':' || h1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, h2 || ':' || h3 FROM sig
+        UNION ALL SELECT doc_id, 2, h4 || ':' || h5 FROM sig
+        UNION ALL SELECT doc_id, 3, h6 || ':' || h7 FROM sig
       ) u
     ),
     candidates AS (
@@ -211,7 +229,9 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bkey"),
+                F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                    "bkey"
+                ),
             )
             for b in range(N_BANDS)
         ]
