@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_with_norms, norm, to_double_array
+from ..plans.fragments import fragment
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -103,10 +104,13 @@ def q53_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array(F.col("embedding")).alias("embedding")
     )
-    base = (
-        emb.withColumn("bucket", _bucket_col(F.col("embedding")))
-        .withColumn("nrm", norm(F.col("embedding")))
-        .cache()
+    base = fragment(
+        spark,
+        sf_dir,
+        "lsh_ann_base",
+        lambda: emb.withColumn("bucket", _bucket_col(F.col("embedding"))).withColumn(
+            "nrm", norm(F.col("embedding"))
+        ),
     )
     q = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -34,6 +34,7 @@ from ..functions.text import (
     shingle_h32,
     shingles_from_tokens,
 )
+from ..plans.fragments import fragment
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -220,27 +221,39 @@ _NEAR_DUP_CTES_SQL = f"""
     "near-identical documents.",
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sa = _shingle_sets(spark, sf_dir).cache()
-    sig = minhash_signatures(spark, sf_dir)
-    # one (band, bkey) row per band via a single explode — a per-band
-    # union would re-evaluate the whole MinHash transform once per
-    # branch (measured 3x slower at sf0.1)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
-                    "bkey"
-                ),
+    # shingle sets and band keys are pinned fragments: the self-join
+    # reads both sides of each, and q45/q47 re-derive from q42 — one
+    # materialization serves every consumer in the application
+    sa = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+
+    def _banded() -> DataFrame:
+        sig = minhash_signatures(spark, sf_dir)
+        # one (band, bkey) row per band via a single explode — a
+        # per-band union would re-evaluate the whole MinHash transform
+        # once per branch (measured 3x slower at sf0.1)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                    ).alias("bkey"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return (
+            sig.select("doc_id", F.explode(band_structs).alias("bb"))
+            .select(
+                "doc_id",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bkey").alias("bkey"),
             )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-        .cache()  # both sides of the self-join read it; tiny (4 rows/doc)
-    )
+        )
+
+    banded = fragment(spark, sf_dir, "lsh_banded", _banded)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -321,17 +334,22 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= NGRAM_LEN
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
-                    f" i -> substring(text, i, {NGRAM_LEN}))"
+    grams = fragment(
+        spark,
+        sf_dir,
+        "char_ngrams",
+        lambda: docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
+                        f" i -> substring(text, i, {NGRAM_LEN}))"
+                    )
                 )
-            )
-        ).alias("gram"),
-    ).cache()
+            ).alias("gram"),
+        ),
+    )
     df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     rare_grams = df.filter(
         (F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_MAX)

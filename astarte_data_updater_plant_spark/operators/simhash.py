@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens
+from ..plans.fragments import fragment
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -203,7 +204,9 @@ _SIMHASH_CAND_CTES_SQL = f"""
     "doc must be constant at 100 TB.",
 )
 def q46_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fingerprints(spark, sf_dir).cache()
+    fp = fragment(
+        spark, sf_dir, "simhash_fp", lambda: simhash_fingerprints(spark, sf_dir)
+    )
     cand = simhash_band_candidates(fp)
 
     def nib_of(col: str, i: int):
@@ -256,7 +259,9 @@ LEV_NUM, LEV_DEN = 3, 10
     "(OCR scans, crawl re-fetches, template drift).",
 )
 def q87_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fingerprints(spark, sf_dir).cache()
+    fp = fragment(
+        spark, sf_dir, "simhash_fp", lambda: simhash_fingerprints(spark, sf_dir)
+    )
     cand = simhash_band_candidates(fp)
     docs = load_table(spark, sf_dir, "documents")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
