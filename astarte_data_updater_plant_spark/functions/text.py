@@ -57,7 +57,13 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     1-indexed to match DuckDB list semantics exactly.
     """
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # Guard: sequence(1, 0) is the DESCENDING array [1, 0] in Spark, and
+    # element_at(toks, 0) then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    # Docs with fewer than k tokens must yield an empty shingle array,
+    # matching the DuckDB oracle's range() semantics.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
 
     def build(i: Column) -> Column:
         parts = [F.element_at(toks, i + j) for j in range(k)]

@@ -180,15 +180,20 @@ def q29_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT/percentile shuffles are too expensive. No DuckDB oracle "
     "(sketches differ across engines by design); the driver records "
     "the weaker rows-only check. Error bounds: rsd=0.05 for HLL, "
-    "accuracy 10000 for the percentile sketch.",
+    "accuracy 10000 for the percentile sketch. The sketch quantiles are "
+    "emitted as SCALAR columns (approx_p50, approx_p90) — an array "
+    "column is unhashable for the driver's canonicalizer and would "
+    "void even the rows-only check.",
 )
 def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.percentile_approx("value", [0.5, 0.9], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.05).alias("approx_devices"),
-            F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+            F.element_at(approx, 1).alias("approx_p50"),
+            F.element_at(approx, 2).alias("approx_p90"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("event_type")

@@ -70,16 +70,23 @@ def q92_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def latest(df: DataFrame) -> DataFrame:
         return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
+    # Explicit presence flags per side: routing on b_ts/c_ts nullness
+    # would misclassify a row whose ts is genuinely NULL (the oracle
+    # keys on user_id nullness, i.e. true join-side presence).
     base = latest(ev.filter(F.col("ts") < split)).select(
-        "user_id", F.col("value").alias("b_value"), F.col("ts").alias("b_ts")
+        "user_id",
+        F.col("value").alias("b_value"),
+        F.col("ts").alias("b_ts"),
+        F.lit(True).alias("in_base"),
     )
     chg = latest(ev.filter(F.col("ts") >= split)).select(
         "user_id",
         F.col("value").alias("c_value"),
         F.col("ts").alias("c_ts"),
         "event_type",
+        F.lit(True).alias("in_chg"),
     )
-    matched_change = F.col("c_ts").isNotNull()
+    matched_change = F.col("in_chg").isNotNull()
     return (
         base.join(chg, "user_id", "full_outer")
         # WHEN MATCHED AND source is an error event THEN DELETE; an
@@ -89,8 +96,8 @@ def q92_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.when(matched_change, F.col("c_value")).otherwise(F.col("b_value")).alias("value"),
             F.when(matched_change, F.col("c_ts")).otherwise(F.col("b_ts")).alias("ts"),
-            F.when(F.col("b_ts").isNull(), F.lit("insert"))
-            .when(F.col("c_ts").isNull(), F.lit("keep"))
+            F.when(F.col("in_base").isNull(), F.lit("insert"))
+            .when(F.col("in_chg").isNull(), F.lit("keep"))
             .otherwise(F.lit("update"))
             .alias("op"),
         )

@@ -160,6 +160,9 @@ def _output_records(realm: str, device_id: str, out) -> list[dict]:
     for e in out.errors:
         push("error", interface=e.get("interface"), path=e.get("path"),
              error=e.get("error"), payload=e)
+    for e in out.warnings:
+        push("warning", interface=e.get("interface"), path=e.get("path"),
+             error=e.get("error"), payload=e)
     for c in out.commands:
         push("command", event_type=c.get("command"), timestamp=c.get("timestamp"))
     return rows

@@ -98,6 +98,9 @@ class Outputs:
     object_rows: list[dict] = field(default_factory=list)
     events: list[dict] = field(default_factory=list)
     errors: list[dict] = field(default_factory=list)
+    #: log-only conditions (reference Logger.warn with no discard /
+    #: clean-session ask, e.g. unset on allow_unset=false queries.ex:99-100)
+    warnings: list[dict] = field(default_factory=list)
     #: MQTT/RPC commands back to the device (A29): clean-session asks
     #: after processing errors (impl.ex:463-524,1413-1429)
     commands: list[dict] = field(default_factory=list)
@@ -109,6 +112,7 @@ class Outputs:
         self.object_rows += other.object_rows
         self.events += other.events
         self.errors += other.errors
+        self.warnings += other.warnings
         self.commands += other.commands
 
 
@@ -374,8 +378,10 @@ def _handle_unset(state, iface, mapping, path, ts, out, msg) -> None:
         out.errors.append(_error(state, msg, "unexpected_value_type"))
         return
     if not mapping.allow_unset:
-        # reference logs a warning but still deletes (queries.ex:87-97)
-        out.errors.append(_error(state, msg, "unset_not_allowed"))
+        # reference logs a warning but still deletes, with NO
+        # clean-session escalation (queries.ex:99-100) — so this goes
+        # to the warnings side-output, not out.errors
+        out.warnings.append(_error(state, msg, "unset_not_allowed"))
     key = (iface.name, path)
     prev = state.properties.pop(key, None)
     if prev is not None:
@@ -438,7 +444,8 @@ def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) ->
 
 def _handle_object_data(state, iface, path, decoded, ts, out, msg) -> None:
     """Object-aggregated insert (queries.ex:199-297): one wide row, one
-    column per known leaf; unknown keys skipped with a warning; absent
+    column per known leaf; an unknown key DISCARDS the whole message
+    (impl.ex:519-524 validate_value_type reduce_while halt); absent
     keys stay NULL but are never overwritten downstream."""
     value = decoded.value
     if not isinstance(value, dict):
@@ -460,8 +467,10 @@ def _handle_object_data(state, iface, path, decoded, ts, out, msg) -> None:
     for k, v in value.items():
         m = by_leaf.get(k)
         if m is None:
+            # reference halts validation and writes NOTHING on an
+            # unexpected key (impl.ex:519-524): discard whole message
             out.errors.append(_error(state, msg, f"unexpected_object_key:{k}"))
-            continue
+            return
         vt = python_value_type(v)
         if not _type_ok(vt, m.value_type, v):
             out.errors.append(_error(state, msg, "unexpected_value_type"))
