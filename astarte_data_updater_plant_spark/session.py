@@ -36,6 +36,10 @@ def get_spark(app_name: str = "astarte_data_updater_plant_spark") -> SparkSessio
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Untagged parquet timestamp[us] must read as TIMESTAMP, not
+        # TIMESTAMP_NTZ: the session TZ is UTC so the instants are
+        # identical, and NTZ breaks unix_micros/epoch arithmetic.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )

@@ -49,8 +49,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # runtime conf, set defensively: the driver's session won't have it
+        # runtime confs, set defensively: the driver's session won't have
+        # them. Both guard against the two ways the generator has emitted
+        # the ts column so far (TIMESTAMP(NANOS) and timestamp[us] with
+        # no timezone annotation).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name in CPU_DENSE:
         cores = spark.sparkContext.defaultParallelism
@@ -62,6 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with integer DIV — double division would lose precision at
         # 1e18 nanos — matching DuckDB's ns->us truncation.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Parquet timestamp[us] WITHOUT a timezone annotation reads as
+    # TIMESTAMP_NTZ under Spark 4's default inference, and time
+    # arithmetic (unix_micros & friends) rejects NTZ at analysis time.
+    # The session timezone is pinned to UTC, so casting NTZ -> TIMESTAMP
+    # is bit-exact against the DuckDB oracle reading the same file.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
