@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -56,7 +57,7 @@ def q18_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = ev.withColumn("prev_ts", F.lag("ts").over(order))
     new_sess = F.when(
         F.col("prev_ts").isNull()
-        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_US),
+        | (ts_micros("ts") - ts_micros("prev_ts") > SESSION_GAP_US),
         F.lit(1),
     ).otherwise(F.lit(0))
     flagged = lagged.withColumn("new_sess", new_sess)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.matchers import value_match_any_op
+from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..sources.tables import load_table
 from .triggers import _TRIGGER_VALUES_SQL, trigger_dim
@@ -264,7 +265,7 @@ def q28_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = ev.agg(F.max("ts").alias("c"))
     expires_at = F.timestamp_micros(
-        F.unix_micros("ts") + F.col("retention_s").cast("long") * 1_000_000
+        ts_micros("ts") + F.col("retention_s").cast("long") * 1_000_000
     )
     return (
         ev.join(F.broadcast(ret), "event_type")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -154,20 +155,20 @@ def q22_property_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.unix_micros(F.min("ts")).alias("lo"),
+        ts_micros(F.min("ts")).alias("lo"),
         (
-            F.unix_micros(F.min("ts"))
-            + (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(2)
+            ts_micros(F.min("ts"))
+            + (ts_micros(F.max("ts")) - ts_micros(F.min("ts"))) / F.lit(2)
         ).cast("long").alias("mid"),
     )
     with_mid = ev.crossJoin(F.broadcast(bounds))
     a = (
-        with_mid.filter(F.unix_micros("ts") < F.col("mid"))
+        with_mid.filter(ts_micros("ts") < F.col("mid"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_first_half"))
     )
     b = (
-        with_mid.filter(F.unix_micros("ts") >= F.col("mid"))
+        with_mid.filter(ts_micros("ts") >= F.col("mid"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_second_half"))
     )

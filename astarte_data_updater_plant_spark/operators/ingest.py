@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..sources.stream import events_as_messages, telemetry_interface
 from ..sources.tables import load_table
@@ -166,7 +167,7 @@ def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices
     stage_dir = os.path.join(src_dir, "_staged")
     slice_col = F.least(
         F.floor(
-            (F.unix_micros(ts_col) - F.unix_micros(F.lit(lo)))
+            (ts_micros(ts_col) - ts_micros(F.lit(lo)))
             / F.lit(span * 1_000_000.0 / n_slices)
         ),
         F.lit(n_slices - 1),

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dmoney, snap
+from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -176,7 +177,7 @@ _KEY_SQL = "printf('%020d%010d', epoch_us(ts), event_id)"
 
 
 def _order_key():
-    return F.format_string("%020d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return F.format_string("%020d%010d", ts_micros("ts"), F.col("event_id"))
 
 
 @register(
@@ -259,14 +260,14 @@ def q66_bounded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
-            F.unix_micros("ts").alias("cus"),
+            ts_micros("ts").alias("cus"),
             F.col("value").alias("c_value"),
         )
         .withColumn("c_bucket", F.floor(F.col("cus") / _US_HOUR))
     )
     pur = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("pus"))
+        .select("user_id", "event_id", "ts", ts_micros("ts").alias("pus"))
         .withColumn(
             "c_bucket",
             F.explode(
@@ -326,7 +327,7 @@ def q76_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (
@@ -377,7 +378,7 @@ def q76_rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = F.expr("unix_micros(ts) div 1000000")
+    t = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     ordered = ev.select(
         "user_id",
         "value",
