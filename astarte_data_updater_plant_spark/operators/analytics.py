@@ -175,30 +175,60 @@ def q29_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q56_approx_sketches",
-    None,  # sketch-based: no exact SQL oracle by construction
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS exact_devices,
+           CAST(1 AS BIGINT) AS hll_within_rsd,
+           CAST(1 AS BIGINT) AS p50_in_bounds,
+           CAST(1 AS BIGINT) AS p90_in_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     doc="Approximate aggregation surface: HyperLogLog++ distinct counts "
     "and quantile sketches per group — the scale path when exact "
-    "DISTINCT/percentile shuffles are too expensive. No DuckDB oracle "
-    "(sketches differ across engines by design); the driver records "
-    "the weaker rows-only check. Error bounds: rsd=0.05 for HLL, "
-    "accuracy 10000 for the percentile sketch. The sketch quantiles are "
-    "emitted as SCALAR columns (approx_p50, approx_p90) — an array "
-    "column is unhashable for the driver's canonicalizer and would "
-    "void even the rows-only check.",
+    "DISTINCT/percentile shuffles are too expensive. Sketch values "
+    "can't hash-match DuckDB by construction, so the oracle contract "
+    "is a BOUNDS check: the Spark side emits its exact aggregates plus "
+    "flags asserting the HLL estimate lands within 3x its configured "
+    "rsd (0.05) of the exact distinct count and each approx quantile "
+    "lands between the exact neighboring quantiles (+-0.01 in rank "
+    "space — far beyond the sketch's 1/accuracy = 1e-4 rank-error "
+    "guarantee); the oracle recomputes the exact aggregates and emits "
+    "constant-true flags. A hash match therefore proves both that the "
+    "exact aggregates agree AND that every sketch estimate is inside "
+    "its error bound.",
 )
 def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     approx = F.percentile_approx("value", [0.5, 0.9], 10000)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_devices"),
-            F.element_at(approx, 1).alias("approx_p50"),
-            F.element_at(approx, 2).alias("approx_p90"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("event_type")
+    exact = F.expr("percentile(value, array(0.49, 0.51, 0.89, 0.91))")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_devices"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll"),
+        F.element_at(approx, 1).alias("ap50"),
+        F.element_at(approx, 2).alias("ap90"),
+        F.element_at(exact, 1).alias("q49"),
+        F.element_at(exact, 2).alias("q51"),
+        F.element_at(exact, 3).alias("q89"),
+        F.element_at(exact, 4).alias("q91"),
     )
+    hll_ok = (
+        F.abs(F.col("hll") - F.col("exact_devices"))
+        <= F.col("exact_devices") * F.lit(0.15)
+    )
+    p50_ok = F.col("ap50").between(F.col("q49"), F.col("q51"))
+    p90_ok = F.col("ap90").between(F.col("q89"), F.col("q91"))
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "exact_devices",
+        hll_ok.cast("long").alias("hll_within_rsd"),
+        p50_ok.cast("long").alias("p50_in_bounds"),
+        p90_ok.cast("long").alias("p90_in_bounds"),
+    ).orderBy("event_type")
 
 
 @register(
