@@ -278,3 +278,128 @@ def q28_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Realm-config kv_store rows, the shape of the reference's
+#: ``kv_store`` table (``queries.ex:745-772`` reads
+#: ``group='realm_config' AND key='datastream_maximum_storage_retention'``
+#: with ``blobAsInt``; here the blob is a decimal string).
+KV_STORE_ROWS = [
+    ("realm_config", "datastream_maximum_storage_retention", "7200"),
+    ("realm_config", "unrelated_key", "42"),
+]
+
+_KV_STORE_VALUES_SQL = ", ".join(f"('{g}', '{k}', '{v}')" for g, k, v in KV_STORE_ROWS)
+
+
+def kv_store_dim(spark: SparkSession) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("grp", StringType(), False),
+            StructField("key", StringType(), False),
+            StructField("value", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(KV_STORE_ROWS, schema)
+
+
+def realm_retention_cap(spark: SparkSession) -> DataFrame:
+    """The realm-wide datastream storage retention cap, as a 1-row frame.
+
+    Mirrors ``fetch_datastream_maximum_storage_retention``
+    (``queries.ex:745-772``): a point lookup into kv_store, decoded
+    from the stored blob. Broadcastable scalar by construction.
+    """
+    return (
+        kv_store_dim(spark)
+        .filter(
+            (F.col("grp") == "realm_config")
+            & (F.col("key") == "datastream_maximum_storage_retention")
+        )
+        .select(F.col("value").cast("int").alias("cap_s"))
+    )
+
+
+@register(
+    "q100_retention_cap",
+    f"""
+    WITH kv_store(grp, key, value) AS (VALUES {_KV_STORE_VALUES_SQL}),
+    cap AS (
+      SELECT CAST(value AS INTEGER) AS cap_s FROM kv_store
+      WHERE grp = 'realm_config' AND key = 'datastream_maximum_storage_retention'
+    ),
+    retent(event_type, retention_s) AS (VALUES {_RETENTION_VALUES_SQL}),
+    eff AS (
+      SELECT event_type,
+             CAST(LEAST(retention_s, cap_s) AS BIGINT) AS effective_ttl_s
+      FROM retent CROSS JOIN cap
+    ),
+    cutoff AS (SELECT max(ts) AS c FROM events)
+    SELECT e.event_type,
+           f.effective_ttl_s,
+           f.effective_ttl_s * 2 + f.effective_ttl_s // 2 AS path_ttl_s,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE
+             make_timestamp(epoch_us(e.ts) + f.effective_ttl_s * 1000000) > c.c
+           ) AS n_live,
+           COUNT(*) FILTER (WHERE
+             make_timestamp(epoch_us(e.ts) + f.effective_ttl_s * 1000000) <= c.c
+           ) AS n_expired
+    FROM events e
+    JOIN eff f USING (event_type)
+    CROSS JOIN cutoff c
+    GROUP BY e.event_type, f.effective_ttl_s
+    ORDER BY e.event_type
+    """,
+    doc="Realm-wide retention cap (queries.ex:745-772, impl.ex:83-86, "
+    "427-438): datastream_maximum_storage_retention is read once from "
+    "kv_store realm_config and applied as the TTL on every datastream "
+    "value insert, capping the per-mapping retention; the path registry "
+    "entry gets TTL = 2.5x the cap (path_ttl, impl.ex:527-533). The cap "
+    "is a broadcast scalar (one kv_store point lookup), the retention "
+    "dim is broadcast, and expiry is classified at the max-event-time "
+    "cutoff exactly like q28 — zero extra shuffles over the fact scan.",
+)
+def q100_retention_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField as SF_, StructType as ST_
+
+    ev = load_table(spark, sf_dir, "events")
+    ret = spark.createDataFrame(
+        RETENTION_ROWS,
+        ST_([SF_("event_type", StringType(), False), SF_("retention_s", IntegerType(), False)]),
+    )
+    eff = (
+        ret.crossJoin(F.broadcast(realm_retention_cap(spark)))
+        .select(
+            "event_type",
+            F.least(F.col("retention_s"), F.col("cap_s"))
+            .cast("long")
+            .alias("effective_ttl_s"),
+        )
+    )
+    cutoff = ev.agg(F.max("ts").alias("c"))
+    expires_at = F.timestamp_micros(
+        ts_micros("ts") + F.col("effective_ttl_s") * 1_000_000
+    )
+    return (
+        ev.join(F.broadcast(eff), "event_type")
+        .crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type", "effective_ttl_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(expires_at > F.col("c"), 1)).alias("n_live"),
+            F.count(F.when(expires_at <= F.col("c"), 1)).alias("n_expired"),
+        )
+        .select(
+            "event_type",
+            "effective_ttl_s",
+            (
+                F.col("effective_ttl_s") * 2
+                + F.floor(F.col("effective_ttl_s") / 2).cast("long")
+            ).alias("path_ttl_s"),
+            "n_rows",
+            "n_live",
+            "n_expired",
+        )
+        .orderBy("event_type")
+    )

@@ -212,16 +212,27 @@ def _messages_from_pdf(pdf: pd.DataFrame) -> list[dict]:
 
 
 def run_batch(
-    messages: DataFrame, interfaces: tuple[Interface, ...] | None = None
+    messages: DataFrame,
+    interfaces: tuple[Interface, ...] | None = None,
+    max_retention_s: int | None = None,
 ) -> DataFrame:
     """Batch mode: one shuffle on (realm, device_id), state folded
-    per group, union output frame returned."""
+    per group, union output frame returned.
+
+    ``max_retention_s`` is the realm-wide
+    ``datastream_maximum_storage_retention`` (kv_store realm_config,
+    queries.ex:745-772) — a scalar fetched once on the driver and
+    closed over into the fold, mirroring the reference's one-time load
+    at handler init (impl.ex:83-86).
+    """
     ifaces = interfaces or fixture_interfaces()
 
     def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         realm, device_id = key
         catalog = Catalog(ifaces)
-        state = DeviceState(realm=realm, device_id=device_id)
+        state = DeviceState(
+            realm=realm, device_id=device_id, max_retention_s=max_retention_s
+        )
         out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
         rows = _output_records(realm, device_id, out)
         rows.append(
@@ -249,7 +260,7 @@ def run_batch(
 STREAM_STATE_SCHEMA = T.StructType([T.StructField("state_pickle", T.BinaryType(), True)])
 
 
-def _stream_fold(ifaces: tuple[Interface, ...]):
+def _stream_fold(ifaces: tuple[Interface, ...], max_retention_s: int | None = None):
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
         realm, device_id = key
         catalog = Catalog(ifaces)
@@ -257,7 +268,9 @@ def _stream_fold(ifaces: tuple[Interface, ...]):
             (blob,) = group_state.get
             state = _state_loads(bytes(blob))
         else:
-            state = DeviceState(realm=realm, device_id=device_id)
+            state = DeviceState(
+                realm=realm, device_id=device_id, max_retention_s=max_retention_s
+            )
         rows: list[dict] = []
         for pdf in pdfs:
             out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
@@ -268,13 +281,17 @@ def _stream_fold(ifaces: tuple[Interface, ...]):
     return fold
 
 
-def run_stream(messages: DataFrame, interfaces: tuple[Interface, ...] | None = None) -> DataFrame:
+def run_stream(
+    messages: DataFrame,
+    interfaces: tuple[Interface, ...] | None = None,
+    max_retention_s: int | None = None,
+) -> DataFrame:
     """Streaming mode: applyInPandasWithState keyed by (realm,
     device_id); DeviceState persists across micro-batches in the
     GroupState (SURVEY §1.4)."""
     ifaces = interfaces or fixture_interfaces()
     return messages.groupBy("realm", "device_id").applyInPandasWithState(
-        _stream_fold(ifaces),
+        _stream_fold(ifaces, max_retention_s),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STREAM_STATE_SCHEMA,
         outputMode="append",

@@ -85,6 +85,10 @@ class DeviceState:
     last_seen_ip: str | None = None
     last_connection: datetime | None = None
     last_disconnection: datetime | None = None
+    #: realm-wide datastream_maximum_storage_retention (state.ex:43),
+    #: loaded once from kv_store realm_config (queries.ex:745-772) and
+    #: applied as the TTL cap on every datastream insert (impl.ex:427-438)
+    max_retention_s: int | None = None
 
 
 @dataclass
@@ -401,11 +405,27 @@ def _handle_unset(state, iface, mapping, path, ts, out, msg) -> None:
     )
 
 
+def effective_retention_s(
+    mapping_expiry: int | None, cap_s: int | None
+) -> int | None:
+    """Per-mapping retention bounded by the realm-wide cap.
+
+    The reference reads ``datastream_maximum_storage_retention`` from
+    kv_store realm_config (queries.ex:745-772) and applies it as the
+    TTL on every datastream value insert (impl.ex:427-438); with no
+    per-mapping expiry the cap itself is the TTL.
+    """
+    if mapping_expiry and cap_s:
+        return min(mapping_expiry, cap_s)
+    return mapping_expiry or cap_s or None
+
+
 def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) -> None:
     """Individual datastream append (queries.ex:157-197) + path
     registry gate (impl.ex:386-416)."""
     key = (iface.name, path)
-    ttl_s = mapping.expiry * PATH_TTL_FACTOR if mapping.expiry else None
+    reg_s = effective_retention_s(mapping.expiry, state.max_retention_s)
+    ttl_s = reg_s * PATH_TTL_FACTOR if reg_s else None
     cached = state.paths_cache.get(key)
     needs_registry = cached is None or (
         ttl_s is not None
@@ -434,8 +454,14 @@ def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) ->
         )
     row = _typed_row(state, iface, mapping, path, value, ts)
     row["value_timestamp"] = value_ts
-    if mapping.retention is Retention.STORED and mapping.expiry:
-        row["expires_at"] = ts + timedelta(seconds=mapping.expiry)
+    # mapping expiry applies to stored-retention mappings; the realm
+    # cap applies to EVERY datastream insert (impl.ex:427-438)
+    val_s = effective_retention_s(
+        mapping.expiry if mapping.retention is Retention.STORED else None,
+        state.max_retention_s,
+    )
+    if val_s:
+        row["expires_at"] = ts + timedelta(seconds=val_s)
     out.datastream_rows.append(row)
     out.events.append(
         _event(state, "value_stored", ts, interface=iface.name, path=path, value=value)

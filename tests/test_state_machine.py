@@ -300,3 +300,40 @@ def test_minor_only_update_fires_nothing():
     assert evs.count("interface_added") == 1  # only the first announce
     assert evs.count("interface_removed") == 0
     assert state.introspection == {"com.test.LCDMonitor": (1, 4)}
+
+def test_effective_retention_cap_combinator():
+    from astarte_data_updater_plant_spark.streaming.state_machine import (
+        effective_retention_s,
+    )
+
+    assert effective_retention_s(None, None) is None
+    assert effective_retention_s(3600, None) == 3600
+    assert effective_retention_s(None, 7200) == 7200
+    assert effective_retention_s(86400, 7200) == 7200  # realm cap wins
+    assert effective_retention_s(3600, 7200) == 3600   # mapping under cap
+
+
+def test_realm_retention_cap_sets_datastream_expiry():
+    from datetime import timedelta
+
+    # with the realm cap set, every datastream insert gets
+    # expires_at = reception + cap (impl.ex:427-438), and the path
+    # registry entry gets 2.5x the cap (impl.ex:527-533)
+    state = DeviceState(realm=REALM, device_id=DEVICE, max_retention_s=7200)
+    catalog = Catalog(fixture_interfaces())
+    out = process_device_messages(state, catalog, simple_flow_messages())
+    ds = out.datastream_rows
+    assert len(ds) == 2
+    for r in ds:
+        assert r["expires_at"] == r["reception_timestamp"] + timedelta(seconds=7200)
+    reg = [u for u in out.property_upserts if u.get("is_path_registry")]
+    assert reg, "datastream flow must register its path"
+    for u in reg:
+        assert u["expires_at"] == u["reception_timestamp"] + timedelta(
+            seconds=int(7200 * 2.5)
+        )
+
+    # without the cap the same flow leaves expiry unset (fixture
+    # mappings have no per-mapping expiry)
+    _, out2 = run_flow()
+    assert all(r.get("expires_at") is None for r in out2.datastream_rows)
