@@ -70,9 +70,10 @@ def q92_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def latest(df: DataFrame) -> DataFrame:
         return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
-    # Explicit presence flags per side: routing on b_ts/c_ts nullness
-    # would misclassify a row whose ts is genuinely NULL (the oracle
-    # keys on user_id nullness, i.e. true join-side presence).
+    # Explicit presence flags per side: the ts < / >= split filters
+    # already exclude NULL-ts rows, so b_ts/c_ts nullness routing would
+    # be equivalent here — the flags just make join-side presence
+    # explicit rather than inferred from a data column.
     base = latest(ev.filter(F.col("ts") < split)).select(
         "user_id",
         F.col("value").alias("b_value"),

@@ -429,6 +429,16 @@ def errors_table(outputs: DataFrame) -> DataFrame:
     )
 
 
+def warnings_table(outputs: DataFrame) -> DataFrame:
+    """Log-only conditions (reference Logger.warn with no discard or
+    clean-session ask, e.g. unset on allow_unset=false,
+    queries.ex:99-100) — same shape as errors_table so consumers can
+    union or diff the two channels."""
+    return outputs.filter(F.col("kind") == "warning").select(
+        "realm", "device_id", "interface", "path", "error"
+    )
+
+
 def commands_table(outputs: DataFrame) -> DataFrame:
     """Device command channel (A29): clean-session / disconnect asks
     the reference sends over the VerneMQ RPC (rpc/vmq_plugin.ex:40-65,

@@ -13,6 +13,7 @@ from astarte_data_updater_plant_spark.streaming.pipeline import (
     datastream_table,
     device_snapshots_table,
     errors_table,
+    warnings_table,
     events_table,
     object_table,
     path_registry_table,
@@ -87,6 +88,14 @@ def test_events_table(spark, outputs):
 def test_errors_table(spark, outputs):
     errs = errors_table(outputs).collect()
     assert {r.error for r in errs} == {"invalid_path"}
+
+
+def test_warnings_table(spark, outputs):
+    # the simple flow only unsets allow_unset=true mappings, so the
+    # warning channel is empty — but reachable and typed like errors
+    warns = warnings_table(outputs)
+    assert warns.columns == ["realm", "device_id", "interface", "path", "error"]
+    assert warns.count() == 0
 
 
 def test_device_snapshot(spark, outputs):
