@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -23,4 +24,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    """Scale factor for the parity suite. Defaults to sf0.001 for
+    speed; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 to run
+    the exact gate the driver runs (documented in README)."""
+    return os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
