@@ -1,0 +1,71 @@
+"""Golden-vector tests for the pure-Python media codecs
+(functions/media.py) and the decode_media magic-byte dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from astarte_data_updater_plant_spark.functions.media import (
+    decode_pnm,
+    decode_wav,
+    encode_pgm,
+    encode_wav_pcm16,
+    mean_pool,
+)
+from astarte_data_updater_plant_spark.operators.multimodal import decode_media
+
+
+def test_pgm_roundtrip():
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = encode_pgm(px)
+    assert buf.startswith(b"P5 8 8 255\n")
+    w, h, maxval, decoded = decode_pnm(buf)
+    assert (w, h, maxval) == (8, 8, 255)
+    assert np.array_equal(decoded, px)
+
+
+def test_pgm_header_variants():
+    # whitespace-flexible header with a comment — the spec's layout
+    raw = bytes(range(6))
+    buf = b"P5\n# a comment\n3 2\n255\n" + raw
+    w, h, maxval, px = decode_pnm(buf)
+    assert (w, h, maxval) == (3, 2, 255)
+    assert px.tobytes() == raw
+
+
+def test_ppm_rgb_decode():
+    raw = bytes(range(2 * 2 * 3))
+    buf = b"P6 2 2 255\n" + raw
+    w, h, maxval, px = decode_pnm(buf)
+    assert px.shape == (2, 2, 3)
+    assert px.tobytes() == raw
+
+
+def test_mean_pool_linearity():
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    thumb = mean_pool(px)
+    assert thumb.shape == (4, 4)
+    # mean-pool preserves total mass: sum(thumb) * k^2 == sum(pixels)
+    assert thumb.sum() * 4 == px.astype(np.int64).sum()
+    assert thumb[0, 0] == (0 + 1 + 8 + 9) / 4
+
+
+def test_wav_roundtrip():
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    buf = encode_wav_pcm16(samples, 16000)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    nch, rate, width, decoded = decode_wav(buf)
+    assert (nch, rate, width) == (1, 16000, 2)
+    assert np.array_equal(decoded, samples.astype(np.int64))
+
+
+def test_decode_media_dispatch():
+    img = encode_pgm(np.zeros((2, 2), dtype=np.uint8))
+    w, h, maxval, _ = decode_media(img)
+    assert (w, h) == (2, 2)
+    wav = encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000)
+    nch, rate, width, s = decode_media(wav)
+    assert (nch, rate, width, len(s)) == (1, 8000, 2, 4)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 jpeg-ish")
