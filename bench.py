@@ -53,6 +53,36 @@ WARMUP = (
 )
 
 
+def ingest_throughput(spark, sf_dir: str) -> dict:
+    """Full state-machine ingest (BSON decode -> per-device fold ->
+    datastream rows) over the events table, reported as msgs/sec.
+
+    The reference is an ingest engine whose throughput envelope is
+    capacity parameters (BASELINE.md: prefetch 300 in-flight per AMQP
+    consumer, one serial GenServer per device) rather than a published
+    number; this measurement gives the same pipeline a concrete
+    single-node figure to track round-over-round.
+    """
+    from astarte_data_updater_plant_spark.sources.stream import (
+        events_as_messages,
+        telemetry_interface,
+    )
+    from astarte_data_updater_plant_spark.streaming.pipeline import run_batch
+
+    msgs = events_as_messages(spark, sf_dir)
+    n_msgs = msgs.count()  # also warms the message synthesis path
+    t0 = time.perf_counter()
+    run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    return {
+        "ingest_msgs": n_msgs,
+        "ingest_sec": round(sec, 3),
+        "ingest_msgs_per_sec": round(n_msgs / sec),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                **ingest_throughput(spark, sf_dir),
             }
         )
     )
