@@ -201,13 +201,24 @@ def _snapshot(state: DeviceState) -> dict:
 
 
 def _messages_from_pdf(pdf: pd.DataFrame) -> list[dict]:
-    msgs = pdf.to_dict("records")
+    # column-wise Series.tolist() + zip instead of to_dict("records"):
+    # records mode boxes every cell through maybe_box_native (~4x the
+    # cost of the whole state-machine fold at bench scale)
+    names = list(pdf.columns)
+    cols = []
+    for c in names:
+        s = pdf[c]
+        if s.dtype.kind == "M":  # datetime64 -> stdlib datetime
+            cols.append(
+                [None if t is pd.NaT else t.to_pydatetime() for t in s]
+            )
+        else:
+            cols.append(s.tolist())
+    msgs = [dict(zip(names, row)) for row in zip(*cols)]
     for m in msgs:
-        ts = m["reception_timestamp"]
-        if hasattr(ts, "to_pydatetime"):
-            m["reception_timestamp"] = ts.to_pydatetime()
-        if m.get("payload") is not None:
-            m["payload"] = bytes(m["payload"])
+        p = m.get("payload")
+        if p is not None and not isinstance(p, bytes):
+            m["payload"] = bytes(p)
     return msgs
 
 
