@@ -69,13 +69,19 @@ def ingest_throughput(spark, sf_dir: str) -> dict:
     )
     from astarte_data_updater_plant_spark.streaming.pipeline import run_batch
 
-    msgs = events_as_messages(spark, sf_dir)
-    n_msgs = msgs.count()  # also warms the message synthesis path
-    t0 = time.perf_counter()
-    run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    sec = time.perf_counter() - t0
+    # cache the synthesized message stream so the timed section
+    # measures the ENGINE (shuffle + BSON decode + fold + output), not
+    # the bench fixture's message synthesis
+    msgs = events_as_messages(spark, sf_dir).persist()
+    try:
+        n_msgs = msgs.count()
+        t0 = time.perf_counter()
+        run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sec = time.perf_counter() - t0
+    finally:
+        msgs.unpersist()
     return {
         "ingest_msgs": n_msgs,
         "ingest_sec": round(sec, 3),
