@@ -657,3 +657,99 @@ def q95_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetitive"
         ),
     )
+
+
+@register(
+    "q103_chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 150 AS BIGINT) AS chunk_start,
+           CAST(len(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_md5
+    FROM documents,
+         UNNEST(range(0, CAST(greatest(0, floor((len(text) - 1) / 150)) AS BIGINT) + 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking for RAG/pretraining: fixed 200-char windows "
+    "with stride 150 (50-char overlap), one row per chunk with stable "
+    "(doc_id, chunk_idx) identity, offset, length and digest. The "
+    "fan-out is a sequence+explode over a single narrow scan — "
+    "partition-parallel, output bounded by corpus_len/stride, no "
+    "shuffle before the presentation sort. On a token-based pipeline "
+    "the same shape applies with token arrays from q30/q36.",
+)
+def q103_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idxs = F.expr(
+        "sequence(CAST(0 AS BIGINT), "
+        "CAST(greatest(0, floor((length(text) - 1) / 150)) AS BIGINT))"
+    )
+    chunk = F.expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)")
+    return (
+        docs.select("doc_id", "text", F.explode(idxs).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * 150).alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+#: PII patterns, written to the RE2/Java-regex common subset so the
+#: Spark plan and the DuckDB oracle compile them identically.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@register(
+    "q104_pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from ' ||
+             '10.0.' || (doc_id % 256) || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing for training corpora: count and redact email "
+    "addresses and IPv4 literals with patterns in the RE2/Java common "
+    "subset. Deterministic PII is seeded per document (both engines "
+    "build the same text) so the counts and the digest of the redacted "
+    "output are non-trivially verified. Pure column expressions — one "
+    "narrow scan, no shuffle; the same shape extends to phone/SSN/key "
+    "patterns.",
+)
+def q104_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
