@@ -147,6 +147,19 @@ def decode_bson_payload(payload: bytes) -> DecodedPayload:
     object value (the whole doc). `t` is unix millis."""
     if not payload:
         return DecodedPayload(None, None, None)
+    # fast path for the dominant telemetry shape `{v: <double>}`
+    # (exact 16-byte layout: i32 len, 0x01 type tag, "v\0", f64,
+    # terminator) — skips the generic document walker on the ingest
+    # hot path; any other shape falls through unchanged
+    if (
+        len(payload) == 16
+        and payload[4] == 0x01
+        and payload[5:7] == b"v\x00"
+        and payload[15] == 0
+        and payload[0] == 16
+        and payload[1] == payload[2] == payload[3] == 0
+    ):
+        return DecodedPayload(struct.unpack_from("<d", payload, 7)[0], None, None)
     doc, _ = decode_document(payload)
     if "v" in doc:
         value = doc["v"]
