@@ -226,9 +226,26 @@ def run_batch(
     messages: DataFrame,
     interfaces: tuple[Interface, ...] | None = None,
     max_retention_s: int | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Batch mode: one shuffle on (realm, device_id), state folded
-    per group, union output frame returned.
+    """Batch mode: one shuffle on the device bucket, state folded per
+    device inside each bucket, union output frame returned.
+
+    Grouping by a consistent-hash BUCKET of devices rather than the
+    device itself mirrors the reference's queue sharding
+    (amqp_data_consumer/supervisor.ex:41-49: devices hash onto a queue
+    range, one consumer per queue, per-device serial within it) and
+    cuts the Arrow grouped-map overhead: one pandas frame per bucket
+    instead of one per device (measured 2x end-to-end at sf0.1, where
+    1500 tiny per-device frames cost more than the fold itself).
+    Within a bucket the fold sub-groups by (realm, device_id) and
+    processes each device's messages in (reception_timestamp,
+    message_id) order — identical semantics to per-device grouping.
+
+    ``n_buckets`` sizes the shuffle: default 4x the session's
+    parallelism so buckets stay balanced under skewed device activity;
+    at larger scale pass a bucket count that keeps one bucket's
+    messages comfortably in a task's memory.
 
     ``max_retention_s`` is the realm-wide
     ``datastream_maximum_storage_retention`` (kv_store realm_config,
@@ -237,32 +254,36 @@ def run_batch(
     at handler init (impl.ex:83-86).
     """
     ifaces = interfaces or fixture_interfaces()
+    if n_buckets is None:
+        n_buckets = 4 * messages.sparkSession.sparkContext.defaultParallelism
 
     def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        realm, device_id = key
         catalog = Catalog(ifaces)
-        state = DeviceState(
-            realm=realm, device_id=device_id, max_retention_s=max_retention_s
-        )
-        out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
-        rows = _output_records(realm, device_id, out)
-        rows.append(
-            {
-                "kind": "device_snapshot",
-                "realm": realm,
-                "device_id": device_id,
-                "interface": None,
-                "path": None,
-                "event_type": None,
-                "error": None,
-                "timestamp": None,
-                "payload_json": _dumps(_snapshot(state)),
-            }
-        )
+        rows: list[dict] = []
+        for (realm, device_id), g in pdf.groupby(["realm", "device_id"], sort=False):
+            state = DeviceState(
+                realm=realm, device_id=device_id, max_retention_s=max_retention_s
+            )
+            out = process_device_messages(state, catalog, _messages_from_pdf(g))
+            rows.extend(_output_records(realm, device_id, out))
+            rows.append(
+                {
+                    "kind": "device_snapshot",
+                    "realm": realm,
+                    "device_id": device_id,
+                    "interface": None,
+                    "path": None,
+                    "event_type": None,
+                    "error": None,
+                    "timestamp": None,
+                    "payload_json": _dumps(_snapshot(state)),
+                }
+            )
         return pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
+    bucket = F.pmod(F.xxhash64("realm", "device_id"), F.lit(n_buckets)).cast("int")
     return (
-        messages.groupBy("realm", "device_id")
+        messages.groupBy(bucket.alias("__bucket"))
         .applyInPandas(fold, schema=OUTPUT_SCHEMA)
     )
 
