@@ -45,19 +45,29 @@ def _halves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ORDER BY user_id, event_type, change
     """,
     doc="Introspection diff (impl.ex:726-799): per-device set of announced "
-    "interfaces, old vs new -> added/removed via symmetric anti-joins. "
-    "Replaces the reference's Myers diff with two hash anti-joins that "
-    "shuffle only on (user_id, event_type).",
+    "interfaces, old vs new -> added/removed. Replaces the reference's "
+    "Myers diff — and the naive two-anti-join plan — with ONE "
+    "aggregation pass: per (device, interface) presence flags for each "
+    "half, then a flag comparison. One shuffle over the fact instead "
+    "of the 5 exchanges the distinct+anti-join formulation costs; at "
+    "100 TB the fact is scanned once and shuffled once.",
 )
 def q20_introspection_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old, new = _halves(spark, sf_dir)
-    added = new.join(old, ["user_id", "event_type"], "left_anti").withColumn(
-        "change", F.lit("added")
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    flags = ev.groupBy("user_id", "event_type").agg(
+        F.max((F.col("ts") < split).cast("int")).alias("in_old"),
+        F.max((F.col("ts") >= split).cast("int")).alias("in_new"),
     )
-    removed = old.join(new, ["user_id", "event_type"], "left_anti").withColumn(
-        "change", F.lit("removed")
+    change = (
+        F.when((F.col("in_new") == 1) & (F.col("in_old") == 0), F.lit("added"))
+        .when((F.col("in_old") == 1) & (F.col("in_new") == 0), F.lit("removed"))
     )
-    return added.unionAll(removed).orderBy("user_id", "event_type", "change")
+    return (
+        flags.select("user_id", "event_type", change.alias("change"))
+        .filter(F.col("change").isNotNull())
+        .orderBy("user_id", "event_type", "change")
+    )
 
 
 @register(
@@ -76,17 +86,29 @@ def q20_introspection_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cohort, user_id
     """,
     doc="UNION/INTERSECT/EXCEPT cohort split — the MapSet algebra of the "
-    "property-prune path (impl.ex:1334-1411) as native set operators.",
+    "property-prune path (impl.ex:1334-1411). The oracle states it as "
+    "native set operators; the Spark plan computes all three cohorts "
+    "in ONE aggregation pass (per-user presence flags per half), one "
+    "shuffle over the fact instead of the 7 exchanges the "
+    "distinct+intersect+except formulation costs.",
 )
 def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    old = ev.filter(F.col("ts") < split).select("user_id").distinct()
-    new = ev.filter(F.col("ts") >= split).select("user_id").distinct()
-    both = old.intersect(new).withColumn("cohort", F.lit("both"))
-    old_only = old.exceptAll(new).withColumn("cohort", F.lit("old_only"))
-    new_only = new.exceptAll(old).withColumn("cohort", F.lit("new_only"))
-    return both.unionAll(old_only).unionAll(new_only).orderBy("cohort", "user_id")
+    flags = ev.groupBy("user_id").agg(
+        F.coalesce(F.max((F.col("ts") < split).cast("int")), F.lit(0)).alias("in_old"),
+        F.coalesce(F.max((F.col("ts") >= split).cast("int")), F.lit(0)).alias("in_new"),
+    )
+    cohort = (
+        F.when((F.col("in_old") == 1) & (F.col("in_new") == 1), F.lit("both"))
+        .when(F.col("in_old") == 1, F.lit("old_only"))
+        .when(F.col("in_new") == 1, F.lit("new_only"))
+    )
+    return (
+        flags.select("user_id", cohort.alias("cohort"))
+        .filter(F.col("cohort").isNotNull())
+        .orderBy("cohort", "user_id")
+    )
 
 
 @register(
@@ -104,19 +126,21 @@ def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s.user_id, s.event_type
     """,
     doc="Property prune (impl.ex:1334-1411): every stored path of a device "
-    "NOT present in its recently-alive set -> delete candidates. "
-    "Left anti join on the composite key.",
+    "NOT present in its recently-alive set -> delete candidates. The "
+    "anti-join semantics collapse to one aggregation pass: a key is "
+    "prunable iff its max event time predates the alive cutoff — one "
+    "shuffle over the fact, no second distinct or anti-join exchange.",
 )
 def q22_property_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    stored = ev.select("user_id", "event_type").distinct()
-    alive = (
-        ev.filter(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
-        .select("user_id", "event_type")
-        .distinct()
-    )
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
     return (
-        stored.join(alive, ["user_id", "event_type"], "left_anti")
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("last_ts"))
+        # NULL last_ts (key seen only with NULL ts) is stored but never
+        # alive -> prunable, matching the oracle's distinct/anti-join
+        .filter((F.col("last_ts") < cutoff) | F.col("last_ts").isNull())
+        .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     )
 
