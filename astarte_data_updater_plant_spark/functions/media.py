@@ -109,9 +109,13 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     elif width == 1:  # unsigned in WAV
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
     else:
+        # Little-endian: pad on the LOW side so the sample lands in the
+        # high bytes, then arithmetic-shift back down — this sign-extends
+        # 24-bit PCM correctly (appending the pad instead would zero the
+        # sign and divide the magnitude by 256).
         samples = np.array(
             [
-                struct.unpack("<i", raw[i : i + width] + b"\x00" * (4 - width))[0]
+                struct.unpack("<i", b"\x00" * (4 - width) + raw[i : i + width])[0]
                 >> (8 * (4 - width))
                 for i in range(0, len(raw), width)
             ],

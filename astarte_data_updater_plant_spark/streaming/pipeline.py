@@ -451,6 +451,12 @@ def events_table(outputs: DataFrame) -> DataFrame:
         F.col("p.new_value").alias("new_value"),
         F.col("p.ip_address").alias("ip_address"),
         F.col("p.introspection").alias("introspection"),
+        # the original typed payload: the string-cast columns above are
+        # for tabular consumers; the wire encoder needs number/bool
+        # types preserved (the reference publishes typed BSON values,
+        # data_updater_test.exs asserts an integer bson_value) plus the
+        # int fields (major/minor) the columns don't carry at all.
+        F.col("payload_json").alias("typed_json"),
     )
 
 
@@ -505,6 +511,9 @@ def object_table(outputs: DataFrame, interface: Interface) -> DataFrame:
         [
             T.StructField("reception_timestamp", T.TimestampType(), True),
             T.StructField("value_timestamp", T.TimestampType(), True),
+            # realm retention cap applies to object inserts too
+            # (impl.ex:438 via the same insert_value_into_db)
+            T.StructField("expires_at", T.TimestampType(), True),
         ]
         + [
             T.StructField(object_column_name(m.endpoint), _spark_type_of(m), True)
@@ -519,6 +528,7 @@ def object_table(outputs: DataFrame, interface: Interface) -> DataFrame:
         "realm", "device_id", "path",
         F.col("p.reception_timestamp").alias("reception_timestamp"),
         F.col("p.value_timestamp").alias("value_timestamp"),
+        F.col("p.expires_at").alias("expires_at"),
         *[F.col(f"p.{c}").alias(c) for c in cols],
     )
 

@@ -40,7 +40,6 @@ from ..catalog import (
     Interface,
     InterfaceType,
     Ownership,
-    Retention,
     object_column_name,
     object_table_name,
 )
@@ -52,8 +51,6 @@ from ..functions.payloads import (
 )
 from ..types import ValueType, db_column_name, python_value_type
 
-#: path-registry TTL factor: 2.5x retention expiry (impl.ex:527-533)
-PATH_TTL_FACTOR = 2.5
 #: clock tolerance when judging an existing registry entry (impl.ex:535-557)
 PATH_TTL_TOLERANCE_S = 3600
 #: per-device paths cache size (impl.ex:46, cache.ex:24-40)
@@ -408,28 +405,48 @@ def _handle_unset(state, iface, mapping, path, ts, out, msg) -> None:
 def effective_retention_s(
     mapping_expiry: int | None, cap_s: int | None
 ) -> int | None:
-    """Per-mapping retention bounded by the realm-wide cap.
-
-    The reference reads ``datastream_maximum_storage_retention`` from
-    kv_store realm_config (queries.ex:745-772) and applies it as the
-    TTL on every datastream value insert (impl.ex:427-438); with no
-    per-mapping expiry the cap itself is the TTL.
+    """min(mapping expiry, realm cap) — an ANALYTICS combinator (used
+    by q100's effective-TTL view), deliberately NOT what the ingest
+    path applies: the reference's insert TTL is the realm cap ALONE
+    (impl.ex:427-438 passes ``state.datastream_maximum_storage_retention``
+    verbatim; the mapping is never consulted), which
+    :func:`_handle_datastream` now mirrors exactly.
     """
     if mapping_expiry and cap_s:
         return min(mapping_expiry, cap_s)
     return mapping_expiry or cap_s or None
 
 
+def path_ttl_s(cap_s: int | None) -> int | None:
+    """Path-registry TTL: 2.5x the realm cap (impl.ex:527-533:
+    ``retention_secs * 2 + div(retention_secs, 2)``); nil cap -> no TTL."""
+    return cap_s * 2 + cap_s // 2 if cap_s else None
+
+
 def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) -> None:
     """Individual datastream append (queries.ex:157-197) + path
-    registry gate (impl.ex:386-416)."""
+    registry gate (impl.ex:386-416).
+
+    TTL semantics follow the reference exactly: the realm cap alone is
+    the insert TTL (impl.ex:438 — mapping expiry is not consulted) and
+    the registry row gets 2.5x the cap (impl.ex:414,527-533). The
+    re-registration gate is ``is_still_valid?`` (impl.ex:547-557): a
+    registry row written at t0 with TTL 2.5*cap stops being "still
+    valid" once now + cap + 3600 >= t0 + 2.5*cap, i.e. age >=
+    1.5*cap - 3600. (The reference's ``Cache.has_key?`` is inverted —
+    cache.ex:69-80 returns ``not is_valid`` — so its in-memory cache
+    never short-circuits the DB check; the DB-expiry gate is the
+    effective behavior and is what we model. With no cap the registry
+    row has no expiry and registration happens once per path.)
+    """
     key = (iface.name, path)
-    reg_s = effective_retention_s(mapping.expiry, state.max_retention_s)
-    ttl_s = reg_s * PATH_TTL_FACTOR if reg_s else None
+    cap = state.max_retention_s
+    ttl_s = path_ttl_s(cap)
     cached = state.paths_cache.get(key)
     needs_registry = cached is None or (
-        ttl_s is not None
-        and (ts - cached).total_seconds() > max(ttl_s - PATH_TTL_TOLERANCE_S, 0)
+        cap is not None
+        and (ts - cached).total_seconds()
+        >= max(1.5 * cap - PATH_TTL_TOLERANCE_S, 0)
     )
     if needs_registry:
         if cached is None and len(state.paths_cache) >= PATHS_CACHE_SIZE:
@@ -454,14 +471,10 @@ def _handle_datastream(state, iface, mapping, path, value, value_ts, ts, out) ->
         )
     row = _typed_row(state, iface, mapping, path, value, ts)
     row["value_timestamp"] = value_ts
-    # mapping expiry applies to stored-retention mappings; the realm
-    # cap applies to EVERY datastream insert (impl.ex:427-438)
-    val_s = effective_retention_s(
-        mapping.expiry if mapping.retention is Retention.STORED else None,
-        state.max_retention_s,
-    )
-    if val_s:
-        row["expires_at"] = ts + timedelta(seconds=val_s)
+    # the realm cap ALONE is the insert TTL on every datastream value
+    # (impl.ex:438); mapping expiry is not consulted by the reference
+    if cap:
+        row["expires_at"] = ts + timedelta(seconds=cap)
     out.datastream_rows.append(row)
     out.events.append(
         _event(state, "value_stored", ts, interface=iface.name, path=path, value=value)
@@ -509,6 +522,11 @@ def _handle_object_data(state, iface, path, decoded, ts, out, msg) -> None:
         row["value_timestamp"] = datetime.fromtimestamp(
             decoded.timestamp_ms / 1000.0, tz=ts.tzinfo
         )
+    # the realm cap applies to object-aggregated inserts too — the
+    # reference routes them through the same insert_value_into_db with
+    # ttl: cap (impl.ex:438, queries.ex:199-297)
+    if state.max_retention_s:
+        row["expires_at"] = ts + timedelta(seconds=state.max_retention_s)
     out.object_rows.append(row)
     out.events.append(
         _event(state, "incoming_data", ts, interface=iface.name, path=path, value=value)

@@ -43,6 +43,10 @@ from ..functions.payloads import encode_document
 
 
 def _varint(n: int) -> bytes:
+    # Protobuf encodes negative int32/int64 as the 64-bit two's
+    # complement (a 10-byte varint); Python's arithmetic shift would
+    # loop forever on a negative value, so mask to 64 bits first.
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -75,6 +79,11 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return n, pos
         shift += 7
+
+
+def _signed64(n: int) -> int:
+    """Undo the 64-bit two's-complement masking applied on encode."""
+    return n - (1 << 64) if n >= (1 << 63) else n
 
 
 def _decode_message(buf: bytes) -> dict[int, list[Any]]:
@@ -219,7 +228,7 @@ def decode_simple_event(buf: bytes) -> dict[str, Any]:
         "parent_trigger_id": bytes(fields[_F_PARENT_TRIGGER_ID][0]),
         "realm": fields[_F_REALM][0].decode("utf-8"),
         "device_id": fields[_F_DEVICE_ID][0].decode("utf-8"),
-        "timestamp": fields[_F_TIMESTAMP][0],
+        "timestamp": _signed64(fields[_F_TIMESTAMP][0]),
         "version": fields[_F_VERSION][0],
     }
     for num, vals in fields.items():
@@ -234,7 +243,7 @@ def decode_simple_event(buf: bytes) -> dict[str, Any]:
                 if kind == "s":
                     ev[key] = raw.decode("utf-8")
                 elif kind == "i":
-                    ev[key] = raw
+                    ev[key] = _signed64(raw)
                 else:
                     ev[key] = decode_document(bytes(raw))[0]["v"]
             out["event"] = (name, ev)
@@ -294,12 +303,19 @@ def events_wire_table(events: DataFrame, targets: DataFrame) -> DataFrame:
     Plan shape: broadcast the (tiny) target dim, join on event type,
     build headers natively, then one Arrow-batched pandas UDF encodes
     the protobuf payloads. No shuffle beyond the fan-out join.
+
+    Typed values: when ``events`` carries the ``typed_json`` column
+    (events_table output), its number/bool/int fields override the
+    string-cast tabular columns, so e.g. an integer value goes on the
+    wire as an integer BSON value like the reference's
+    (data_updater_test.exs asserts an integer bson_value).
     """
     matched = events.join(
         F.broadcast(targets),
         (F.col("t_event_type") == F.col("event_type"))
         | (F.col("t_event_type") == F.lit("*")),
     )
+    has_typed = "typed_json" in events.columns
 
     @F.pandas_udf(T.BinaryType())
     def encode_batch(
@@ -309,15 +325,21 @@ def events_wire_table(events: DataFrame, targets: DataFrame) -> DataFrame:
         device_id: pd.Series,
         ts_ms: pd.Series,
         row_json: pd.Series,
+        typed_json: pd.Series,
     ) -> pd.Series:
         out = []
-        for et, tid, rlm, dev, ms, rj in zip(
-            event_type, trigger_id, realm, device_id, ts_ms, row_json
+        for et, tid, rlm, dev, ms, rj, tj in zip(
+            event_type, trigger_id, realm, device_id, ts_ms, row_json, typed_json
         ):
+            row = json.loads(rj)
+            if tj:  # typed payload wins over string-cast columns
+                for k, v in json.loads(tj).items():
+                    if v is not None:
+                        row[k] = v
             out.append(
                 encode_simple_event(
                     et,
-                    json.loads(rj),
+                    row,
                     realm=rlm,
                     device_id=dev,
                     timestamp_ms=int(ms),
@@ -346,11 +368,12 @@ def events_wire_table(events: DataFrame, targets: DataFrame) -> DataFrame:
         F.lit("x_astarte_parent_trigger_id"), F.lit(parent_str),
         F.lit("x_astarte_event_type"), F.concat(F.col("event_type"), F.lit("_event")),
     )
+    typed = F.col("typed_json") if has_typed else F.lit(None).cast("string")
     return matched.select(
         F.col("routing_key"),
         headers.alias("headers"),
         encode_batch(
             F.col("event_type"), F.col("trigger_id"), F.col("realm"),
-            F.col("device_id"), ts_ms, row_json,
+            F.col("device_id"), ts_ms, row_json, typed,
         ).alias("payload"),
     )

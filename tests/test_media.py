@@ -60,6 +60,26 @@ def test_wav_roundtrip():
     assert np.array_equal(decoded, samples.astype(np.int64))
 
 
+def test_wav_24bit_sign_extension():
+    # 24-bit PCM: the pad bytes must go on the LOW side so the
+    # arithmetic shift sign-extends; 1 must decode as 1 (not 0) and
+    # -1 as -1 (not a huge positive)
+    import io as _io
+    import wave as _wave
+
+    samples = [1, -1, 8388607, -8388608, 0, 256]
+    raw = b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
+    out = _io.BytesIO()
+    with _wave.open(out, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(48000)
+        wf.writeframes(raw)
+    nch, rate, width, decoded = decode_wav(out.getvalue())
+    assert (nch, rate, width) == (1, 48000, 3)
+    assert decoded.tolist() == samples
+
+
 def test_decode_media_dispatch():
     img = encode_pgm(np.zeros((2, 2), dtype=np.uint8))
     w, h, maxval, _ = decode_media(img)

@@ -302,6 +302,8 @@ def test_minor_only_update_fires_nothing():
     assert state.introspection == {"com.test.LCDMonitor": (1, 4)}
 
 def test_effective_retention_cap_combinator():
+    # analytics-only combinator (q100's effective-TTL view); the ingest
+    # path applies the cap alone — see the tests below
     from astarte_data_updater_plant_spark.streaming.state_machine import (
         effective_retention_s,
     )
@@ -313,12 +315,22 @@ def test_effective_retention_cap_combinator():
     assert effective_retention_s(3600, 7200) == 3600   # mapping under cap
 
 
+def test_path_ttl_matches_reference():
+    # impl.ex:527-533: retention * 2 + div(retention, 2), nil -> nil
+    from astarte_data_updater_plant_spark.streaming.state_machine import path_ttl_s
+
+    assert path_ttl_s(None) is None
+    assert path_ttl_s(7200) == 18000
+    assert path_ttl_s(7201) == 7201 * 2 + 7201 // 2  # integer div like Elixir's
+
+
 def test_realm_retention_cap_sets_datastream_expiry():
     from datetime import timedelta
 
     # with the realm cap set, every datastream insert gets
-    # expires_at = reception + cap (impl.ex:427-438), and the path
-    # registry entry gets 2.5x the cap (impl.ex:527-533)
+    # expires_at = reception + cap — the cap ALONE, mapping expiry is
+    # never consulted (impl.ex:438) — and the path registry entry gets
+    # 2.5x the cap (impl.ex:414,527-533)
     state = DeviceState(realm=REALM, device_id=DEVICE, max_retention_s=7200)
     catalog = Catalog(fixture_interfaces())
     out = process_device_messages(state, catalog, simple_flow_messages())
@@ -332,8 +344,13 @@ def test_realm_retention_cap_sets_datastream_expiry():
         assert u["expires_at"] == u["reception_timestamp"] + timedelta(
             seconds=int(7200 * 2.5)
         )
+    # the cap applies to object-aggregated inserts too (same
+    # insert_value_into_db call, impl.ex:438)
+    assert out.object_rows
+    for r in out.object_rows:
+        assert r["expires_at"] == r["reception_timestamp"] + timedelta(seconds=7200)
 
-    # without the cap the same flow leaves expiry unset (fixture
-    # mappings have no per-mapping expiry)
+    # without the cap the same flow leaves expiry unset everywhere
     _, out2 = run_flow()
     assert all(r.get("expires_at") is None for r in out2.datastream_rows)
+    assert all(r.get("expires_at") is None for r in out2.object_rows)

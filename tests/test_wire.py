@@ -108,14 +108,17 @@ def test_events_wire_table(spark):
             T.StructField("new_value", T.StringType()),
             T.StructField("ip_address", T.StringType()),
             T.StructField("introspection", T.StringType()),
+            T.StructField("typed_json", T.StringType()),
         ]
     )
     events = spark.createDataFrame(
         [
             (REALM, DEVICE, "device_connected", datetime(2017, 10, 9, 14, 0, 32),
-             None, None, None, None, None, "10.0.0.1", None),
+             None, None, None, None, None, "10.0.0.1", None,
+             '{"ip_address": "10.0.0.1"}'),
             (REALM, DEVICE, "value_stored", datetime(2017, 10, 9, 14, 0, 33),
-             "com.test.S", "/0/v", "5", None, None, None, None),
+             "com.test.S", "/0/v", "5", None, None, None, None,
+             '{"value": 5}'),
         ],
         ev_schema,
     )
@@ -141,4 +144,20 @@ def test_events_wire_table(spark):
     stored = [r for r in by_key["events.all"]
               if r.headers["x_astarte_event_type"] == "value_stored_event"][0]
     ev = decode_simple_event(bytes(stored.payload))["event"][1]
-    assert ev == {"interface": "com.test.S", "path": "/0/v", "value": "5"}
+    # typed_json wins over the string-cast column: the wire value is the
+    # INTEGER 5 (the reference's typed Cyanide BSON), not the string "5"
+    assert ev == {"interface": "com.test.S", "path": "/0/v", "value": 5}
+
+
+def test_negative_timestamp_and_int_fields():
+    # pre-epoch timestamps / negative ints must encode as protobuf's
+    # 10-byte two's-complement varint, not hang the encoder
+    buf = encode_simple_event(
+        "interface_minor_updated",
+        {"interface": "com.test.L", "major": 1, "old_minor": -1, "new_minor": 2},
+        realm=REALM, device_id=DEVICE, timestamp_ms=-86400000,
+        simple_trigger_id=trigger_uuid("t"), parent_trigger_id=PARENT_TRIGGER_ID,
+    )
+    decoded = decode_simple_event(buf)
+    assert decoded["timestamp"] == -86400000
+    assert decoded["event"][1]["old_minor"] == -1
