@@ -280,6 +280,183 @@ PARENT_TRIGGER_ID = uuid.uuid5(uuid.NAMESPACE_URL, "astarte-trigger:parent").byt
 
 
 # ---------------------------------------------------------------------------
+# Volatile-trigger RPC codec (rpc/handler.ex:35-100)
+#
+# The reference's RPC endpoint receives a protobuf ``Call`` envelope
+# (astarte_rpc's public dataupdaterplant.proto) carrying one of
+# InstallVolatileTrigger / DeleteVolatileTrigger, dispatches it to the
+# per-device GenServer, and answers with a ``Reply`` envelope wrapping
+# GenericOkReply or GenericErrorReply. This section re-expresses that
+# wire contract with the same minimal varint codec as SimpleEvent;
+# field numbering follows the public proto's declaration order and is
+# documented here + round-trip checked by the golden tests, so any
+# renumbering shows up as a test diff rather than silent corruption.
+# ---------------------------------------------------------------------------
+
+#: Call.call oneof (rpc/handler.ex:52-98 clause order)
+_F_CALL_INSTALL = 1  # InstallVolatileTrigger
+_F_CALL_DELETE = 2  # DeleteVolatileTrigger
+
+#: InstallVolatileTrigger fields (rpc/handler.ex:52-61 struct order)
+_INSTALL_FIELDS = (
+    (1, "s", "realm_name"),
+    (2, "s", "device_id"),
+    (3, "b", "object_id"),
+    (4, "i", "object_type"),
+    (5, "b", "parent_id"),
+    (6, "b", "simple_trigger_id"),
+    (7, "b", "simple_trigger"),
+    (8, "b", "trigger_target"),
+)
+
+#: DeleteVolatileTrigger fields (rpc/handler.ex:85-89 struct order)
+_DELETE_FIELDS = (
+    (1, "s", "realm_name"),
+    (2, "s", "device_id"),
+    (3, "b", "trigger_id"),
+)
+
+#: Reply envelope: oneof reply + error flag (handler.ex:119-129)
+_F_REPLY_OK = 1  # GenericOkReply (empty message)
+_F_REPLY_ERROR = 2  # GenericErrorReply
+_F_REPLY_ERROR_FLAG = 3  # bool, true on the error arm
+
+#: GenericErrorReply fields (handler.ex:101-115 struct order)
+_ERROR_REPLY_FIELDS = (
+    (1, "s", "error_name"),
+    (2, "s", "user_readable_message"),
+    (3, "s", "user_readable_error_name"),
+    (4, "s", "error_data"),
+)
+
+
+def _encode_fields(layout: tuple, row: dict[str, Any]) -> bytes:
+    body = b""
+    for num, kind, key in layout:
+        val = row.get(key)
+        if val is None:
+            continue
+        if kind == "s":
+            body += _field_str(num, str(val))
+        elif kind == "i":
+            body += _field_varint(num, int(val))
+        else:  # 'b'
+            body += _field_bytes(num, bytes(val))
+    return body
+
+
+def _decode_fields(layout: tuple, buf: bytes) -> dict[str, Any]:
+    sub = _decode_message(buf)
+    out: dict[str, Any] = {}
+    for num, kind, key in layout:
+        if num not in sub:
+            continue
+        raw = sub[num][0]
+        if kind == "s":
+            out[key] = raw.decode("utf-8")
+        elif kind == "i":
+            out[key] = _signed64(raw)
+        else:
+            out[key] = bytes(raw)
+    return out
+
+
+def encode_install_volatile_trigger_call(**fields: Any) -> bytes:
+    """Call{install_volatile_trigger: InstallVolatileTrigger{...}}.
+
+    ``simple_trigger`` rides as bytes exactly like the reference (there
+    an astarte_core TaggedSimpleTrigger protobuf; here the engine's
+    JSON match spec ``{interface, path, op, known_value}`` — the
+    in-engine trigger format, documented divergence)."""
+    return _field_bytes(_F_CALL_INSTALL, _encode_fields(_INSTALL_FIELDS, fields))
+
+
+def encode_delete_volatile_trigger_call(**fields: Any) -> bytes:
+    """Call{delete_volatile_trigger: DeleteVolatileTrigger{...}}."""
+    return _field_bytes(_F_CALL_DELETE, _encode_fields(_DELETE_FIELDS, fields))
+
+
+def decode_call(buf: bytes) -> tuple[str, dict[str, Any]]:
+    """Inverse of the two encoders: (call_name, fields). An empty
+    envelope raises ValueError (handler.ex:40-43 rejects empty calls)."""
+    fields = _decode_message(buf)
+    if _F_CALL_INSTALL in fields:
+        return (
+            "install_volatile_trigger",
+            _decode_fields(_INSTALL_FIELDS, bytes(fields[_F_CALL_INSTALL][0])),
+        )
+    if _F_CALL_DELETE in fields:
+        return (
+            "delete_volatile_trigger",
+            _decode_fields(_DELETE_FIELDS, bytes(fields[_F_CALL_DELETE][0])),
+        )
+    raise ValueError("empty call")
+
+
+def encode_generic_ok_reply() -> bytes:
+    """Reply{reply: generic_ok_reply, error: false} (handler.ex:119-122)."""
+    return _field_bytes(_F_REPLY_OK, b"")
+
+
+def encode_generic_error_reply(
+    error_name: str,
+    user_readable_message: str | None = None,
+    user_readable_error_name: str | None = None,
+    error_data: str | None = None,
+) -> bytes:
+    """Reply{reply: generic_error_reply, error: true} (handler.ex:101-127)."""
+    body = _encode_fields(
+        _ERROR_REPLY_FIELDS,
+        {
+            "error_name": error_name,
+            "user_readable_message": user_readable_message,
+            "user_readable_error_name": user_readable_error_name,
+            "error_data": error_data,
+        },
+    )
+    return _field_bytes(_F_REPLY_ERROR, body) + _field_varint(_F_REPLY_ERROR_FLAG, 1)
+
+
+def decode_reply(buf: bytes) -> dict[str, Any]:
+    """Decode a Reply envelope: {"ok": bool, ...error fields}."""
+    fields = _decode_message(buf)
+    if _F_REPLY_OK in fields:
+        return {"ok": True}
+    if _F_REPLY_ERROR in fields:
+        out = _decode_fields(_ERROR_REPLY_FIELDS, bytes(fields[_F_REPLY_ERROR][0]))
+        out["ok"] = False
+        return out
+    raise ValueError("empty reply")
+
+
+def rpc_call_to_message(buf: bytes, *, message_id: str, timestamp) -> dict[str, Any]:
+    """Bridge: decoded Call -> the state machine's message dict
+    (MESSAGE_SCHEMA shape), so RPC-driven installs/deletes flow through
+    the same per-device fold as data (data_updater.ex:97-121 routes the
+    RPC to the same GenServer serial queue)."""
+    name, f = decode_call(buf)
+    if name == "install_volatile_trigger":
+        spec = json.loads((f.get("simple_trigger") or b"{}").decode("utf-8"))
+        spec["trigger_id"] = str(uuid.UUID(bytes=f["simple_trigger_id"]))
+        payload = json.dumps(spec).encode("utf-8")
+    else:
+        payload = json.dumps(
+            {"trigger_id": str(uuid.UUID(bytes=f["trigger_id"]))}
+        ).encode("utf-8")
+    return {
+        "message_id": message_id,
+        "reception_timestamp": timestamp,
+        "realm": f["realm_name"],
+        "device_id": f["device_id"],
+        "msg_type": name,
+        "interface": None,
+        "path": None,
+        "payload": payload,
+        "ip_address": None,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Spark materializer
 # ---------------------------------------------------------------------------
 

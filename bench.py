@@ -75,11 +75,20 @@ def ingest_throughput(spark, sf_dir: str) -> dict:
     msgs = events_as_messages(spark, sf_dir).persist()
     try:
         n_msgs = msgs.count()
-        t0 = time.perf_counter()
+        # one untimed pass, same steady-state rationale as WARMUP: the
+        # first execution pays python-worker spawn + codegen for this
+        # plan shape, one-time costs on a long-lived cluster
         run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
             "noop"
         ).mode("overwrite").save()
-        sec = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        sec = best
     finally:
         msgs.unpersist()
     return {

@@ -9,9 +9,16 @@ import uuid
 
 from astarte_data_updater_plant_spark.streaming.wire import (
     PARENT_TRIGGER_ID,
+    decode_call,
+    decode_reply,
     decode_simple_event,
+    encode_delete_volatile_trigger_call,
+    encode_generic_error_reply,
+    encode_generic_ok_reply,
+    encode_install_volatile_trigger_call,
     encode_simple_event,
     events_wire_table,
+    rpc_call_to_message,
     simple_event_headers,
     trigger_uuid,
 )
@@ -88,6 +95,112 @@ def test_roundtrip_every_event_type():
         name, ev = decode_simple_event(buf)["event"]
         assert name == et
         assert ev == row, et
+
+
+def test_rpc_call_roundtrip():
+    import json
+
+    stid = trigger_uuid("vt1")
+    spec = json.dumps({
+        "interface": "com.test.SimpleStreamTest", "path": "/0/value",
+        "op": "GREATER_THAN", "known_value": 10,
+    }).encode()
+    buf = encode_install_volatile_trigger_call(
+        realm_name=REALM, device_id=DEVICE,
+        object_id=b"\x01" * 16, object_type=2, parent_id=PARENT_TRIGGER_ID,
+        simple_trigger_id=stid, simple_trigger=spec, trigger_target=b"amqp:t",
+    )
+    name, f = decode_call(buf)
+    assert name == "install_volatile_trigger"
+    assert f == {
+        "realm_name": REALM, "device_id": DEVICE,
+        "object_id": b"\x01" * 16, "object_type": 2,
+        "parent_id": PARENT_TRIGGER_ID, "simple_trigger_id": stid,
+        "simple_trigger": spec, "trigger_target": b"amqp:t",
+    }
+
+    dbuf = encode_delete_volatile_trigger_call(
+        realm_name=REALM, device_id=DEVICE, trigger_id=stid
+    )
+    name, f = decode_call(dbuf)
+    assert name == "delete_volatile_trigger"
+    assert f == {"realm_name": REALM, "device_id": DEVICE, "trigger_id": stid}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # handler.ex:40-43 rejects empty calls
+        decode_call(b"")
+
+
+def test_rpc_reply_roundtrip():
+    assert decode_reply(encode_generic_ok_reply()) == {"ok": True}
+    err = decode_reply(
+        encode_generic_error_reply(
+            "device_not_found", user_readable_message="no such device"
+        )
+    )
+    assert err == {
+        "ok": False,
+        "error_name": "device_not_found",
+        "user_readable_message": "no such device",
+    }
+
+
+def test_rpc_drives_state_machine():
+    """Decoded Call messages run the existing install/fire/delete path
+    (data_updater.ex:97-121: RPC lands on the same per-device serial
+    queue as data)."""
+    import json
+    import uuid as _uuid
+    from datetime import datetime, timedelta
+
+    from astarte_data_updater_plant_spark.catalog import fixture_interfaces
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+    from astarte_data_updater_plant_spark.streaming.state_machine import (
+        Catalog,
+        DeviceState,
+        process_device_messages,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    stid = trigger_uuid("vt-rpc")
+    tid_str = str(_uuid.UUID(bytes=stid))
+    spec = json.dumps({
+        "interface": "com.test.SimpleStreamTest", "path": "/0/value",
+        "op": "GREATER_THAN", "known_value": 10,
+    }).encode()
+    install = rpc_call_to_message(
+        encode_install_volatile_trigger_call(
+            realm_name=REALM, device_id=DEVICE, simple_trigger_id=stid,
+            simple_trigger=spec, trigger_target=b"t",
+        ),
+        message_id="rpc-1", timestamp=t0 + timedelta(seconds=1),
+    )
+    delete = rpc_call_to_message(
+        encode_delete_volatile_trigger_call(
+            realm_name=REALM, device_id=DEVICE, trigger_id=stid
+        ),
+        message_id="rpc-2", timestamp=t0 + timedelta(seconds=3),
+    )
+    base = dict(realm=REALM, device_id=DEVICE, interface=None, path=None,
+                ip_address=None)
+    intro = dict(base, message_id="i0", reception_timestamp=t0,
+                 msg_type="introspection",
+                 payload=b"com.test.SimpleStreamTest:1:0")
+    data = dict(base, message_id="d1",
+                reception_timestamp=t0 + timedelta(seconds=2),
+                msg_type="data", interface="com.test.SimpleStreamTest",
+                path="/0/value", payload=encode_document({"v": 42}))
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    out = process_device_messages(
+        state, Catalog(fixture_interfaces()), [intro, install, data, delete]
+    )
+    evs = [e["event_type"] for e in out.events]
+    assert evs.count("volatile_trigger_installed") == 1
+    fired = [e for e in out.events if e["event_type"] == "volatile_trigger_fired"]
+    assert len(fired) == 1 and fired[0]["value"] == tid_str
+    assert evs.count("volatile_trigger_deleted") == 1
+    assert state.volatile_triggers == {}
 
 
 def test_events_wire_table(spark):
