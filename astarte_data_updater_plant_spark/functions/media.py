@@ -21,6 +21,8 @@ import wave
 
 import numpy as np
 
+from .payloads import safe_inflate
+
 
 # ---------------------------------------------------------------------------
 # netpbm (PGM P5 grayscale / PPM P6 rgb), binary variants
@@ -124,13 +126,169 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     return nch, rate, width, samples
 
 
+# ---------------------------------------------------------------------------
+# PNG (non-interlaced, 8-bit gray / RGB) — pure stdlib-zlib codec
+#
+# The one compressed image format the container CAN decode without
+# native codec libraries: PNG's DEFLATE stream is stdlib zlib, and the
+# rest of the spec (chunk framing with CRC32, scanline filters 0-4) is
+# plain byte arithmetic. Public spec: RFC 2083 / W3C PNG.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Serialize a (h, w) uint8 gray or (h, w, 3) uint8 RGB array as a
+    non-interlaced 8-bit PNG. Scanline filters cycle 0..4 per row so a
+    round-trip exercises every unfilter path."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    color_type = 0 if ch == 1 else 2
+    raw = pixels.astype(np.uint8).reshape(h, w * ch)
+    bpp = ch
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = y % 5
+        row = raw[y].astype(np.int64)
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp]))
+        ul = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)),
+                dtype=np.int64,
+                count=len(row),
+            )
+            filt = row - pred
+        lines.append(f)
+        lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit gray/RGB PNG: returns (width,
+    height, bit_depth, color_type, pixels); pixels is (h, w) uint8 for
+    gray, (h, w, 3) for RGB. Chunk CRCs are verified; the DEFLATE
+    stream inflates through the engine's bounded ``safe_inflate`` (zip
+    bombs return None there and raise here)."""
+    import zlib
+
+    if bytes(buf[:8]) != _PNG_SIG:
+        raise ValueError("not a png payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = bytes(buf[pos + 4 : pos + 8])
+        data = bytes(buf[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png chunk crc mismatch in {typ!r}")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("png missing IHDR")
+    w, h, bit_depth, color_type, compression, filt_method, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit gray/RGB PNG decodes here"
+        )
+    ch = 1 if color_type == 0 else 3
+    data = safe_inflate(bytes(idat))
+    if data is None:
+        raise ValueError("png IDAT inflate failed or exceeded bound")
+    stride, bpp = w * ch, ch
+    if len(data) != h * (stride + 1):
+        raise ValueError("png scanline payload length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        f = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown png filter {f}")
+        out.extend(row)
+        prev = row
+    pixels = np.frombuffer(bytes(out), dtype=np.uint8)
+    pixels = pixels.reshape((h, w, 3) if ch == 3 else (h, w))
+    return w, h, bit_depth, color_type, pixels
+
+
 # ship by value into mapInPandas closures (the workers may not have
-# the package on sys.path when the driver runs from another cwd)
+# the package on sys.path when the driver runs from another cwd);
+# payloads must ride along because decode_png calls its safe_inflate
 try:
     import sys as _sys
 
     from pyspark import cloudpickle as _cp
 
+    from . import payloads as _payloads_mod
+
+    _cp.register_pickle_by_value(_payloads_mod)
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass

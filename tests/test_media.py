@@ -80,6 +80,47 @@ def test_wav_24bit_sign_extension():
     assert decoded.tolist() == samples
 
 
+def test_png_roundtrip_gray():
+    from astarte_data_updater_plant_spark.functions.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    # 7 rows -> filters 0,1,2,3,4,0,1 all exercised
+    px = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    buf = encode_png(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, depth, ctype, back = decode_png(buf)
+    assert (w, h, depth, ctype) == (5, 7, 8, 0)
+    assert np.array_equal(back, px)
+
+
+def test_png_roundtrip_rgb():
+    from astarte_data_updater_plant_spark.functions.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    w, h, depth, ctype, back = decode_png(encode_png(px))
+    assert (w, h, depth, ctype) == (4, 6, 8, 2)
+    assert np.array_equal(back, px)
+
+
+def test_png_crc_corruption_detected():
+    from astarte_data_updater_plant_spark.functions.media import (
+        decode_png,
+        encode_png,
+    )
+
+    buf = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    buf[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf))
+
+
 def test_decode_media_dispatch():
     img = encode_pgm(np.zeros((2, 2), dtype=np.uint8))
     w, h, maxval, _ = decode_media(img)
@@ -87,5 +128,10 @@ def test_decode_media_dispatch():
     wav = encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000)
     nch, rate, width, s = decode_media(wav)
     assert (nch, rate, width, len(s)) == (1, 8000, 2, 4)
+    from astarte_data_updater_plant_spark.functions.media import encode_png
+
+    png = encode_png(np.zeros((3, 3), dtype=np.uint8))
+    w, h, depth, ctype, px = decode_media(png)
+    assert (w, h, depth, ctype) == (3, 3, 8, 0)
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff\xe0 jpeg-ish")

@@ -137,6 +137,56 @@ def test_q93_pagerank_reuses_cached_edges(spark, qs):
     assert plan.count("InMemoryTableScan") >= 2 * 5  # cedges + nodes per iteration
 
 
+#: Committed plan budgets for every bench headline query (+ the q20-q22
+#: diff family): (max exchanges, min broadcast joins, max shuffle joins,
+#: max nested-loop joins). A future edit that silently de-optimizes a
+#: plan — an extra shuffle, a lost broadcast, a join degrading to
+#: nested-loop — fails here before it ever reaches a benchmark.
+PLAN_BUDGETS = {
+    "q01_pricing_summary": (2, 0, 0, 0),
+    "q03_shipping_priority": (1, 2, 0, 0),
+    "q05_local_supplier_volume": (2, 5, 0, 0),
+    "q07_customers_without_orders": (1, 1, 0, 0),
+    "q10_latest_value_per_key": (2, 0, 0, 0),
+    "q12_device_counters": (3, 0, 0, 0),
+    "q16_hourly_windows": (3, 0, 0, 0),
+    # broadcast nested-loop is the INTENDED shape for the predicate join
+    "q23_trigger_matches": (1, 0, 0, 1),
+    "q26_property_resend": (3, 0, 0, 0),
+    "q33_fingerprints": (2, 0, 0, 0),
+    "q42_lsh_near_dup_pairs": (3, 3, 0, 0),
+    # broadcast query batch x corpus is the intended pair generator
+    "q50_cosine_topk": (4, 0, 0, 1),
+    "q55_ivf_ann_topk": (7, 0, 1, 1),
+    # the r3 one-pass diff rewrite: 2 exchanges each, keep it that way
+    "q20_introspection_diff": (2, 0, 0, 0),
+    "q21_set_ops": (2, 0, 0, 0),
+    "q22_property_prune": (2, 0, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
+def test_headline_plan_budgets(spark, qs, name):
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+
+    # budgets are for the COLD plan: a pinned fragment left by an
+    # earlier test replaces subtrees with InMemoryTableScan and shifts
+    # the exchange/join counts
+    clear_fragments()
+    max_ex, min_bcast, max_shj, max_nl = PLAN_BUDGETS[name]
+    s = plan_summary(qs[name](spark, SF_DIR))
+    assert s["exchanges"] <= max_ex, f"{name}: exchanges {s['exchanges']} > {max_ex}"
+    assert s["broadcast_joins"] >= min_bcast, (
+        f"{name}: broadcast joins {s['broadcast_joins']} < {min_bcast}"
+    )
+    assert s["shuffle_joins"] <= max_shj, (
+        f"{name}: shuffle joins {s['shuffle_joins']} > {max_shj}"
+    )
+    assert s["nested_loop_joins"] <= max_nl, (
+        f"{name}: nested-loop joins {s['nested_loop_joins']} > {max_nl}"
+    )
+
+
 def test_q92_merge_bounded_shuffles(spark, qs):
     s = plan_summary(qs["q92_merge_upsert"](spark, SF_DIR))
     # two windowed dedups + one full-outer join on the same key: the join
