@@ -107,14 +107,15 @@ def main() -> None:
     for name in WARMUP:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two timed executions per query, keep the min: single-shot numbers
-    # swing +-30% on a shared box (GC, page cache, compile jitter); the
-    # min of two is a far tighter steady-state estimator and is what a
-    # long-lived cluster actually serves
+    # three timed executions per query, keep the min: single-shot
+    # numbers swing +-30% on a shared box (GC, page cache, co-tenant
+    # noise — round 4 measured the SAME commit at 8.3s and 10.7s an
+    # hour apart); the min of three is a far tighter steady-state
+    # estimator and is what a long-lived cluster actually serves
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
