@@ -536,3 +536,73 @@ def q47_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (q108)
+# ---------------------------------------------------------------------------
+
+#: docs with doc_id % MOD == 0 stand in for the evaluation benchmark
+DECONTAM_BENCH_MOD = 97
+#: share of a doc's shingles found in the benchmark that flags it
+#: (0.1 exercises both flag outcomes on the synthetic corpus: full
+#: duplicates of benchmark docs score 1.0, incidental overlap ~0.01)
+DECONTAM_FRAC = 0.1
+
+
+@register(
+    "q108_decontamination",
+    f"""
+    WITH shing AS ({_SH_SQL}),
+    bench AS (
+      SELECT DISTINCT shingle FROM shing WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shing GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM shing s JOIN bench b USING (shingle)
+      WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, z.n_shingles, h.n_shared,
+           CAST(h.n_shared AS DOUBLE) / z.n_shingles AS overlap_frac,
+           CAST(h.n_shared AS DOUBLE) / z.n_shingles >= {DECONTAM_FRAC}
+             AS contaminated
+    FROM hits h JOIN sizes z USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Training-data decontamination: flag corpus documents whose "
+    "3-word-shingle overlap with an evaluation benchmark exceeds a "
+    "threshold (the GPT-3/Llama-style n-gram contamination check). "
+    "The benchmark shingle set is DISTINCT and tiny (real eval sets "
+    "are a few MB), so the corpus-side probe is a broadcast hash join "
+    "on the shingle — no shuffle of the exploded corpus except the "
+    "final per-doc count. Shares the pinned doc-shingle fragment with "
+    "the MinHash/Jaccard ladder.",
+)
+def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = fragment(
+        spark, sf_dir, "doc_shingles_flat", lambda: _doc_shingles(spark, sf_dir)
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id", "n_shingles", "n_shared",
+            frac.alias("overlap_frac"),
+            (frac >= DECONTAM_FRAC).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
