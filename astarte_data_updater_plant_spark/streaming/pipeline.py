@@ -340,26 +340,37 @@ def run_batch(
     )
 
 
-#: GroupState schema for streaming mode: the pickled DeviceState.
+#: GroupState schema for streaming mode: the pickled dict of the
+#: bucket's DeviceStates, keyed (realm, device_id).
 STREAM_STATE_SCHEMA = T.StructType([T.StructField("state_pickle", T.BinaryType(), True)])
 
 
 def _stream_fold(ifaces: tuple[Interface, ...], max_retention_s: int | None = None):
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
-        realm, device_id = key
         catalog = Catalog(ifaces)
         if group_state.exists:
             (blob,) = group_state.get
-            state = _state_loads(bytes(blob))
+            states: dict[tuple[str, str], DeviceState] = _state_loads(bytes(blob))
         else:
-            state = DeviceState(
-                realm=realm, device_id=device_id, max_retention_s=max_retention_s
-            )
-        rec = _Recorder()
+            states = {}
+        # gather the whole micro-batch before folding: a device's
+        # messages may span Arrow chunk boundaries, and per-device
+        # (reception_timestamp, message_id) ordering must hold across
+        # the full batch, not per chunk
+        by_dev: dict[tuple[str, str], list[dict]] = {}
         for pdf in pdfs:
-            out = process_device_messages(state, catalog, _messages_from_pdf(pdf))
+            for m in _messages_from_pdf(pdf):
+                by_dev.setdefault((m["realm"], m["device_id"]), []).append(m)
+        rec = _Recorder()
+        for (realm, device_id), dev_msgs in by_dev.items():
+            state = states.get((realm, device_id))
+            if state is None:
+                state = states[(realm, device_id)] = DeviceState(
+                    realm=realm, device_id=device_id, max_retention_s=max_retention_s
+                )
+            out = process_device_messages(state, catalog, dev_msgs)
             _record_outputs(rec, realm, device_id, out)
-        group_state.update((_state_dumps(state),))
+        group_state.update((_state_dumps(states),))
         yield rec.frame()
 
     return fold
@@ -369,17 +380,37 @@ def run_stream(
     messages: DataFrame,
     interfaces: tuple[Interface, ...] | None = None,
     max_retention_s: int | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Streaming mode: applyInPandasWithState keyed by (realm,
-    device_id); DeviceState persists across micro-batches in the
-    GroupState (SURVEY §1.4)."""
+    """Streaming mode: applyInPandasWithState keyed by a consistent-
+    hash device BUCKET; each bucket's GroupState carries the dict of
+    its devices' DeviceStates across micro-batches (SURVEY §1.4).
+
+    Bucketing mirrors run_batch (and the reference's queue sharding,
+    amqp_data_consumer/supervisor.ex:41-49): state rows and grouped
+    Arrow transfers scale with BUCKETS, not devices — per-device
+    grouping paid one tiny pandas frame + one state pickle per device
+    per micro-batch (measured 6x slower than batch at sf0.1). Device
+    folds stay serial inside their bucket, so per-device FIFO
+    semantics are identical. Size ``n_buckets`` (default 2x
+    parallelism, matching run_batch) so one bucket's devices' states
+    fit a task; more buckets = more parallelism AND smaller per-bucket
+    state, so the knob scales both ways.
+    """
     ifaces = interfaces or fixture_interfaces()
-    return messages.groupBy("realm", "device_id").applyInPandasWithState(
-        _stream_fold(ifaces, max_retention_s),
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STREAM_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    if n_buckets is None:
+        n_buckets = 2 * messages.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(F.xxhash64("realm", "device_id"), F.lit(n_buckets)).cast("int")
+    return (
+        messages.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            _stream_fold(ifaces, max_retention_s),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STREAM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )
 
 

@@ -98,6 +98,56 @@ def ingest_throughput(spark, sf_dir: str) -> dict:
     }
 
 
+def stream_ingest_throughput(spark, sf_dir: str) -> dict:
+    """The same ingest pipeline under REAL Structured Streaming: 4
+    time-ordered micro-batches through applyInPandasWithState with the
+    bucketed device-state dict in the GroupState (the s73 topology),
+    reported as msgs/sec. Slower than batch by construction — it pays
+    per-micro-batch planning + state-store commits — which is exactly
+    why it's tracked separately."""
+    import tempfile
+
+    from astarte_data_updater_plant_spark.operators.ingest import _time_sliced_files
+    from astarte_data_updater_plant_spark.sources.stream import (
+        events_as_messages,
+        telemetry_interface,
+    )
+    from astarte_data_updater_plant_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        datastream_table,
+        run_stream,
+    )
+
+    msgs = events_as_messages(spark, sf_dir)
+    n_msgs = msgs.count()
+    src = _time_sliced_files(msgs, "reception_timestamp", prefix="bench_stream_src_")
+
+    def one_run() -> float:
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        ds = datastream_table(run_stream(stream, interfaces=(telemetry_interface(),)))
+        t0 = time.perf_counter()
+        q = (
+            ds.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+
+    one_run()  # untimed warm-up, same policy as batch ingest
+    sec = min(one_run() for _ in range(2))
+    return {
+        "stream_ingest_sec": round(sec, 3),
+        "stream_ingest_msgs_per_sec": round(n_msgs / sec),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,6 +181,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 **ingest_throughput(spark, sf_dir),
+                **stream_ingest_throughput(spark, sf_dir),
             }
         )
     )
