@@ -753,3 +753,108 @@ def q104_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (q109)
+# ---------------------------------------------------------------------------
+
+#: the published MassiveText/Gopher-style rule thresholds, calibrated
+#: to this corpus's 10-99-word documents so every rule varies
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WORD_LEN = 4.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_SW_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "q109_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6)
+               AS mean_word_len,
+             round(CAST(len(list_filter(toks,
+                     w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                   / n_words, 6) AS alpha_frac,
+             len(list_intersect(toks, [{_SW_SQL}])) >= 1 AS has_stopword
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, has_stopword,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS ok_words,
+           mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+             AND {GOPHER_MAX_MEAN_WORD_LEN} AS ok_word_len,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                  AND {GOPHER_MAX_MEAN_WORD_LEN})
+             AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+             AND has_stopword AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher/MassiveText-style document quality rules as one rule "
+    "column each plus the AND'd keep decision: word-count bounds, "
+    "mean word length bounds, alphabetic-word fraction, stop-word "
+    "presence (the published ruleset, thresholds calibrated so every "
+    "rule varies on this corpus). All higher-order-function column "
+    "expressions over one narrow scan — zero shuffles, zero Python; "
+    "the deterministic keep column is the corpus-filter input the "
+    "LLM-pipeline dedup/split stages consume downstream.",
+)
+def q109_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    mean_len = F.round(
+        (F.col("n_chars") - (F.col("n_words") - 1)).cast("double") / F.col("n_words"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(F.col("toks"), lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / F.col("n_words"),
+        6,
+    )
+    has_sw = (
+        F.size(
+            F.array_intersect(
+                F.col("toks"), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        )
+        >= 1
+    )
+    m = base.select(
+        "doc_id", "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        has_sw.alias("has_stopword"),
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_len = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "has_stopword",
+        ok_words.alias("ok_words"),
+        ok_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_words & ok_len & ok_alpha & F.col("has_stopword")).alias("keep"),
+    ).orderBy("doc_id")
