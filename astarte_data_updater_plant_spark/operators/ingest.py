@@ -894,3 +894,64 @@ def s82_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("p_user").alias("user_id"), "purchase_id", "click_id")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "s83_dead_letter_replay",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' || event_type || '/value' AS path,
+           ts AS value_timestamp,
+           value AS double_value
+    FROM events
+    ORDER BY device_id, path, value_timestamp
+    """,
+    doc="Dead-letter replay, the A30 error-channel ops workflow: one "
+    "third of the devices' introspection announcements are held back, "
+    "so every data message of theirs dead-letters with "
+    "interface_not_in_introspection (and asks a clean session, like "
+    "the reference); the replay pass re-submits exactly the failed "
+    "message_ids (parsed from the dead-letter payloads) together with "
+    "the missing announcements, and first-pass + replay datastream "
+    "rows must equal the all-events oracle exactly once — no loss, no "
+    "duplication. The failed-id set is broadcast (dead letters are "
+    "small by construction at any scale).",
+)
+def s83_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.fragments import fragment
+    from ..streaming.pipeline import run_batch
+
+    msgs = fragment(
+        spark, sf_dir, "s83_msgs", lambda: events_as_messages(spark, sf_dir)
+    )
+    held = F.pmod(F.xxhash64("device_id"), F.lit(3)) == 0
+    first = fragment(
+        spark,
+        sf_dir,
+        "s83_first_pass",
+        lambda: run_batch(
+            msgs.filter(~((F.col("msg_type") == "introspection") & held)),
+            interfaces=(telemetry_interface(),),
+        ),
+    )
+    ds1 = datastream_table(first)
+    failed_ids = (
+        first.filter(F.col("kind") == "error")
+        .select(
+            F.get_json_object("payload_json", "$.message_id").alias("message_id")
+        )
+        .where(F.col("message_id").isNotNull())
+    )
+    replay_msgs = msgs.join(F.broadcast(failed_ids), "message_id").unionByName(
+        msgs.filter((F.col("msg_type") == "introspection") & held)
+    )
+    ds2 = datastream_table(
+        run_batch(replay_msgs, interfaces=(telemetry_interface(),))
+    )
+    return (
+        ds1.unionByName(ds2)
+        .select(
+            "device_id", "path", "value_timestamp", "double_value"
+        )
+        .orderBy("device_id", "path", "value_timestamp")
+    )
