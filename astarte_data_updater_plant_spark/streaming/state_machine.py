@@ -638,7 +638,21 @@ def _handle_control(state, catalog, msg, ts, out) -> None:
     if path == "/producer/properties":
         _handle_property_prune(state, catalog, msg, ts, out)
     elif path == "/emptyCache":
+        # the reference answers /emptyCache by resending every stored
+        # server-owned property to the device and clearing the pending
+        # flag (impl.ex:921-935: send_control_consumer_properties +
+        # resend_all_properties + set_pending_empty_cache false); the
+        # resend itself is the q26 batch operator — here the command
+        # channel carries the ask so the sink can run it
         state.pending_empty_cache = False
+        out.commands.append(
+            {
+                "realm": state.realm,
+                "device_id": state.device_id,
+                "command": "resend_properties",
+                "timestamp": ts,
+            }
+        )
         out.events.append(_event(state, "device_empty_cache_received", ts))
     else:
         out.errors.append(_error(state, msg, "unexpected_control_message"))

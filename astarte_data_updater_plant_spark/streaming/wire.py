@@ -477,9 +477,13 @@ def events_wire_table(events: DataFrame, targets: DataFrame) -> DataFrame:
     (``t_event_type``, '*' wildcard) — the reference's per-trigger
     AMQPTriggerTarget list (triggers_handler.ex:396-402,432-459).
 
-    Plan shape: broadcast the (tiny) target dim, join on event type,
-    build headers natively, then one Arrow-batched pandas UDF encodes
-    the protobuf payloads. No shuffle beyond the fan-out join.
+    Plan shape: the target dim splits into exact-match rows (broadcast
+    HASH join on event_type — O(events) however many typed triggers
+    exist) and the usually-tiny wildcard rows (broadcast nested loop,
+    bounded by the wildcard count alone); headers build natively, then
+    one Arrow-batched pandas UDF encodes the protobuf payloads. No
+    shuffle beyond the fan-out joins — an OR-condition join would have
+    nested-looped the FULL target set against every event.
 
     Typed values: when ``events`` carries the ``typed_json`` column
     (events_table output), its number/bool/int fields override the
@@ -487,11 +491,14 @@ def events_wire_table(events: DataFrame, targets: DataFrame) -> DataFrame:
     wire as an integer BSON value like the reference's
     (data_updater_test.exs asserts an integer bson_value).
     """
-    matched = events.join(
-        F.broadcast(targets),
-        (F.col("t_event_type") == F.col("event_type"))
-        | (F.col("t_event_type") == F.lit("*")),
+    exact = events.join(
+        F.broadcast(targets.filter(F.col("t_event_type") != "*")),
+        F.col("t_event_type") == F.col("event_type"),
     )
+    wildcard = events.crossJoin(
+        F.broadcast(targets.filter(F.col("t_event_type") == "*"))
+    )
+    matched = exact.unionByName(wildcard)
     has_typed = "typed_json" in events.columns
 
     @F.pandas_udf(T.BinaryType())

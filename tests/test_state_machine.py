@@ -247,7 +247,36 @@ def test_error_asks_clean_session():
              interface=None, path="/emptyCache", payload=b""),
     ])
     assert state.pending_empty_cache is False
-    assert not out2.commands
+    # ...and asks the sink to resend the stored server-owned
+    # properties (impl.ex:921-935)
+    assert [c["command"] for c in out2.commands] == ["resend_properties"]
+
+
+def test_empty_prune_payload_prunes_all_properties():
+    # the reference's dedicated <<0,0,0,0>> clause (impl.ex:866-889):
+    # a 4-byte size header with no zlib body prunes EVERY stored
+    # device-owned property
+    from datetime import datetime, timedelta, timezone
+
+    from astarte_data_updater_plant_spark.functions.payloads import encode_document
+
+    state = DeviceState(realm=REALM, device_id=DEVICE)
+    catalog = Catalog(fixture_interfaces())
+    t0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    base = dict(realm=REALM, device_id=DEVICE, ip_address=None)
+    out = process_device_messages(state, catalog, [
+        dict(base, message_id="p0", reception_timestamp=t0,
+             msg_type="introspection", interface=None, path=None,
+             payload=b"com.test.LCDMonitor:1:0"),
+        dict(base, message_id="p1", reception_timestamp=t0 + timedelta(seconds=1),
+             msg_type="data", interface="com.test.LCDMonitor",
+             path="/time/from", payload=encode_document({"v": 10})),
+        dict(base, message_id="p2", reception_timestamp=t0 + timedelta(seconds=2),
+             msg_type="control", interface=None,
+             path="/producer/properties", payload=b"\x00\x00\x00\x00"),
+    ])
+    assert state.properties == {}
+    assert {d["path"] for d in out.property_deletes} == {"/time/from"}
 
 
 def test_interface_major_bump_tracks_old_introspection():
