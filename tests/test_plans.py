@@ -187,6 +187,33 @@ def test_headline_plan_budgets(spark, qs, name):
     )
 
 
+def test_ingest_fold_partitioning_is_pinned(spark):
+    """The grouped-map ingest fold must sit directly on a user-pinned
+    REPARTITION_BY_NUM exchange: AQE's byte-based coalescing would
+    otherwise merge the small message shuffle into ~3 partitions and
+    serialize the Python-CPU-bound fold (measured 3x end-to-end)."""
+    from astarte_data_updater_plant_spark.sources.stream import (
+        events_as_messages,
+        telemetry_interface,
+    )
+    from astarte_data_updater_plant_spark.streaming.pipeline import run_batch
+
+    msgs = events_as_messages(spark, SF_DIR)
+    df = run_batch(msgs, interfaces=(telemetry_interface(),))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fold_part = plan.find("FlatMapGroupsInPandas")
+    assert fold_part >= 0
+    below = plan[fold_part:]
+    bucket_exchange = below.find("Exchange hashpartitioning(__bucket")
+    assert bucket_exchange >= 0, "fold lost its bucket repartition"
+    # the first exchange under the fold is the pinned one, and nothing
+    # re-partitions between them (an ENSURE_REQUIREMENTS there would
+    # be AQE-coalescible and reintroduce the serialization)
+    first_exchange = below.find("Exchange ")
+    assert first_exchange == bucket_exchange
+    assert "REPARTITION_BY_NUM" in below[bucket_exchange : below.find("\n", bucket_exchange)]
+
+
 def test_q92_merge_bounded_shuffles(spark, qs):
     s = plan_summary(qs["q92_merge_upsert"](spark, SF_DIR))
     # two windowed dedups + one full-outer join on the same key: the join
