@@ -1,0 +1,624 @@
+"""Corpus-assembly operators: the stages between a filtered document
+set and actual training batches.
+
+These extend the dedup/text ladder with the remaining steps a
+large-scale pretraining-data pipeline runs:
+
+- q110 sequence packing: concatenate-then-chunk documents into
+  fixed-token training sequences (the GPT-style packing layout).
+- q111 incremental dedup: dedup a NEW crawl batch against the
+  existing corpus (exact hash first, MinHash/LSH near-dup second) —
+  the daily-ingest shape, where the corpus side is an index you probe,
+  never a side you re-shuffle.
+- q112 C4-style line filters: line-level cleaning (terminal
+  punctuation, minimum words, boilerplate blocklist) then document
+  re-assembly, per Raffel et al. (C4).
+- q113 exact substring dedup: cross-document duplicated 8-word spans
+  via an exact n-gram inverted index with position tracking and token
+  coverage — the Lee et al. "Deduplicating Training Data" semantic at
+  n-gram granularity.
+- q114 hashed linear quality classifier: fastText-style scoring with
+  a deterministic hashed-bigram weight table, entirely in column
+  expressions.
+
+Scale designs follow the module conventions: per-document features are
+higher-order-function column expressions (zero Python, zero shuffle);
+cross-document stages are keyed equi-joins/groupBys on bounded keys;
+the one global prefix sum (q110) is computed hierarchically so no
+window ever sees more than a bounded group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingle_h32, shingles_from_tokens
+from ..plans.fragments import fragment
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .dedup import _SH_SQL, _SIG_SQL, _shingle_sets, minhash_signatures
+
+# ---------------------------------------------------------------------------
+# q110 — sequence packing (concatenate-then-chunk)
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence (small so the 10-99-word test
+#: docs both share sequences and span boundaries)
+SEQ_LEN = 64
+#: docs per prefix-sum group — the hierarchical-cumsum fan-out. At
+#: cluster scale this is the per-task group size; the second-level
+#: window runs over one row per group, corpus_docs / PACK_GROUP rows.
+PACK_GROUP = 64
+
+
+@register(
+    "q110_sequence_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS seq_id,
+           CAST(greatest(cum_before, i * {SEQ_LEN}) - cum_before AS BIGINT)
+             AS doc_tok_start,
+           CAST(least(cum_before + n, (i + 1) * {SEQ_LEN})
+                - greatest(cum_before, i * {SEQ_LEN}) AS BIGINT) AS n_toks
+    FROM c,
+         UNNEST(range(CAST(cum_before // {SEQ_LEN} AS BIGINT),
+                      CAST((cum_before + n - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS t(i)
+    ORDER BY doc_id, seq_id
+    """,
+    doc=f"Sequence packing for pretraining: documents are concatenated "
+    f"in doc_id order and cut into fixed {SEQ_LEN}-token training "
+    f"sequences; a document spanning a cut contributes to both "
+    f"sequences (the concatenate-then-chunk layout used for GPT-style "
+    f"pretraining). Output is one row per (document, sequence) "
+    f"assignment with the in-document token offset, so a writer can "
+    f"assemble every sequence without re-reading neighbours. The "
+    f"global token prefix-sum is computed hierarchically — "
+    f"within-group window over {PACK_GROUP}-doc groups plus a "
+    f"broadcast of per-group offsets — so no window ever scans more "
+    f"than a bounded partition and the plan has no single-partition "
+    f"stage at corpus scale (the oracle states the same prefix sum as "
+    f"one flat window, affordable at test scale only).",
+)
+def q110_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        F.expr(f"doc_id DIV {PACK_GROUP}").alias("g"),
+    )
+    # phase 1: prefix sum WITHIN each bounded group
+    w_in = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    # phase 2: per-group totals -> exclusive prefix over the tiny group
+    # frame (one row per PACK_GROUP docs) -> broadcast back
+    totals = t.groupBy("g").agg(F.sum("n").alias("gt"))
+    w_g = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "g", F.coalesce(F.sum("gt").over(w_g), F.lit(0)).alias("g_off")
+    )
+    c = t.join(F.broadcast(offsets), "g").select(
+        "doc_id", "n", (F.col("g_off") + F.col("cum_in")).alias("cum_before")
+    )
+    first_seq = F.expr(f"cum_before DIV {SEQ_LEN}")
+    last_seq = F.expr(f"(cum_before + n - 1) DIV {SEQ_LEN}")
+    lo = F.greatest(F.col("cum_before"), F.col("seq_id") * SEQ_LEN)
+    hi = F.least(F.col("cum_before") + F.col("n"), (F.col("seq_id") + 1) * SEQ_LEN)
+    return (
+        c.select(
+            "doc_id",
+            "cum_before",
+            "n",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (lo - F.col("cum_before")).alias("doc_tok_start"),
+            (hi - lo).alias("n_toks"),
+        )
+        .orderBy("doc_id", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+#: doc_id % 10 >= BATCH_MOD plays the freshly-crawled batch; the rest
+#: is the existing corpus
+BATCH_MOD = 8
+#: corpus docs with doc_id % CLONE_MOD == 0 are re-crawled verbatim
+#: into the batch under a shifted id — deterministic exact duplicates,
+#: the way a re-crawl really shows up in incremental ingest
+CLONE_MOD = 50
+CLONE_SHIFT = 1_000_000
+NEAR_JACCARD_MIN = 0.5
+
+_BANDED_SQL = """
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, 0 AS band, h0 || ':' || h1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, h2 || ':' || h3 FROM sig
+        UNION ALL SELECT doc_id, 2, h4 || ':' || h5 FROM sig
+        UNION ALL SELECT doc_id, 3, h6 || ':' || h7 FROM sig
+      ) u
+"""
+
+
+@register(
+    "q111_incremental_dedup",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    banded AS ({_BANDED_SQL}),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 10 >= {BATCH_MOD}
+      UNION ALL
+      SELECT doc_id + {CLONE_SHIFT}, md5(text) FROM documents
+      WHERE doc_id % {CLONE_MOD} = 0
+    ),
+    corp AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS corp_doc FROM documents
+      WHERE doc_id % 10 < {BATCH_MOD} GROUP BY md5(text)
+    ),
+    exact AS (
+      SELECT b.doc_id, c.corp_doc FROM batch b JOIN corp c USING (h)
+    ),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS bdoc, cb.doc_id AS cdoc
+      FROM banded nb JOIN banded cb
+        ON nb.band = cb.band AND nb.bkey = cb.bkey
+      WHERE nb.doc_id % 10 >= {BATCH_MOD} AND cb.doc_id % 10 < {BATCH_MOD}
+    ),
+    tok AS ({_SH_SQL}),
+    tok_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT c.bdoc, c.cdoc, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.bdoc
+      JOIN tok tb ON tb.doc_id = c.cdoc AND tb.shingle = ta.shingle
+      GROUP BY c.bdoc, c.cdoc
+    ),
+    near AS (
+      SELECT s.bdoc, s.cdoc,
+             round(CAST(s.n_shared AS DOUBLE)
+                   / (ca.n_sh + cb2.n_sh - s.n_shared), 6) AS jaccard
+      FROM shared s
+      JOIN tok_counts ca ON ca.doc_id = s.bdoc
+      JOIN tok_counts cb2 ON cb2.doc_id = s.cdoc
+      WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb2.n_sh - s.n_shared)
+            >= {NEAR_JACCARD_MIN}
+    ),
+    best AS (
+      SELECT bdoc, cdoc, jaccard FROM (
+        SELECT bdoc, cdoc, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY bdoc
+                 ORDER BY jaccard DESC, cdoc) AS rn
+        FROM near
+      ) r WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.corp_doc IS NOT NULL THEN 'drop_exact'
+                WHEN n.cdoc IS NOT NULL THEN 'drop_near'
+                ELSE 'keep' END AS verdict,
+           CASE WHEN e.corp_doc IS NOT NULL THEN e.corp_doc
+                ELSE n.cdoc END AS match_doc,
+           CASE WHEN e.corp_doc IS NOT NULL THEN 1.0
+                ELSE n.jaccard END AS jaccard
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN best n ON n.bdoc = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental dedup: a new crawl batch (held-out docs plus "
+    "deterministic re-crawled clones) is deduplicated AGAINST the "
+    "existing corpus — exact content-hash match first, then "
+    "MinHash/LSH near-dup via the shared banded signature index, "
+    "verified with exact shingle Jaccard on candidates only. Each "
+    "batch doc gets keep / drop_exact / drop_near plus its best "
+    "corpus match. This is the daily-ingest topology: the corpus side "
+    "is a pinned signature index probed with keyed equi-joins — the "
+    "batch (small) shuffles, the corpus (huge) never re-shuffles, and "
+    "nothing compares batch docs to each other.",
+)
+def q111_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 >= BATCH_MOD
+    batch = (
+        docs.filter(is_batch)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % CLONE_MOD == 0).select(
+                (F.col("doc_id") + CLONE_SHIFT).alias("doc_id"),
+                F.md5(F.col("text").cast("binary")).alias("h"),
+            )
+        )
+    )
+    corp = (
+        docs.filter(~is_batch)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("corp_doc"))
+    )
+    exact = batch.join(corp, "h").select("doc_id", "corp_doc")
+
+    # near-dup: probe the banded LSH index (shared pinned fragment with
+    # q42) batch-side vs corpus-side only
+    def _banded() -> DataFrame:
+        sig = minhash_signatures(spark, sf_dir)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                        "bkey"
+                    ),
+                )
+                for b in range(4)
+            ]
+        )
+        return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+
+    banded = fragment(spark, sf_dir, "lsh_banded", _banded)
+    nb = banded.filter(F.col("doc_id") % 10 >= BATCH_MOD).alias("nb")
+    cb = banded.filter(F.col("doc_id") % 10 < BATCH_MOD).alias("cb")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.bkey") == F.col("cb.bkey")),
+        )
+        .select(F.col("nb.doc_id").alias("bdoc"), F.col("cb.doc_id").alias("cdoc"))
+        .distinct()
+    )
+    sa = fragment(spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir))
+    sets_b = sa.select(F.col("doc_id").alias("bdoc"), F.col("shingles").alias("sh_b"))
+    sets_c = sa.select(F.col("doc_id").alias("cdoc"), F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    jac = inter.cast("double") / union
+    near = (
+        cand.join(sets_b, "bdoc")
+        .join(sets_c, "cdoc")
+        .filter(jac >= NEAR_JACCARD_MIN)
+        .select("bdoc", "cdoc", F.round(jac, 6).alias("jaccard"))
+    )
+    w = Window.partitionBy("bdoc").orderBy(F.col("jaccard").desc(), "cdoc")
+    best = (
+        near.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bdoc", "cdoc", "jaccard")
+    )
+    return (
+        batch.join(exact.select("doc_id", "corp_doc"), "doc_id", "left")
+        .join(best.withColumnRenamed("bdoc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corp_doc").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("cdoc").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.when(F.col("corp_doc").isNotNull(), F.col("corp_doc"))
+            .otherwise(F.col("cdoc"))
+            .alias("match_doc"),
+            F.when(F.col("corp_doc").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("jaccard"))
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — C4-style line filtering
+# ---------------------------------------------------------------------------
+
+#: words per seeded line (the synthetic corpus is one long line, so
+#: line structure and rule violations are seeded deterministically —
+#: same precedent as q104's seeded PII)
+LINE_WORDS = 8
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+@register(
+    "q112_c4_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, n,
+             list_transform(
+               range(0, (n - 1) // {LINE_WORDS} + 1),
+               i -> CASE WHEN (doc_id + i) % 4 = 0 THEN
+                      CASE WHEN (doc_id + i) % 7 = 3 THEN
+                             array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ') || ' lorem ipsum'
+                           WHEN (doc_id + i) % 7 = 5 THEN
+                             array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ') || ' {{'
+                           ELSE array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ')
+                      END
+                    ELSE
+                      CASE WHEN (doc_id + i) % 7 = 3 THEN
+                             array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ') || ' lorem ipsum.'
+                           WHEN (doc_id + i) % 7 = 5 THEN
+                             array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ') || ' {{.'
+                           ELSE array_to_string(toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ') || '.'
+                      END
+                    END) AS lines
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(lines, x ->
+               ends_with(x, '.')
+               AND len(string_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
+               AND NOT contains(x, 'lorem ipsum')
+               AND NOT contains(x, '{{')) AS kept
+      FROM lined
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           round(CAST(len(kept) AS DOUBLE) / n_lines, 6) AS kept_frac,
+           len(kept) >= {C4_MIN_KEPT_LINES} AS doc_keep,
+           md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+    FROM f
+    ORDER BY doc_id
+    """,
+    doc="C4-style corpus cleaning (Raffel et al.): documents are split "
+    "into lines (seeded deterministically from the token stream, with "
+    "rule violations injected so every filter fires), then each line "
+    "must end in terminal punctuation, carry at least 5 words, and "
+    "contain neither 'lorem ipsum' nor a curly brace; the document "
+    "survives if at least 3 lines survive, and the cleaned text is "
+    "re-assembled from the kept lines. The whole split -> filter -> "
+    "rejoin pipeline is higher-order column functions over one scan — "
+    "no shuffle, no Python, linear at any corpus size.",
+)
+def q112_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_lines = F.expr(f"(n - 1) DIV {LINE_WORDS} + 1")
+
+    def build_line(i):
+        raw = F.concat_ws(
+            " ", F.slice(F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS)
+        )
+        m7 = (F.col("doc_id") + i) % 7
+        content = (
+            F.when(m7 == 3, F.concat(raw, F.lit(" lorem ipsum")))
+            .when(m7 == 5, F.concat(raw, F.lit(" {")))
+            .otherwise(raw)
+        )
+        return F.when(
+            (F.col("doc_id") + i) % 4 == 0, content
+        ).otherwise(F.concat(content, F.lit(".")))
+
+    lined = t.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n_lines - 1), build_line).alias("lines"),
+    )
+    keep = lambda x: (  # noqa: E731
+        x.endswith(".")
+        & (F.size(F.split(x, " ")) >= C4_MIN_LINE_WORDS)
+        & ~x.contains("lorem ipsum")
+        & ~x.contains("{")
+    )
+    f = lined.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.filter(F.col("lines"), keep).alias("kept"),
+    )
+    return f.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.round(F.size("kept").cast("double") / F.col("n_lines"), 6).alias(
+            "kept_frac"
+        ),
+        (F.size("kept") >= C4_MIN_KEPT_LINES).alias("doc_keep"),
+        F.md5(F.concat_ws("\n", F.col("kept")).cast("binary")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q113 — exact substring (duplicated-span) dedup
+# ---------------------------------------------------------------------------
+
+#: span granularity in words — the Lee et al. exact-substring check at
+#: n-gram resolution (their 50-token threshold scaled to 10-99-word docs)
+SPAN_WORDS = 8
+
+
+@register(
+    "q113_substring_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, greatest(n - {SPAN_WORDS - 2}, 1))) AS u(i)
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    cover AS (
+      SELECT DISTINCT doc_id, tok FROM dup_pos,
+        UNNEST(range(pos, pos + {SPAN_WORDS})) AS u(tok)
+    ),
+    stats AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(DISTINCT d.pos) AS n_dup_grams
+      FROM grams g LEFT JOIN dup_pos d
+        ON d.doc_id = g.doc_id AND d.pos = g.pos
+      GROUP BY g.doc_id
+    ),
+    cov AS (SELECT doc_id, COUNT(*) AS covered FROM cover GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n, 6)
+             AS covered_frac,
+           COALESCE(s.n_dup_grams, 0) > 0 AS has_cross_dup
+    FROM t
+    LEFT JOIN stats s ON s.doc_id = t.doc_id
+    LEFT JOIN cov c ON c.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Exact substring dedup (Lee et al., 'Deduplicating Training "
+    "Data'): find 8-word spans that occur verbatim in more than one "
+    "document via an exact n-gram inverted index with positions, then "
+    "report per document how many spans are cross-document duplicates "
+    "and how many of its tokens the duplicated spans cover — the "
+    "coverage a span-removal rewrite would cut. Candidate generation "
+    "is a groupBy on the gram (keyed, uniform — long spans are rare "
+    "by construction), coverage is a bounded 8x positional fan-out; "
+    "nothing is quadratic and no suffix array needs to fit anywhere.",
+)
+def q113_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("toks"), SPAN_WORDS)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    grams = fragment(spark, sf_dir, "span_grams", lambda: grams)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup, "gram").select("doc_id", "pos")
+    cover = (
+        dup_pos.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_WORDS - 1)).alias("tok")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_dup = dup_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    return (
+        t.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(n_grams, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("covered_frac"),
+            (F.coalesce("n_dup_grams", F.lit(0)) > 0).alias("has_cross_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: weight-table size and scale: weight(bigram) = (h32 % MODW) - OFFW,
+#: an integer in [-1000, 1000] interpreted as a fixed-point weight/1000
+WEIGHT_MOD = 2001
+WEIGHT_OFF = 1000
+
+
+@register(
+    "q114_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks), 1)),
+               i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT
+                    % {WEIGHT_MOD} - {WEIGHT_OFF}) AS ws
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_features,
+           CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS sum_w,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE round(CAST(list_sum(ws) AS DOUBLE) / (1000.0 * len(ws)), 6)
+           END AS score,
+           COALESCE(list_sum(ws), 0) > 0 AS keep
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="fastText-style linear quality classifier with a hashed "
+    "feature table: every word bigram hashes to a deterministic "
+    "fixed-point weight ((h32 mod 2001) - 1000, i.e. weight*1000 as "
+    "an integer), the document score is the mean weight, and keep is "
+    "its sign. The integer fixed-point sum makes the score exactly "
+    "reproducible across engines — the same trick real pipelines use "
+    "to make sharded classifier scoring deterministic. Pure "
+    "higher-order column expressions: zero shuffles, zero Python, one "
+    "scan; swapping in real trained weights means broadcasting a "
+    "weight map, the plan shape is unchanged.",
+)
+def q114_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bigrams = shingles_from_tokens(F.col("toks"), 2)
+    ws = F.transform(
+        bigrams, lambda s: shingle_h32(s) % WEIGHT_MOD - WEIGHT_OFF
+    )
+    b = t.select("doc_id", ws.alias("ws"))
+    sum_w = F.aggregate(F.col("ws"), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return b.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_features"),
+        sum_w.alias("sum_w"),
+        F.when(F.size("ws") == 0, F.lit(0.0))
+        .otherwise(F.round(sum_w.cast("double") / (1000.0 * F.size("ws")), 6))
+        .alias("score"),
+        (sum_w > 0).alias("keep"),
+    ).orderBy("doc_id")

@@ -53,6 +53,7 @@ def _load_all() -> None:
         analytics,
         ann,
         controlplane,
+        corpus,
         dedup,
         diff,
         formats,
