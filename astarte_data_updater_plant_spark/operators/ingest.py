@@ -955,3 +955,94 @@ def s83_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_id", "path", "value_timestamp")
     )
+
+
+# -- s84: volatile triggers driven through the RPC wire codec ----------------
+
+#: the event_type the volatile trigger watches and its value condition
+VT_EVENT_TYPE = "purchase"
+VT_THRESHOLD = 0.5
+#: devices with user_id % VT_DEV_MOD == 0 get a trigger installed
+VT_DEV_MOD = 5
+#: of those, user_id % VT_DEL_MOD == 0 get it deleted at the 3/4 mark
+VT_DEL_MOD = 10
+
+
+@register(
+    "s84_rpc_volatile_triggers",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, 'ev-' || event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events WHERE user_id % {VT_DEV_MOD} = 0
+    ),
+    marks AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = cnt // 2 + 1 THEN ts END) AS install_ts,
+             MAX(CASE WHEN rn = 3 * cnt // 4 + 1 THEN ts END) AS delete_ts
+      FROM o GROUP BY user_id
+    )
+    SELECT CAST(o.user_id AS VARCHAR) AS device_id,
+           '/{VT_EVENT_TYPE}/value' AS path,
+           o.ts AS fired_ts,
+           o.value AS fired_value
+    FROM o JOIN marks m ON m.user_id = o.user_id
+    WHERE o.event_type = '{VT_EVENT_TYPE}'
+      AND o.value > {VT_THRESHOLD}
+      AND o.ts >= m.install_ts
+      AND (o.user_id % {VT_DEL_MOD} <> 0 OR o.ts < m.delete_ts)
+    ORDER BY device_id, fired_ts, fired_value
+    """,
+    doc="The A32 RPC control plane end-to-end: for every 5th device an "
+    "InstallVolatileTrigger Call is protobuf-encoded and decoded with "
+    "the real wire codec (rpc/handler.ex:35-100), the decoded fields "
+    "become a control message interleaved mid-stream at the device's "
+    "median event, and every 10th device's trigger is deleted again "
+    "at the 3/4 mark via a round-tripped DeleteVolatileTrigger. The "
+    "state machine installs/deletes per device in (reception, "
+    "message_id) order, and volatile_trigger_fired events must equal "
+    "the SQL statement of the window: purchase values over the "
+    "threshold between install and delete. Control message ids sort "
+    "before data ids at equal timestamps, so the boundary is exactly "
+    "ts >= install_ts / ts < delete_ts on both sides.",
+)
+def s84_rpc_volatile_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.stream import rpc_trigger_messages
+    from ..streaming.pipeline import events_table
+
+    msgs = events_as_messages(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % VT_DEV_MOD == 0
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.concat(F.lit("ev-"), F.col("event_id").cast("string"))
+    )
+    wc = Window.partitionBy("user_id")
+    o = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+    )
+    marks = o.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("cnt DIV 2 + 1"), F.col("ts"))
+        ).alias("install_ts"),
+        F.max(
+            F.when(F.col("rn") == F.expr("3 * cnt DIV 4 + 1"), F.col("ts"))
+        ).alias("delete_ts"),
+    )
+    rpc = rpc_trigger_messages(marks, VT_EVENT_TYPE, VT_THRESHOLD, VT_DEL_MOD)
+    out = run_batch(msgs.unionByName(rpc), interfaces=(telemetry_interface(),))
+    fired = events_table(out).filter(
+        F.col("event_type") == "volatile_trigger_fired"
+    )
+    return fired.select(
+        "device_id",
+        "path",
+        F.col("timestamp").alias("fired_ts"),
+        F.col("new_value").cast("double").alias("fired_value"),
+    ).orderBy("device_id", "fired_ts", "fired_value")

@@ -93,13 +93,110 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_msgs.unionByName(intro_msgs)
 
 
-# self-ship for the mapInPandas closure
+def rpc_trigger_messages(
+    marks: DataFrame,
+    event_type: str,
+    threshold: float,
+    delete_mod: int,
+) -> DataFrame:
+    """Volatile-trigger control messages synthesized THROUGH the
+    protobuf RPC wire codec (rpc/handler.ex:35-100 round trip).
+
+    ``marks`` is one row per target device: (user_id, install_ts,
+    delete_ts). For each device an InstallVolatileTrigger Call is
+    protobuf-ENCODED and then DECODED with the same codec a real RPC
+    client would hit, and the state-machine message is built from the
+    DECODED fields only (realm/device/trigger id/spec) — so the wire
+    format is load-bearing, not decorative. Devices with
+    ``user_id % delete_mod == 0`` additionally get a
+    DeleteVolatileTrigger at ``delete_ts``, also round-tripped.
+    Message ids start with ``a-`` so at an equal reception timestamp
+    the control message sorts (and is processed) before any ``ev-``
+    data message — the deterministic install/fire boundary the oracle
+    states as ``ts >= install_ts``."""
+    from ..streaming import wire as _wire
+    from ..streaming.pipeline import MESSAGE_SCHEMA
+
+    def to_msgs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+        import uuid as _uuid
+
+        for pdf in it:
+            out: dict[str, list] = {c.name: [] for c in MESSAGE_SCHEMA.fields}
+
+            def push(mid, ts, dev, mtype, payload):
+                out["message_id"].append(mid)
+                out["reception_timestamp"].append(ts)
+                out["realm"].append(TELEMETRY_REALM)
+                out["device_id"].append(dev)
+                out["msg_type"].append(mtype)
+                out["interface"].append(None)
+                out["path"].append(None)
+                out["payload"].append(payload)
+                out["ip_address"].append(None)
+
+            for uid, its, dts in zip(
+                pdf["user_id"], pdf["install_ts"], pdf["delete_ts"]
+            ):
+                dev = str(uid)
+                spec = {
+                    "interface": TELEMETRY_INTERFACE,
+                    "path": f"/{event_type}/value",
+                    "op": "GREATER_THAN",
+                    "known_value": threshold,
+                }
+                buf = _wire.encode_install_volatile_trigger_call(
+                    realm_name=TELEMETRY_REALM,
+                    device_id=dev,
+                    object_id=b"\x00" * 16,
+                    object_type=2,
+                    parent_id=_wire.PARENT_TRIGGER_ID,
+                    simple_trigger_id=_wire.trigger_uuid(f"vt-{uid}"),
+                    simple_trigger=_json.dumps(spec).encode(),
+                    trigger_target=b"amqp:vt",
+                )
+                name, f = _wire.decode_call(buf)
+                assert name == "install_volatile_trigger"
+                tid = str(_uuid.UUID(bytes=f["simple_trigger_id"]))
+                payload_spec = _json.loads(f["simple_trigger"].decode())
+                payload_spec["trigger_id"] = tid
+                push(
+                    f"a-install-{uid}", its, f["device_id"],
+                    "install_volatile_trigger",
+                    _json.dumps(payload_spec).encode(),
+                )
+                if int(uid) % delete_mod == 0:
+                    dbuf = _wire.encode_delete_volatile_trigger_call(
+                        realm_name=TELEMETRY_REALM,
+                        device_id=dev,
+                        trigger_id=_wire.trigger_uuid(f"vt-{uid}"),
+                    )
+                    dname, df_ = _wire.decode_call(dbuf)
+                    assert dname == "delete_volatile_trigger"
+                    push(
+                        f"a-delete-{uid}", dts, df_["device_id"],
+                        "delete_volatile_trigger",
+                        _json.dumps(
+                            {"trigger_id": str(_uuid.UUID(bytes=df_["trigger_id"]))}
+                        ).encode(),
+                    )
+            yield pd.DataFrame(out)
+
+    return marks.mapInPandas(to_msgs, schema=MESSAGE_SCHEMA)
+
+
+# self-ship for the mapInPandas closures (wire + its payloads import
+# ride along: rpc_trigger_messages round-trips the codec worker-side)
 try:
     import sys as _sys
 
     from pyspark import cloudpickle as _cp
 
-    _cp.register_pickle_by_value(_sys.modules[__name__])
+    from ..functions import payloads as _payloads_mod_ship
+    from ..streaming import wire as _wire_mod_ship
+
+    for _m_ship in (_sys.modules[__name__], _wire_mod_ship, _payloads_mod_ship):
+        _cp.register_pickle_by_value(_m_ship)
 except Exception:  # pragma: no cover
     pass
 
