@@ -622,3 +622,81 @@ def q114_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score"),
         (sum_w > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q116 — temperature-flattened domain mixture sampling
+# ---------------------------------------------------------------------------
+
+#: per-domain take target: rate = min(1, MIX_K / sqrt(n_domain)) — the
+#: alpha=0.5 temperature flattening used for multilingual/multi-domain
+#: pretraining mixes, stated per domain so no cross-domain float sum
+#: exists (exactly reproducible on any engine / any partitioning)
+MIX_K = 3.0
+
+
+@register(
+    "q116_domain_mixture",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             'shard' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR)
+               AS domain
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, domain,
+             COUNT(*) OVER (PARTITION BY domain) AS n_domain
+      FROM t
+    )
+    SELECT doc_id, domain,
+           CAST(n_domain AS BIGINT) AS n_domain,
+           round(least(1.0, {MIX_K} / sqrt(n_domain)), 6) AS rate,
+           ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
+             < CAST(floor(round(least(1.0, {MIX_K} / sqrt(n_domain)), 6)
+                          * 4294967296) AS BIGINT) AS keep
+    FROM sized
+    ORDER BY doc_id
+    """,
+    doc="Domain-mixture sampling with temperature flattening: each "
+    "domain (a deterministic sqrt-shard stand-in for skewed crawl "
+    "domains, sizes 1..45) is downsampled at rate min(1, K/sqrt(n)) — "
+    "the alpha=0.5 unigram-temperature rule that boosts small domains "
+    "relative to large ones in pretraining mixes. Selection is a pure "
+    "per-row hash-threshold test (md5-derived uniform in [0,1) "
+    "against the rounded rate scaled to 2^32, an INTEGER compare), so "
+    "the sample is identical under any partitioning, engine, or "
+    "re-run — the property that makes a 100 TB mix resumable. One "
+    "window for domain sizes, everything else is a narrow scan.",
+)
+def q116_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shard"),
+            F.floor(F.sqrt(F.col("doc_id"))).cast("long").cast("string"),
+        ).alias("domain"),
+    )
+    sized = t.withColumn(
+        "n_domain", F.count(F.lit(1)).over(Window.partitionBy("domain"))
+    )
+    rate = F.round(F.least(F.lit(1.0), MIX_K / F.sqrt(F.col("n_domain"))), 6)
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return sized.select(
+        "doc_id",
+        "domain",
+        F.col("n_domain").cast("long").alias("n_domain"),
+        rate.alias("rate"),
+        (h32 < F.floor(rate * 4294967296).cast("long")).alias("keep"),
+    ).orderBy("doc_id")

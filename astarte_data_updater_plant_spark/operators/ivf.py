@@ -324,8 +324,9 @@ def _km_oracle_cents(iters: int) -> str:
     return ",".join(parts)
 
 
-#: final corpus assignment + nprobe-2 query probes over the trained codebook
-_TRAINED_PAIRS_SQL = f"""
+#: final corpus assignment over the trained codebook (shared by
+#: q105/q107 pairs and q115 SemDeDup)
+_TRAINED_CORPUS_SQL = f"""
     corpus AS (
       SELECT vec_id, label, v, centroid_id FROM (
         SELECT b.vec_id, b.label, b.v, c.centroid_id,
@@ -337,7 +338,11 @@ _TRAINED_PAIRS_SQL = f"""
                ) AS rn
         FROM base b CROSS JOIN cents{KM_ITERS} c
       ) t WHERE rn = 1
-    ),
+    )"""
+
+#: + nprobe-2 query probes over the trained codebook
+_TRAINED_PAIRS_SQL = f"""
+    {_TRAINED_CORPUS_SQL},
     probes AS (
       SELECT vec_id, v, centroid_id FROM (
         SELECT b.vec_id, b.v, c.centroid_id,
@@ -513,4 +518,91 @@ def q107_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside trained k-means clusters (q115)
+# ---------------------------------------------------------------------------
+
+#: within-cluster cosine above this drops the higher-id vector
+#: (calibrated to the synthetic embeddings: ~65 of 1000 drop)
+SEM_DEDUP_COS = 0.35
+
+
+@register(
+    "q115_semdedup",
+    f"""
+    WITH {_km_oracle_cents(KM_ITERS)},
+    {_TRAINED_CORPUS_SQL},
+    close_pairs AS (
+      SELECT a.vec_id AS ua, b.vec_id AS ub
+      FROM corpus a JOIN corpus b
+        ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= {SEM_DEDUP_COS}
+    ),
+    drops AS (SELECT ub, COUNT(*) AS n FROM close_pairs GROUP BY ub)
+    SELECT c.vec_id, c.centroid_id,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_near_lower,
+           COALESCE(d.n, 0) = 0 AS is_kept
+    FROM corpus c LEFT JOIN drops d ON d.ub = c.vec_id
+    ORDER BY c.vec_id
+    """,
+    doc="SemDeDup (Abbas et al.): semantic dedup in embedding space — "
+    "assign every vector to its trained k-means cluster (the shared "
+    "q105 codebook), compare pairs only WITHIN a cluster, and drop "
+    "the higher-id member of any pair above the cosine threshold "
+    "(greedy keep-lowest, deterministic). The cluster partitioning is "
+    "what makes the quadratic affordable: pair generation is an "
+    "equi-join on centroid_id with per-cell fan-out bounded by "
+    "corpus/K, exactly the paper's design point — more centroids, "
+    "smaller cells, same plan. Reuses the pinned codebook + corpus "
+    "assignment fragments, so running q105 and q115 together "
+    "trains/assigns once.",
+)
+def q115_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = fragment(
+        spark, sf_dir, "ivf_trained_cents", lambda: kmeans_centroids(spark, sf_dir)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    def _corpus() -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("centroid_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("d2", _d2_col(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("cv", "d2", "rn")
+        )
+
+    corpus = fragment(spark, sf_dir, "ivf_trained_corpus", _corpus)
+    a = corpus.select(
+        F.col("vec_id").alias("ua"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "centroid_id",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("ub"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("centroid_id").alias("cb"),
+    )
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    drops = (
+        a.join(b, (F.col("cb") == F.col("centroid_id")) & (F.col("ua") < F.col("ub")))
+        .filter(sim >= SEM_DEDUP_COS)
+        .groupBy("ub")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        corpus.join(drops, corpus.vec_id == drops.ub, "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_near_lower"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("is_kept"),
+        )
+        .orderBy("vec_id")
     )
