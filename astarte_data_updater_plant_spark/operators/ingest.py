@@ -1046,3 +1046,98 @@ def s84_rpc_volatile_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("timestamp").alias("fired_ts"),
         F.col("new_value").cast("double").alias("fired_value"),
     ).orderBy("device_id", "fired_ts", "fired_value")
+
+
+# -- s85: streaming cross-snapshot content dedup -----------------------------
+
+#: doc_id offsets for the re-crawl snapshot (clones keep the text, so
+#: their content hash collides with snapshot 1; revisions append a
+#: marker so their hash is genuinely new)
+RECRAWL_CLONE_SHIFT = 1_000_000
+RECRAWL_REV_SHIFT = 2_000_000
+RECRAWL_CLONE_MOD = 50
+RECRAWL_REV_MOD = 50
+RECRAWL_REV_RESIDUE = 7
+
+
+@register(
+    "s85_stream_snapshot_dedup",
+    f"""
+    SELECT doc_id, md5(text) AS text_hash FROM documents
+    UNION ALL
+    SELECT doc_id + {RECRAWL_REV_SHIFT}, md5(text || ' v2') FROM documents
+    WHERE doc_id % {RECRAWL_REV_MOD} = {RECRAWL_REV_RESIDUE}
+    ORDER BY doc_id
+    """,
+    doc="Streaming cross-snapshot exact dedup with Spark's NATIVE "
+    "stateful operator: snapshot 1 (the corpus) and snapshot 2 (a "
+    "re-crawl: verbatim clones of every 50th doc plus genuinely "
+    "revised docs) arrive as separate micro-batches, and streaming "
+    "dropDuplicates on the content hash keeps exactly the first "
+    "arrival of each hash — all originals survive, every re-crawled "
+    "clone is suppressed by the state store across the batch "
+    "boundary, every revision passes as new content. This is the "
+    "incremental-ingest companion to q111: the dedup state is the "
+    "hash set itself, partitioned by hash (uniform, unskewed), and "
+    "it is Spark's own state machinery rather than our custom fold — "
+    "the right tool when the predicate is a plain key equality.",
+)
+def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = (
+        docs.filter(F.col("doc_id") % RECRAWL_CLONE_MOD == 0)
+        .select((F.col("doc_id") + RECRAWL_CLONE_SHIFT).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(
+                F.col("doc_id") % RECRAWL_REV_MOD == RECRAWL_REV_RESIDUE
+            ).select(
+                (F.col("doc_id") + RECRAWL_REV_SHIFT).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            )
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="s85_src_")
+    for i, snap in enumerate((docs, recrawl)):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        snap.coalesce(1).write.parquet(stage)
+        import glob as _glob
+
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(src_dir, f"{i:03d}.parquet"))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        kept = (
+            stream.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+            .dropDuplicates(["text_hash"])
+            .select("doc_id", "text_hash")
+        )
+        qname = "s85_dedup"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            kept.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s85_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("doc_id")
