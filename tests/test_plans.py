@@ -162,6 +162,17 @@ PLAN_BUDGETS = {
     "q20_introspection_diff": (2, 0, 0, 0),
     "q21_set_ops": (2, 0, 0, 0),
     "q22_property_prune": (2, 0, 0, 0),
+    # corpus-assembly additions (r4): scan-shaped ops stay at 2-3
+    # exchanges / zero joins; the dedup pipelines are keyed equi-joins
+    # with broadcast index probes (q111/q113) and the SemDeDup
+    # cell self-join keeps its broadcast-centroid nested loop (q115)
+    "q110_sequence_pack": (6, 1, 0, 0),
+    "q111_incremental_dedup": (12, 5, 1, 0),
+    "q112_c4_filters": (2, 0, 0, 0),
+    "q113_substring_dedup": (11, 5, 0, 0),
+    "q114_quality_classifier": (2, 0, 0, 0),
+    "q115_semdedup": (7, 0, 2, 1),
+    "q116_domain_mixture": (3, 0, 0, 0),
 }
 
 
