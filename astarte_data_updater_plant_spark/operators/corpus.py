@@ -587,7 +587,7 @@ WEIGHT_OFF = 1000
            CAST(len(ws) AS BIGINT) AS n_features,
            CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS sum_w,
            CASE WHEN len(ws) = 0 THEN 0.0
-                ELSE round(CAST(list_sum(ws) AS DOUBLE) / (1000.0 * len(ws)), 6)
+                ELSE CAST(list_sum(ws) AS DOUBLE) / (1000.0 * len(ws))
            END AS score,
            COALESCE(list_sum(ws), 0) > 0 AS keep
     FROM b
@@ -617,8 +617,14 @@ def q114_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("ws").cast("long").alias("n_features"),
         sum_w.alias("sum_w"),
+        # NO decimal rounding on the score: the quotient of an exact
+        # integer by an exact integer*1000 is the same correctly-
+        # rounded double in every engine, while round(x, 6) lands on
+        # half-digit ties (e.g. 3033/48000 = 0.0631875) that Spark
+        # (HALF_UP on the decimal string) and DuckDB (on the binary
+        # double) resolve differently — found at sf0.1
         F.when(F.size("ws") == 0, F.lit(0.0))
-        .otherwise(F.round(sum_w.cast("double") / (1000.0 * F.size("ws")), 6))
+        .otherwise(sum_w.cast("double") / (1000.0 * F.size("ws")))
         .alias("score"),
         (sum_w > 0).alias("keep"),
     ).orderBy("doc_id")

@@ -152,14 +152,22 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices_") -> str:
-    """Write df as n time-range files whose listing order equals event-
+    """Write df as n time-range files whose SOURCE ORDER equals event-
     time order (so maxFilesPerTrigger=1 yields time-ordered micro-
     batches). One partitioned write — a filter+write per slice would
-    recompute the upstream plan once per slice."""
+    recompute the upstream plan once per slice.
+
+    Spark's file stream source batches files by MODIFICATION TIME, not
+    path: shutil.move preserves the parquet tasks' arbitrary
+    write-completion mtimes, so the slices must be explicitly
+    re-stamped in slice order or micro-batches arrive out of order
+    (observed at sf0.1: slice 1 ran as batch 0, so every data message
+    dead-lettered before its device's introspection was seen)."""
     import glob
     import os
     import shutil
     import tempfile
+    import time as _time
 
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
     span = (hi - lo).total_seconds() + 1.0
@@ -178,10 +186,18 @@ def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices
         .write.partitionBy("slice")
         .parquet(stage_dir)
     )
+    base = _time.time()
+    seq = 0
     for i in range(n_slices):
         parts = glob.glob(os.path.join(stage_dir, f"slice={i}", "part-*.parquet"))
         for j, part_file in enumerate(sorted(parts)):
-            shutil.move(part_file, os.path.join(src_dir, f"{i:03d}_{j}.parquet"))
+            dst = os.path.join(src_dir, f"{i:03d}_{j}.parquet")
+            shutil.move(part_file, dst)
+            # ms spacing: distinct at the source's ms granularity, yet
+            # all in the past relative to files a scenario copies in
+            # afterwards (s80's replay files must sort last)
+            os.utime(dst, (base + 0.001 * seq, base + 0.001 * seq))
+            seq += 1
     shutil.rmtree(stage_dir)
     return src_dir
 
@@ -1063,10 +1079,12 @@ RECRAWL_REV_RESIDUE = 7
 @register(
     "s85_stream_snapshot_dedup",
     f"""
-    SELECT doc_id, md5(text) AS text_hash FROM documents
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash FROM documents
+    GROUP BY md5(text)
     UNION ALL
-    SELECT doc_id + {RECRAWL_REV_SHIFT}, md5(text || ' v2') FROM documents
+    SELECT MIN(doc_id) + {RECRAWL_REV_SHIFT}, md5(text || ' v2') FROM documents
     WHERE doc_id % {RECRAWL_REV_MOD} = {RECRAWL_REV_RESIDUE}
+    GROUP BY md5(text || ' v2')
     ORDER BY doc_id
     """,
     doc="Streaming cross-snapshot exact dedup with Spark's NATIVE "
@@ -1080,34 +1098,60 @@ RECRAWL_REV_RESIDUE = 7
     "incremental-ingest companion to q111: the dedup state is the "
     "hash set itself, partitioned by hash (uniform, unskewed), and "
     "it is Spark's own state machinery rather than our custom fold — "
-    "the right tool when the predicate is a plain key equality.",
+    "the right tool when the predicate is a plain key equality. Each "
+    "snapshot is internally pre-deduped to the min doc_id per hash "
+    "(a publisher invariant — q40's job): WITHIN one micro-batch "
+    "dropDuplicates keeps an arbitrary first-seen row, so only the "
+    "cross-batch suppression is deterministic, and the scenario "
+    "isolates exactly that (sf0.1 carries real intra-corpus exact "
+    "dups that exposed the ambiguity).",
 )
 def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    def min_per_hash(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    docs = min_per_hash(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = (
         docs.filter(F.col("doc_id") % RECRAWL_CLONE_MOD == 0)
         .select((F.col("doc_id") + RECRAWL_CLONE_SHIFT).alias("doc_id"), "text")
         .unionByName(
-            docs.filter(
-                F.col("doc_id") % RECRAWL_REV_MOD == RECRAWL_REV_RESIDUE
-            ).select(
-                (F.col("doc_id") + RECRAWL_REV_SHIFT).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            min_per_hash(
+                raw.filter(
+                    F.col("doc_id") % RECRAWL_REV_MOD == RECRAWL_REV_RESIDUE
+                ).select(
+                    (F.col("doc_id") + RECRAWL_REV_SHIFT).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                )
             )
         )
     )
     src_dir = tempfile.mkdtemp(prefix="s85_src_")
+    base = __import__("time").time()
     for i, snap in enumerate((docs, recrawl)):
         stage = os.path.join(src_dir, f"_stage{i}")
         snap.coalesce(1).write.parquet(stage)
         import glob as _glob
 
         (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        shutil.move(part, os.path.join(src_dir, f"{i:03d}.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        # the file stream source orders by mtime, not path — stamp the
+        # snapshots explicitly so snapshot 1 is ALWAYS batch 0
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
