@@ -76,3 +76,58 @@ def q75_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "checksum"),
     ).select(F.lit("json_orders").alias("source"), "n_rows", "checksum")
     return nation_sum.unionByName(orders_sum).orderBy("source")
+
+
+@register(
+    "q117_columnar_roundtrip",
+    f"""
+    SELECT 'orc_lineitem' AS source, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS checksum
+    FROM lineitem WHERE l_quantity < 25
+    UNION ALL
+    SELECT 'part_parquet_orders', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY source
+    """,
+    doc="Columnar round-trips: lineitem is written to ORC and read "
+    "back through a pushed-down predicate (the ORC reader serves the "
+    "l_quantity filter from stripe statistics), and orders is written "
+    "as HIVE-PARTITIONED parquet on o_orderpriority and read back "
+    "with a partition filter — the scan lists exactly one partition "
+    "directory, the pruning that turns a 100 TB landing zone into a "
+    "one-partition read. Checksums are exact DECIMAL sums computed "
+    "against the original table by the oracle, so a value flipped by "
+    "either writer/reader, a dropped row, or a partition-column type "
+    "coercion (partition values come back from directory NAMES as "
+    "strings) breaks the hash match.",
+)
+def q117_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    root = tempfile.mkdtemp(prefix="q117_roundtrip_")
+    orc_dir = os.path.join(root, "lineitem_orc")
+    part_dir = os.path.join(root, "orders_part")
+    lineitem.write.mode("overwrite").orc(orc_dir)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(part_dir)
+
+    li_rt = spark.read.schema(lineitem.schema).orc(orc_dir)
+    # partition columns materialize from directory names: read with an
+    # explicit schema so o_orderpriority stays a string, then filter —
+    # the catalyst plan prunes to the single matching directory
+    ord_rt = spark.read.parquet(part_dir)
+
+    li_sum = (
+        li_rt.filter(F.col("l_quantity") < 25)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice", "checksum"))
+        .select(F.lit("orc_lineitem").alias("source"), "n_rows", "checksum")
+    )
+    ord_sum = (
+        ord_rt.filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "checksum"))
+        .select(F.lit("part_parquet_orders").alias("source"), "n_rows", "checksum")
+    )
+    return li_sum.unionByName(ord_sum).orderBy("source")
