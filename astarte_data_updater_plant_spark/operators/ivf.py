@@ -626,10 +626,10 @@ _PQ_L2 = (
 )
 
 
-@register(
-    "q118_pq_adc_topk",
-    f"""
-    WITH base AS (
+#: the full PQ derivation as oracle CTEs, shared by q118 (top-k) and
+#: q119 (recall vs exact L2)
+_PQ_CTES_SQL = f"""
+    base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     sub AS (
@@ -665,16 +665,25 @@ _PQ_L2 = (
       FROM codes k JOIN lut l ON l.s = k.s AND l.code = k.code
       WHERE k.vec_id <> l.query_id
       GROUP BY l.query_id, k.vec_id
-    )
-    SELECT query_id, neighbor_id, approx_d2 FROM (
-      SELECT query_id, neighbor_id,
-             round(d0 + d1 + d2 + d3, 6) AS approx_d2,
-             ROW_NUMBER() OVER (
-               PARTITION BY query_id
-               ORDER BY round(d0 + d1 + d2 + d3, 6) ASC, neighbor_id
-             ) AS rn
-      FROM parts
-    ) t WHERE rn <= {TOP_K}
+    ),
+    pq_topk AS (
+      SELECT query_id, neighbor_id, approx_d2 FROM (
+        SELECT query_id, neighbor_id,
+               round(d0 + d1 + d2 + d3, 6) AS approx_d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(d0 + d1 + d2 + d3, 6) ASC, neighbor_id
+               ) AS rn
+        FROM parts
+      ) t WHERE rn <= {TOP_K}
+    )"""
+
+
+@register(
+    "q118_pq_adc_topk",
+    f"""
+    WITH {_PQ_CTES_SQL}
+    SELECT query_id, neighbor_id, approx_d2 FROM pq_topk
     ORDER BY query_id, approx_d2, neighbor_id
     """,
     doc="Product-quantization ANN with asymmetric distance (the "
@@ -749,4 +758,79 @@ def q118_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_d2")
         .orderBy("query_id", "approx_d2", "neighbor_id")
+    )
+
+
+@register(
+    "q119_pq_recall",
+    f"""
+    WITH {_PQ_CTES_SQL},
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_PQ_L2.format(a="q.v", b="n.v")} ASC, n.vec_id
+               ) AS rn
+        FROM base q
+        JOIN base n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+      ) t WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(p.neighbor_id) / {TOP_K}.0 AS recall
+    FROM exact_topk e
+    LEFT JOIN pq_topk p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    doc="recall@k of PQ asymmetric-distance search (q118) against the "
+    "exact L2 top-k on the same query set — quantization loss made "
+    "measurable, the metric that justifies a subspace/code-count "
+    "trade. Exact side is the bounded-query-batch broadcast pattern "
+    "(q50/q107).",
+)
+def q119_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq = q118_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    d2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("nv"))
+        + dot(F.col("nv"), F.col("nv")),
+        6,
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neighbor_id")
+    exact = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        pq.withColumnRenamed("neighbor_id", "pq_neighbor"),
+        (F.col("pq_neighbor") == F.col("neighbor_id"))
+        & (pq["query_id"] == exact["query_id"]),
+        "left",
+    )
+    return (
+        hits.groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count("pq_neighbor").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / float(TOP_K)).alias("recall"),
+        )
+        .orderBy("query_id")
     )
