@@ -137,3 +137,26 @@ def test_streaming_parity(spark, tmp_path):
     assert [r.integer_value for r in ds] == [5, 6]
     props = {r.path for r in properties_table(got).collect()}
     assert props == {"/weekSchedule/2/start"}
+
+
+def test_time_sliced_files_mtime_order(spark, sf_dir):
+    """Micro-batch order comes from file MTIME, not filename: the
+    slicer must stamp strictly increasing mtimes in slice order, or
+    the file stream source replays slices out of order (observed at
+    sf0.1: slice 1 ran as batch 0 and every data message dead-lettered
+    before its device's introspection)."""
+    import glob
+    import os
+
+    from astarte_data_updater_plant_spark.operators.ingest import _time_sliced_files
+    from astarte_data_updater_plant_spark.sources.stream import events_as_messages
+
+    msgs = events_as_messages(spark, sf_dir)
+    src = _time_sliced_files(msgs, "reception_timestamp", prefix="test_mtime_")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(files) == 4
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes)
+    assert len(set(int(m * 1000) for m in mtimes)) == len(files), (
+        "mtimes must be distinct at the source's ms granularity"
+    )
