@@ -20,6 +20,12 @@ large-scale pretraining-data pipeline runs:
 - q114 hashed linear quality classifier: fastText-style scoring with
   a deterministic hashed-bigram weight table, entirely in column
   expressions.
+- q116 domain-mixture sampling: temperature-flattened per-domain
+  rates with hash-threshold selection that replays identically under
+  any partitioning.
+- q120 pipeline report: the per-source summary composing quality
+  rules (q109), canonical dedup (q47) and classifier scores (q114)
+  over shared pinned fragments.
 
 Scale designs follow the module conventions: per-document features are
 higher-order-function column expressions (zero Python, zero shuffle);
@@ -706,3 +712,133 @@ def q116_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate"),
         (h32 < F.floor(rate * 4294967296).cast("long")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q120 — end-to-end corpus pipeline report
+# ---------------------------------------------------------------------------
+
+
+def _q120_oracle() -> str:
+    from .dedup import _COMPONENT_CTES_SQL, _NEAR_DUP_CTES_SQL
+    from .textops import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        _SW_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL},
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    canon AS (
+      SELECT doc_id, n_tokens,
+             (ROW_NUMBER() OVER (
+                PARTITION BY component_id
+                ORDER BY n_tokens DESC, doc_id) = 1) AS is_canonical
+      FROM lab
+    ),
+    gm AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                        AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS mean_word_len,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                     w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS alpha_frac,
+             len(list_intersect(string_split(text, ' '), [{_SW_SQL}])) >= 1
+               AS has_stopword
+      FROM documents
+    ),
+    gq AS (
+      SELECT doc_id,
+             (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                    AND {GOPHER_MAX_MEAN_WORD_LEN})
+               AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+               AND has_stopword AS q_keep
+      FROM gm
+    ),
+    clf AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_features,
+             CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS sum_w
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(string_split(text, ' ')), 1)),
+                 i -> ('0x' || substr(md5(string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i+1]), 1, 8))::BIGINT
+                      % {WEIGHT_MOD} - {WEIGHT_OFF}) AS ws
+        FROM documents
+      ) b
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gq.q_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_keep,
+           CAST(SUM(CASE WHEN canon.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           CAST(SUM(canon.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(clf.sum_w) AS DOUBLE) / (1000.0 * SUM(clf.n_features))
+             AS mean_clf_score
+    FROM documents d
+    JOIN canon ON canon.doc_id = d.doc_id
+    JOIN gq ON gq.doc_id = d.doc_id
+    JOIN clf ON clf.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@register(
+    "q120_pipeline_report",
+    _q120_oracle(),
+    doc="The corpus-pipeline summary a data team actually reads: per "
+    "source, document count, Gopher-quality survivors (q109), "
+    "canonical docs after near-dup election (q47), total tokens, and "
+    "the mean hashed-classifier score (q114, exact fixed-point sums "
+    "divided once so the mean is engine-identical). Composes three "
+    "registered pipelines by doc_id join and aggregates by source — "
+    "the LSH/component fragments and shingle sets are shared with the "
+    "dedup ladder, so this report piggybacks on already-pinned "
+    "intermediates rather than recomputing them.",
+)
+def q120_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q47_dedup_keep_best
+    from .textops import q109_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = q47_dedup_keep_best(spark, sf_dir).select(
+        "doc_id", "n_tokens", "is_canonical"
+    )
+    gq = q109_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    clf = q114_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_features", "sum_w"
+    )
+    joined = docs.join(canon, "doc_id").join(gq, "doc_id").join(clf, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("q_keep").cast("int")).cast("long").alias("n_quality_keep"),
+            F.sum(F.col("is_canonical").cast("int")).cast("long").alias("n_canonical"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("sum_w").cast("double")
+                / (1000.0 * F.sum("n_features"))
+            ).alias("mean_clf_score"),
+        )
+        .orderBy("source")
+    )
