@@ -173,6 +173,11 @@ PLAN_BUDGETS = {
     "q114_quality_classifier": (2, 0, 0, 0),
     "q115_semdedup": (7, 0, 2, 1),
     "q116_domain_mixture": (3, 0, 0, 0),
+    "q117_columnar_roundtrip": (2, 0, 0, 0),
+    # PQ: codes + LUT joins are broadcast probes of tiny code tables
+    "q118_pq_adc_topk": (5, 3, 0, 0),
+    "q119_pq_recall": (11, 3, 1, 1),
+    "q120_pipeline_report": (9, 3, 1, 0),
 }
 
 
