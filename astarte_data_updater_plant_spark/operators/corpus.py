@@ -26,6 +26,9 @@ large-scale pretraining-data pipeline runs:
 - q120 pipeline report: the per-source summary composing quality
   rules (q109), canonical dedup (q47) and classifier scores (q114)
   over shared pinned fragments.
+- q121 vocabulary + encoding: df-ranked top-N vocabulary, documents
+  re-expressed as id sequences with OOV accounting — the
+  CountVectorizer-shaped stage before any training job.
 
 Scale designs follow the module conventions: per-document features are
 higher-order-function column expressions (zero Python, zero shuffle);
@@ -841,4 +844,90 @@ def q120_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_clf_score"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — vocabulary build + document-to-ids encoding
+# ---------------------------------------------------------------------------
+
+#: vocabulary size (the synthetic corpus has ~31 distinct words, so 24
+#: leaves real OOV traffic) and the reserved UNK id
+VOCAB_N = 24
+UNK_ID = 0
+
+
+@register(
+    "q121_vocab_encode",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[i] AS tok
+      FROM documents,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+    ),
+    vocab AS (
+      SELECT tok, tid FROM (
+        SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS BIGINT) AS tid
+        FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok) d
+      ) r WHERE tid <= {VOCAB_N}
+    ),
+    ids AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.tid, {UNK_ID}) AS tid,
+             v.tid IS NULL AS oov
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(tid) AS BIGINT) AS ids_sum,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM ids
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Text vectorization for training: build a document-frequency "
+    "vocabulary (top-N terms, df-desc with term tie-break, ids 1..N "
+    "with 0 reserved for UNK) and encode every document as its id "
+    "sequence, digest-checked per document. The vocabulary is a "
+    "bounded top-N — on a real corpus a distributed orderBy+limit "
+    "feeding a broadcast map, which is exactly the plan here: the "
+    "encode side is one broadcast hash join from exploded (doc, pos, "
+    "token) rows, then a per-doc ordered reassembly. OOV count, id "
+    "checksum and sequence digest make a wrong id assignment, lost "
+    "position, or tie-broken-differently vocabulary all hash-visible.",
+)
+def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    w_v = Window.orderBy(F.col("df").desc(), "tok")
+    vocab = (
+        df.withColumn("tid", F.row_number().over(w_v).cast("long"))
+        .filter(F.col("tid") <= VOCAB_N)
+        .select("tok", "tid")
+    )
+    ids = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos",
+        F.coalesce("tid", F.lit(UNK_ID)).alias("tid"),
+        F.col("tid").isNull().alias("oov"),
+    )
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"].cast("string"),
+        ),
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("oov").cast("int")).cast("long").alias("n_oov"),
+            F.sum("tid").cast("long").alias("ids_sum"),
+            F.md5(seq.cast("binary")).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
     )
