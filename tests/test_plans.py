@@ -178,6 +178,7 @@ PLAN_BUDGETS = {
     "q118_pq_adc_topk": (5, 3, 0, 0),
     "q119_pq_recall": (11, 3, 1, 1),
     "q120_pipeline_report": (9, 3, 1, 0),
+    "q121_vocab_encode": (6, 1, 0, 0),
 }
 
 
