@@ -858,3 +858,77 @@ def q109_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha"),
         (ok_words & ok_len & ok_alpha & F.col("has_stopword")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (q122)
+# ---------------------------------------------------------------------------
+
+#: classic UTF-8-read-as-latin-1 artifacts and their repairs (the
+#: ftfy-style fix table, smallest useful subset) + zero-width space
+_MOJIBAKE_FIXES = (
+    ("Ã©", "é"),   # 'Ã©'  -> 'é'
+    ("â€™", "’"),  # 'â€™' -> '’'
+    ("Ã¯", "ï"),   # 'Ã¯'  -> 'ï'
+    ("​", ""),               # zero-width space -> removed
+)
+_MOJI_ALT = "|".join(a for a, _ in _MOJIBAKE_FIXES)
+
+
+@register(
+    "q122_mojibake_repair",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN ' cafÃ© menu'
+               WHEN 1 THEN ' donâ€™t stop'
+               ELSE ' naÃ¯ve​test end'
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_MOJI_ALT}')) AS BIGINT)
+             AS n_mojibake,
+           md5(replace(replace(replace(replace(text,
+                 'Ã©', 'é'),
+                 'â€™', '’'),
+                 'Ã¯', 'ï'),
+                 '​', '')) AS repaired_md5,
+           CAST(len(replace(replace(replace(replace(text,
+                 'Ã©', 'é'),
+                 'â€™', '’'),
+                 'Ã¯', 'ï'),
+                 '​', '')) AS BIGINT) AS repaired_len
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="Mojibake repair (ftfy-style): fix classic "
+    "UTF-8-decoded-as-latin-1 artifacts ('Ã©' -> 'é', "
+    "'â€™' -> '’') and strip zero-width spaces — "
+    "the encoding-cleanup stage web corpora need before tokenization. "
+    "Corruption is seeded deterministically per document (q104's "
+    "precedent) so both engines build identical dirty text; artifact "
+    "counts and the digest + length of the repaired text verify the "
+    "fix table byte-exactly. Pure string-replace projections over one "
+    "scan, zero shuffle; the real fix table just has more rows.",
+)
+def q122_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafÃ© menu"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" donâ€™t stop"))
+        .otherwise(F.lit(" naÃ¯ve​test end"))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    repaired = F.col("text")
+    for bad, good in _MOJIBAKE_FIXES:
+        repaired = F.replace(repaired, F.lit(bad), F.lit(good))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_MOJI_ALT)).cast("long").alias("n_mojibake"),
+        F.md5(repaired.cast("binary")).alias("repaired_md5"),
+        F.length(repaired).cast("long").alias("repaired_len"),
+    ).orderBy("doc_id")
