@@ -931,3 +931,60 @@ def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — packing efficiency report (over q110's layout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_packing_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    ),
+    packed AS (
+      SELECT CAST(i AS BIGINT) AS seq_id,
+             CAST(least(cum_before + n, (i + 1) * {SEQ_LEN})
+                  - greatest(cum_before, i * {SEQ_LEN}) AS BIGINT) AS n_toks
+      FROM c,
+           UNNEST(range(CAST(cum_before // {SEQ_LEN} AS BIGINT),
+                        CAST((cum_before + n - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS t(i)
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+           CAST({SEQ_LEN} - SUM(n_toks) AS BIGINT) AS padding,
+           CAST(SUM(n_toks) AS DOUBLE) / {SEQ_LEN} AS fill_rate
+    FROM packed
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+    doc="Packing-efficiency report over the q110 layout: per training "
+    "sequence, how many documents contribute, how many tokens land, "
+    "and the padding the trainer would burn — the metric that decides "
+    "whether concatenate-then-chunk beats bin-packing for a corpus "
+    "(here only the FINAL sequence can pad, which the report makes "
+    "visible). One aggregate over the packing fan-out; shares q110's "
+    "hierarchical-prefix-sum shape on the engine side.",
+)
+def q123_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q110_sequence_pack(spark, sf_dir)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+            (F.lit(SEQ_LEN) - F.sum("n_toks")).cast("long").alias("padding"),
+            (F.sum("n_toks").cast("double") / SEQ_LEN).alias("fill_rate"),
+        )
+        .orderBy("seq_id")
+    )
