@@ -701,3 +701,125 @@ def q97_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@register(
+    "q124_promo_revenue",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+             CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS {_M})
+                       * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R}))
+                  ELSE CAST(0 AS DECIMAL(20,8)) END) AS DECIMAL(38,6)) AS DOUBLE)
+               AS promo_revenue,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M})
+                  * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT month, promo_revenue, total_revenue,
+           100.0 * promo_revenue / total_revenue AS promo_pct
+    FROM m
+    ORDER BY month
+    """,
+    doc="TPC-H Q14 shape: monthly promo-revenue share — a conditional "
+    "exact-decimal aggregate over the fact x broadcast-dimension join, "
+    "with the percentage computed ONCE from the two snapped doubles so "
+    "it is engine-identical. The plan is one shuffle (the month "
+    "groupBy) over a broadcast hash join; the CASE rides the same "
+    "partial/final aggregation as the unconditional sum.",
+)
+def q124_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - drate("l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(20,8)")
+    )
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            dsum_expr(promo, "promo_revenue"),
+            dsum_expr(rev, "total_revenue"),
+        )
+    )
+    return m.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        (100.0 * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+    ).orderBy("month")
+
+
+#: the Q19-style OR-of-ANDs branches: (brand, size range, qty range)
+_Q125_BRANCHES = (
+    ("Brand#12", 1, 10, 1, 20),
+    ("Brand#23", 11, 25, 10, 30),
+    ("Brand#34", 26, 50, 20, 40),
+)
+
+
+@register(
+    "q125_or_predicate_revenue",
+    f"""
+    SELECT CASE {" ".join(
+        f"WHEN p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1} "
+        f"AND l.l_quantity BETWEEN {q0} AND {q1} THEN '{b}'"
+        for b, s0, s1, q0, q1 in _Q125_BRANCHES)} END AS branch,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M})
+                * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})))
+                AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1} "
+        f"AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q125_BRANCHES)}
+    GROUP BY 1
+    ORDER BY branch
+    """,
+    doc="TPC-H Q19 shape: disjunction of multi-column conjunctions "
+    "(brand x size range x quantity range) over the fact x dimension "
+    "join, revenue per matching branch. The interesting part is what "
+    "Catalyst does with the OR: brand/size conjuncts are "
+    "dimension-only and quantity conjuncts fact-only, so the "
+    "simplified residuals push to BOTH scans as range filters while "
+    "the joint disjunction evaluates post-join — predicate pushdown "
+    "through a disjunction, the classic Q19 optimizer test.",
+)
+def q125_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def arm(b, s0, s1, q0, q1):
+        return (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+
+    arms = [arm(*br) for br in _Q125_BRANCHES]
+    cond = arms[0] | arms[1] | arms[2]
+    branch = (
+        F.when(arms[0], F.lit(_Q125_BRANCHES[0][0]))
+        .when(arms[1], F.lit(_Q125_BRANCHES[1][0]))
+        .when(arms[2], F.lit(_Q125_BRANCHES[2][0]))
+    )
+    rev = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - drate("l_discount")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy(branch.alias("branch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum_expr(rev, "revenue"),
+        )
+        .orderBy("branch")
+    )
