@@ -179,6 +179,10 @@ PLAN_BUDGETS = {
     "q119_pq_recall": (11, 3, 1, 1),
     "q120_pipeline_report": (9, 3, 1, 0),
     "q121_vocab_encode": (6, 1, 0, 0),
+    "q122_mojibake_repair": (2, 0, 0, 0),
+    "q123_packing_efficiency": (7, 1, 0, 0),
+    "q124_promo_revenue": (2, 1, 0, 0),
+    "q125_or_predicate_revenue": (2, 1, 0, 0),
 }
 
 
