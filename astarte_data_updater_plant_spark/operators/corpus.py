@@ -988,3 +988,80 @@ def q123_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — curriculum tiers: NTILE routing by classifier score
+# ---------------------------------------------------------------------------
+
+N_TIERS = 10
+
+
+@register(
+    "q126_curriculum_tiers",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_transform(
+               range(1, greatest(len(string_split(text, ' ')), 1)),
+               i -> ('0x' || substr(md5(string_split(text, ' ')[i] || ' '
+                      || string_split(text, ' ')[i+1]), 1, 8))::BIGINT
+                    % {WEIGHT_MOD} - {WEIGHT_OFF}) AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(list_sum(ws) AS DOUBLE) / (1000.0 * len(ws))
+             END AS score
+      FROM b
+    ),
+    tiered AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(NTILE({N_TIERS}) OVER (ORDER BY score, doc_id) AS BIGINT)
+               AS tier
+      FROM scored
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM tiered
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    doc="Curriculum routing: documents ranked by the hashed-classifier "
+    "score (q114's exact fixed-point quotient, doc_id tie-break) and "
+    "split into NTILE deciles — the quality-tier assignment a "
+    "curriculum or data-mixing schedule consumes, reported per tier "
+    "with score bounds and token mass. A global NTILE needs a total "
+    "order; at corpus scale the same assignment computes from a "
+    "sampled quantile sketch (approx_percentile boundaries) + "
+    "per-row bucket lookup, trading exact tie handling for a "
+    "shuffle-free plan — stated here exactly, since the oracle must "
+    "replay ties bit-for-bit.",
+)
+def q126_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q114_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_features", "score"
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("score", "doc_id")
+    tiered = (
+        scored.join(toks, "doc_id")
+        .withColumn("tier", F.ntile(N_TIERS).over(w).cast("long"))
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("tier")
+    )
