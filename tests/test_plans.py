@@ -183,6 +183,7 @@ PLAN_BUDGETS = {
     "q123_packing_efficiency": (7, 1, 0, 0),
     "q124_promo_revenue": (2, 1, 0, 0),
     "q125_or_predicate_revenue": (2, 1, 0, 0),
+    "q126_curriculum_tiers": (3, 1, 0, 0),
 }
 
 
