@@ -1185,3 +1185,80 @@ def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("doc_id")
+
+
+# -- s86: error-channel taxonomy under the hash gate -------------------------
+
+#: per-class corruption applied to data messages by event_id % 5:
+#: 0 untouched, 1 malformed path, 2 unannounced interface, 3 garbage
+#: BSON, 4 well-formed BSON of the wrong type
+_S86_GARBAGE = b"\xff\xfe\x00"
+
+
+@register(
+    "s86_error_taxonomy",
+    """
+    WITH cls AS (SELECT event_id, user_id, event_id % 5 AS c FROM events)
+    SELECT CASE c WHEN 0 THEN 'ok'
+                  WHEN 1 THEN 'invalid_path'
+                  WHEN 2 THEN 'interface_not_in_introspection'
+                  WHEN 3 THEN 'invalid_payload'
+                  ELSE 'unexpected_value_type' END AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_devices
+    FROM cls
+    GROUP BY c
+    ORDER BY category
+    """,
+    doc="The A7/A10/A11 validation ladder under the driver's hash "
+    "gate, not just unit tests: four corruption classes are injected "
+    "deterministically into the message stream (malformed path, "
+    "unannounced interface, undecodable BSON, wrong value type) and "
+    "the state machine must route every message to exactly the "
+    "expected dead-letter category — or to a datastream row for the "
+    "clean class — with counts and distinct-device counts matching "
+    "plain modulo arithmetic over the original events. Validation "
+    "ORDER matters (path before introspection before decode before "
+    "type, impl.ex:559-598): a misordered ladder shifts categories "
+    "and breaks the hash.",
+)
+def s86_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.payloads import encode_document
+    from ..streaming.pipeline import errors_table
+
+    msgs = events_as_messages(spark, sf_dir)
+    e_id = F.expr("CAST(substring(message_id, 4) AS BIGINT)")
+    cls = F.when(F.col("msg_type") == "data", e_id % 5)
+    bad_type = encode_document({"v": "oops"})
+    corrupted = (
+        msgs.withColumn("__c", cls)
+        .withColumn(
+            "path",
+            F.when(F.col("__c") == 1, F.lit("/bad//path")).otherwise(F.col("path")),
+        )
+        .withColumn(
+            "interface",
+            F.when(F.col("__c") == 2, F.lit("com.unknown.Iface")).otherwise(
+                F.col("interface")
+            ),
+        )
+        .withColumn(
+            "payload",
+            F.when(F.col("__c") == 3, F.lit(_S86_GARBAGE))
+            .when(F.col("__c") == 4, F.lit(bad_type))
+            .otherwise(F.col("payload")),
+        )
+        .drop("__c")
+    )
+    out = run_batch(corrupted, interfaces=(telemetry_interface(),))
+    ok = datastream_table(out).select(F.lit("ok").alias("category"), "device_id")
+    errs = errors_table(out).select(F.col("error").alias("category"), "device_id")
+    return (
+        ok.unionByName(errs)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_messages"),
+            F.countDistinct("device_id").cast("long").alias("n_devices"),
+        )
+        .orderBy("category")
+    )
