@@ -643,3 +643,94 @@ def q94_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m2"),
     )
     return enriched.select("user_id", F.explode("m2").alias("k", "v"))
+
+
+@register(
+    "q127_column_profile",
+    """
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,4)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,4)) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+    doc="ANALYZE-style column profiling: row count, non-null count, "
+    "exact distinct count, and min/max (stringified; the money column "
+    "through exact DECIMAL so the rendering is engine-identical) per "
+    "profiled column of orders — the table-statistics pass that feeds "
+    "optimizer estimates and data-quality dashboards. One scan per "
+    "profile ROW in the SQL statement, but the Spark side computes "
+    "every column's aggregates in a SINGLE pass (one partial+final "
+    "aggregate over all profiled columns, then an unpivot of the "
+    "results) — the difference between O(cols) scans and O(1) scans "
+    "is the whole game when the table is 100 TB.",
+)
+def q127_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("mn_prio"),
+        F.max("o_orderpriority").alias("mx_prio"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min(F.col("o_totalprice").cast("decimal(12,4)")).cast("string").alias("mn_price"),
+        F.max(F.col("o_totalprice").cast("decimal(12,4)")).cast("string").alias("mx_price"),
+    )
+    profiles = F.array(
+        F.struct(
+            F.lit("o_custkey").alias("col"),
+            F.col("n_rows"),
+            F.col("nn_custkey").alias("n_non_null"),
+            F.col("nd_custkey").alias("n_distinct"),
+            F.col("mn_custkey").alias("min_s"),
+            F.col("mx_custkey").alias("max_s"),
+        ),
+        F.struct(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("n_rows"),
+            F.col("nn_prio").alias("n_non_null"),
+            F.col("nd_prio").alias("n_distinct"),
+            F.col("mn_prio").alias("min_s"),
+            F.col("mx_prio").alias("max_s"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("col"),
+            F.col("n_rows"),
+            F.col("nn_price").alias("n_non_null"),
+            F.col("nd_price").alias("n_distinct"),
+            F.col("mn_price").alias("min_s"),
+            F.col("mx_price").alias("max_s"),
+        ),
+    )
+    return (
+        agg.select(F.explode(profiles).alias("p"))
+        .select(
+            F.col("p.col").alias("col"),
+            F.col("p.n_rows").cast("long").alias("n_rows"),
+            F.col("p.n_non_null").cast("long").alias("n_non_null"),
+            F.col("p.n_distinct").cast("long").alias("n_distinct"),
+            F.col("p.min_s").alias("min_s"),
+            F.col("p.max_s").alias("max_s"),
+        )
+        .orderBy("col")
+    )
