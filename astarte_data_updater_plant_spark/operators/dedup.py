@@ -606,3 +606,66 @@ def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q128_minhash_estimate_error",
+    f"""
+    WITH {_NEAR_DUP_CTES_SQL}
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(( (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) AS DOUBLE)
+             / {N_HASHES} AS jaccard_est,
+           abs(CAST(( (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) AS DOUBLE)
+               / {N_HASHES} - p.jaccard) AS abs_err
+    FROM near_dup_pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash estimator diagnostics: for every verified near-dup "
+    "pair, the signature-agreement Jaccard estimate (matching "
+    "coordinates / 8) against the exact shingle-set Jaccard, with the "
+    "absolute error — the measurement that justifies a bands/rows "
+    "trade, completing the estimator-quality trio with q107 (IVF "
+    "recall) and q119 (PQ recall). Reuses the pinned signature and "
+    "shingle fragments; the only new work is two keyed joins over the "
+    "(tiny) verified-pair set.",
+)
+def q128_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = matches.cast("double") / N_HASHES
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            est.alias("jaccard_est"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
