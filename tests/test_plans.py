@@ -184,6 +184,8 @@ PLAN_BUDGETS = {
     "q124_promo_revenue": (2, 1, 0, 0),
     "q125_or_predicate_revenue": (2, 1, 0, 0),
     "q126_curriculum_tiers": (3, 1, 0, 0),
+    "q127_column_profile": (2, 0, 0, 0),
+    "q128_minhash_estimate_error": (6, 5, 0, 0),
 }
 
 
