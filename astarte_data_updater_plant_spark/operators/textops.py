@@ -932,3 +932,86 @@ def q122_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(repaired.cast("binary")).alias("repaired_md5"),
         F.length(repaired).cast("long").alias("repaired_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence / lift (q129)
+# ---------------------------------------------------------------------------
+
+#: document-frequency floor for co-occurrence candidates — the same
+#: stop-shingle idea as q44: only tokens appearing in >= this many
+#: docs participate, bounding the per-doc pair fan-out
+COOC_DF_MIN = 5
+COOC_TOP_K = 50
+
+
+@register(
+    "q129_token_cooccurrence",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+      HAVING COUNT(*) >= {COOC_DF_MIN}
+    ),
+    kept AS (SELECT t.doc_id, t.tok FROM toks t JOIN df USING (tok)),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+      FROM kept a JOIN kept b
+        ON b.doc_id = a.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(CAST(n_docs.n * c_ab AS DOUBLE) / (da.df * db.df), 6)
+             AS lift
+    FROM pairs
+    JOIN df da ON da.tok = pairs.tok_a
+    JOIN df db ON db.tok = pairs.tok_b
+    CROSS JOIN n_docs
+    ORDER BY round(CAST(n_docs.n * c_ab AS DOUBLE) / (da.df * db.df), 6)
+             DESC, tok_a, tok_b
+    LIMIT {COOC_TOP_K}
+    """,
+    doc="Token co-occurrence with lift (P(a,b)/(P(a)P(b)) stated as "
+    "the exact integer ratio N*c_ab/(df_a*df_b), log-free so the "
+    "score is engine-identical) — the phrase-mining/collocation "
+    "signal used to build tokenizer merge candidates and stop-phrase "
+    "lists. The df floor bounds the per-doc pair fan-out exactly like "
+    "q44's stop-shingle cap, so candidate generation stays O(docs x "
+    "kept_tokens^2) with kept_tokens a corpus constant; counting is "
+    "one keyed groupBy; the final top-k is a bounded sort.",
+)
+def q129_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= COOC_DF_MIN
+    )
+    kept = toks.join(F.broadcast(df.select("tok")), "tok")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    da = df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    lift = F.round(
+        (F.col("n") * F.col("c_ab")).cast("double") / (F.col("df_a") * F.col("df_b")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok_a", "tok_b", F.col("c_ab").cast("long").alias("c_ab"), lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(COOC_TOP_K)
+    )
