@@ -1015,3 +1015,44 @@ def q129_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
         .limit(COOC_TOP_K)
     )
+
+
+BPE_TOP_K = 20
+
+
+@register(
+    "q130_bpe_merge_candidates",
+    f"""
+    WITH bigrams AS (
+      SELECT string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               AS pair
+      FROM documents,
+           UNNEST(range(1, greatest(len(string_split(text, ' ')), 1))) AS t(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM bigrams
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+    doc="One BPE training step at word granularity: count every "
+    "POSITIONAL adjacent pair across the corpus (occurrences, not "
+    "document frequency) and rank the merge candidates — the "
+    "frequency table each merge iteration of byte-pair-encoding "
+    "tokenizer training consumes. One explode + one keyed groupBy "
+    "with map-side partial counts; the top-k is a bounded sort, so "
+    "each merge iteration is a single linear pass at any corpus "
+    "size. Deterministic rank: count desc, pair asc.",
+)
+def q130_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.split("text", " ").alias("toks"))
+    pairs = toked.select(
+        F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
