@@ -186,6 +186,8 @@ PLAN_BUDGETS = {
     "q126_curriculum_tiers": (3, 1, 0, 0),
     "q127_column_profile": (2, 0, 0, 0),
     "q128_minhash_estimate_error": (6, 5, 0, 0),
+    "q129_token_cooccurrence": (14, 5, 0, 1),
+    "q130_bpe_merge_candidates": (2, 0, 0, 0),
 }
 
 
