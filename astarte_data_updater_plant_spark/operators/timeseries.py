@@ -485,3 +485,81 @@ try:
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
+
+
+#: retention tiers: rows older than this cutoff (fraction of the data
+#: span before max ts) are thinned to the first sample per hour; newer
+#: rows are kept raw — the Timescale-style downsample-then-drop policy
+RETENTION_SPLIT_HOURS = 24 * 7
+
+
+@register(
+    "q131_retention_downsample",
+    f"""
+    WITH cut AS (
+      SELECT max(ts) - INTERVAL {RETENTION_SPLIT_HOURS} HOUR AS c FROM events
+    ),
+    old_kept AS (
+      SELECT user_id, event_type, ts, value FROM (
+        SELECT e.user_id, e.event_type, e.ts, e.value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.user_id, e.event_type, date_trunc('hour', e.ts)
+                 ORDER BY e.ts, e.event_id
+               ) AS rn
+        FROM events e, cut WHERE e.ts < cut.c
+      ) t WHERE rn = 1
+    ),
+    recent AS (
+      SELECT e.user_id, e.event_type, e.ts, e.value
+      FROM events e, cut WHERE e.ts >= cut.c
+    )
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' || event_type || '/value' AS path,
+           ts AS value_timestamp, value AS double_value,
+           'downsampled' AS tier
+    FROM old_kept
+    UNION ALL
+    SELECT CAST(user_id AS VARCHAR), '/' || event_type || '/value',
+           ts, value, 'raw'
+    FROM recent
+    ORDER BY device_id, path, value_timestamp
+    """,
+    doc="Tiered retention (the Timescale/hypertable downsample-then-"
+    "drop policy the reference's TTL-only model lacks): datastream "
+    "rows older than the hot window are thinned to the FIRST sample "
+    "per (device, path, hour) — selecting retained raw rows, not "
+    "aggregating them (q65 is the aggregate tier) — while recent rows "
+    "stay untouched, each row labeled with its tier. The thinning is "
+    "one window over the storage partitioning key plus the hour, so "
+    "the vacuum job shuffles only the cold partition range it "
+    "rewrites; deterministic keep choice via (ts, event_id) order.",
+)
+def q131_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {RETENTION_SPLIT_HOURS} HOUR")).alias("c")
+    )
+    with_cut = ev.crossJoin(F.broadcast(cut))
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    old_kept = (
+        with_cut.filter(F.col("ts") < F.col("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value", F.lit("downsampled").alias("tier"))
+    )
+    recent = with_cut.filter(F.col("ts") >= F.col("c")).select(
+        "user_id", "event_type", "ts", "value", F.lit("raw").alias("tier")
+    )
+    return (
+        old_kept.unionByName(recent)
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            F.concat(F.lit("/"), F.col("event_type"), F.lit("/value")).alias("path"),
+            F.col("ts").alias("value_timestamp"),
+            F.col("value").alias("double_value"),
+            "tier",
+        )
+        .orderBy("device_id", "path", "value_timestamp")
+    )
