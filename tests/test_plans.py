@@ -188,6 +188,8 @@ PLAN_BUDGETS = {
     "q128_minhash_estimate_error": (6, 5, 0, 0),
     "q129_token_cooccurrence": (14, 5, 0, 1),
     "q130_bpe_merge_candidates": (2, 0, 0, 0),
+    # the two nested loops are the broadcast scalar-cutoff cross joins
+    "q131_retention_downsample": (4, 0, 0, 2),
 }
 
 
