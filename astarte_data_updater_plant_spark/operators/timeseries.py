@@ -563,3 +563,63 @@ def q131_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_id", "path", "value_timestamp")
     )
+
+
+#: a device is flagged when its longest silence exceeds this
+GAP_ALERT_HOURS = 12
+
+
+@register(
+    "q132_heartbeat_gaps",
+    f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT)
+             AS mean_gap_us,
+           MAX(gap_us) > CAST({GAP_ALERT_HOURS} AS BIGINT) * 3600 * 1000000
+             AS silent_alert
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY device_id
+    """,
+    doc="Device-silence monitoring: per-device inter-message gaps "
+    "(event-time lag over the device partition), longest and mean "
+    "silence, and an alert when the longest gap exceeds the SLA "
+    "window — the connectivity-health analytic an IoT fleet operator "
+    "runs next to the A25 connect lifecycle. One window over the "
+    "storage partitioning key then one aggregate — a single shuffle, "
+    "integer microsecond arithmetic throughout (the mean truncates "
+    "through an exact double quotient, engine-identical).",
+)
+def q132_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (ts_micros("ts") - F.lag(ts_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.floor(F.sum("gap_us").cast("double") / F.count("gap_us"))
+            .cast("long")
+            .alias("mean_gap_us"),
+            (F.max("gap_us") > GAP_ALERT_HOURS * 3600 * 1_000_000).alias(
+                "silent_alert"
+            ),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            "n_gaps", "max_gap_us", "mean_gap_us", "silent_alert",
+        )
+        .orderBy("device_id")
+    )
