@@ -190,6 +190,7 @@ PLAN_BUDGETS = {
     "q130_bpe_merge_candidates": (2, 0, 0, 0),
     # the two nested loops are the broadcast scalar-cutoff cross joins
     "q131_retention_downsample": (4, 0, 0, 2),
+    "q132_heartbeat_gaps": (2, 0, 0, 0),
 }
 
 
