@@ -623,3 +623,92 @@ def q132_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_id")
     )
+
+
+#: |value - mean| > Z_SIGMA * std flags an anomaly
+Z_SIGMA = 3
+#: values snap to 1e-3 fixed point so every sum AND sum-of-squares
+#: stays inside int64 at the observed value range (|v| < 1e3, 1e3
+#: events/device: x^2 sums reach ~1e14, n*sxx ~1e17 < 2^63)
+Z_SNAP = 1_000
+
+
+@register(
+    "q133_value_anomalies",
+    f"""
+    WITH s AS (
+      SELECT user_id, CAST(ROUND(value * {Z_SNAP}) AS BIGINT) AS x
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM s GROUP BY user_id
+    ),
+    flags AS (
+      SELECT s.user_id,
+             CASE WHEN (a.n * s.x - a.sx) * (a.n * s.x - a.sx)
+                       > {Z_SIGMA * Z_SIGMA} * (a.n * a.sxx - a.sx * a.sx)
+                  THEN 1 ELSE 0 END AS is_anom
+      FROM s JOIN agg a ON a.user_id = s.user_id
+    )
+    SELECT CAST(a.user_id AS VARCHAR) AS device_id,
+           a.n,
+           CAST(a.sx AS DOUBLE) / (a.n * {Z_SNAP}.0) AS mean_value,
+           sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                / (CAST(a.n AS DOUBLE) * a.n)) / {Z_SNAP}.0 AS std_value,
+           CAST(f.n_anom AS BIGINT) AS n_anomalies
+    FROM agg a
+    JOIN (SELECT user_id, SUM(is_anom) AS n_anom FROM flags GROUP BY user_id) f
+      ON f.user_id = a.user_id
+    ORDER BY device_id
+    """,
+    doc="Per-device value-anomaly detection with EXACT statistics: "
+    "values snap to 1e-3 fixed point, count/sum/sum-of-squares are "
+    "integer aggregates (associative, partial-order free), and the "
+    "|x - mean| > 3*sigma test is rearranged to the pure-integer "
+    "comparison (n*x - sx)^2 > 9*(n*sxx - sx^2) — so the anomaly "
+    "COUNT is bit-deterministic on any engine and any partitioning, "
+    "with mean/std surfaced through single fixed-formula double "
+    "expressions. Float variance accumulated naively would be "
+    "partial-order dependent and unreproducible at cluster scale; "
+    "this is the pattern that makes fleet-wide anomaly alerting "
+    "replayable.",
+)
+def q133_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", F.round(F.col("value") * Z_SNAP).cast("long").alias("x")
+    )
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    joined = s.join(agg, "user_id")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    flags = joined.select(
+        "user_id",
+        F.when(dev * dev > Z_SIGMA * Z_SIGMA * var_num, 1).otherwise(0).alias("is_anom"),
+    )
+    n_anom = flags.groupBy("user_id").agg(F.sum("is_anom").cast("long").alias("n_anomalies"))
+    return (
+        agg.join(n_anom, "user_id")
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            "n",
+            (F.col("sx").cast("double") / (F.col("n") * float(Z_SNAP))).alias("mean_value"),
+            (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                    / (F.col("n").cast("double") * F.col("n"))
+                )
+                / float(Z_SNAP)
+            ).alias("std_value"),
+            "n_anomalies",
+        )
+        .orderBy("device_id")
+    )
