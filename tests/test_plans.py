@@ -191,6 +191,7 @@ PLAN_BUDGETS = {
     # the two nested loops are the broadcast scalar-cutoff cross joins
     "q131_retention_downsample": (4, 0, 0, 2),
     "q132_heartbeat_gaps": (2, 0, 0, 0),
+    "q133_value_anomalies": (3, 2, 0, 0),
 }
 
 
