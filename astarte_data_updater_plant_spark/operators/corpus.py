@@ -1065,3 +1065,307 @@ def q126_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — corpus-level boilerplate line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: a line is boilerplate when it appears in at least this many DISTINCT
+#: documents (CCNet/RefinedWeb drop lines duplicated across the crawl —
+#: nav bars, cookie banners, "subscribe" footers)
+BP_DF_MIN = 5
+
+
+def _bp_line_spark(i):
+    """Deterministic line i of a document: the natural 8-word chunk,
+    with boilerplate injected on seeded positions so the corpus-level
+    frequency filter has something to fire on (3 high-frequency
+    'newsletter' variants, 7 medium-frequency 'cookie' variants)."""
+    raw = F.concat_ws(" ", F.slice(F.col("toks"), i * LINE_WORDS + 1, LINE_WORDS))
+    k = F.col("doc_id") + i
+    return (
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("subscribe to our newsletter "), (k % 3).cast("string")),
+        )
+        .when(
+            k % 11 == 7,
+            F.concat(
+                F.lit("cookie policy notice "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(raw)
+    )
+
+
+@register(
+    "q134_boilerplate_lines",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, (n - 1) // {LINE_WORDS} + 1),
+               i -> CASE
+                 WHEN (doc_id + i) % 5 = 0 THEN
+                   'subscribe to our newsletter ' || CAST((doc_id + i) % 3 AS VARCHAR)
+                 WHEN (doc_id + i) % 11 = 7 THEN
+                   'cookie policy notice ' || CAST(doc_id % 7 AS VARCHAR)
+                 ELSE array_to_string(
+                   toks[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ')
+               END) AS lines
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(lines) AS line FROM lined),
+    boiler AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM ex GROUP BY line
+      ) WHERE line_df >= {BP_DF_MIN}
+    ),
+    blist AS (SELECT COALESCE(list(line), []) AS bl FROM boiler)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, x -> list_contains(bl, x))) AS BIGINT)
+             AS n_boiler,
+           round(CAST(len(list_filter(lines, x -> list_contains(bl, x)))
+                 AS DOUBLE) / len(lines), 6) AS boiler_frac,
+           md5(COALESCE(array_to_string(
+             list_filter(lines, x -> NOT list_contains(bl, x)), chr(10)), ''))
+             AS cleaned_md5
+    FROM lined, blist
+    ORDER BY doc_id
+    """,
+    doc="CCNet-style corpus-level boilerplate removal (Wenzek et al.): "
+    "every document is split into deterministic lines, each line is "
+    "counted across the WHOLE corpus by distinct-document frequency, "
+    "and lines appearing in >= 5 documents (cookie banners, subscribe "
+    "footers — here seeded injections) are dropped before the document "
+    "is re-assembled in position order. Unlike q112's per-document "
+    "rules this is a cross-document signal: the plan explodes lines "
+    "once, aggregates line->df with map-side combine (one shuffle on "
+    "the line hash), equi-joins the small over-threshold set back to "
+    "the exploded lines, and re-assembles per document with a "
+    "position-sorted collect. Every stage is a bounded keyed shuffle — "
+    "no all-pairs, no Python — and the over-threshold 'boilerplate "
+    "set' is tiny by construction (heavy hitters), so at 100 TB the "
+    "join back is a broadcast probe.",
+)
+def q134_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_lines = F.expr(f"(n - 1) DIV {LINE_WORDS} + 1")
+    lined = t.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n_lines - 1), _bp_line_spark).alias("lines"),
+    )
+    ex = lined.select("doc_id", F.posexplode("lines").alias("pos", "line"))
+    boiler = (
+        ex.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= BP_DF_MIN)
+        .select("line")
+    )
+    flagged = ex.join(F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+                      "line", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").isNotNull().cast("int")).cast("long").alias(
+            "n_boiler"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_lines"), 6).alias(
+            "boiler_frac"
+        ),
+        "cleaned_md5",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q135 — Z-order clustering + min/max file skipping
+# ---------------------------------------------------------------------------
+
+#: files the layout writer produces (a stand-in for the target file
+#: count of an OPTIMIZE/compaction pass)
+N_ZFILES = 32
+
+#: the bit-interleave depth: x and y confined to 8 bits each -> z in
+#: [0, 65536); all products stay exactly representable
+Z_BITS = 8
+
+_Z_SPARK = (
+    "aggregate(sequence(0, {b}), cast(0 as bigint), (acc, i) -> acc"
+    " + ((x div cast(pow(2d, i) as bigint)) % 2) * cast(pow(4d, i) as bigint)"
+    " + ((y div cast(pow(2d, i) as bigint)) % 2) * 2 * cast(pow(4d, i) as bigint))"
+).format(b=Z_BITS - 1)
+
+_Z_DUCK = (
+    "list_sum(list_transform(range(0, {b}), i -> "
+    "((x // CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(4, i) AS BIGINT)"
+    " + ((y // CAST(pow(2, i) AS BIGINT)) % 2) * 2 * CAST(pow(4, i) AS BIGINT)))"
+).format(b=Z_BITS)
+
+
+@register(
+    "q135_zorder_fileskip",
+    f"""
+    WITH base AS (
+      SELECT event_id, CAST(floor(value) AS BIGINT) % 256 AS x,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256 AS y
+      FROM events
+    ),
+    z AS (SELECT *, {_Z_DUCK} AS zkey FROM base),
+    lin AS (SELECT x, y, ntile({N_ZFILES}) OVER (ORDER BY y, x, event_id) - 1
+                   AS file_id FROM z),
+    zo AS (SELECT x, y, ntile({N_ZFILES}) OVER (ORDER BY zkey, event_id) - 1
+                  AS file_id FROM z),
+    files AS (
+      SELECT 'linear' AS layout, file_id, min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM lin GROUP BY file_id
+      UNION ALL
+      SELECT 'zorder', file_id, min(x), max(x), min(y), max(y)
+      FROM zo GROUP BY file_id
+    ),
+    preds(pred, xlo, xhi, ylo, yhi) AS (
+      VALUES ('x_range', 40, 79, NULL, NULL),
+             ('y_range', NULL, NULL, 64, 127),
+             ('xy_box', 40, 79, 64, 127)
+    ),
+    skipping AS (
+      SELECT layout, pred,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN (xlo IS NULL OR (max_x >= xlo AND min_x <= xhi))
+                            AND (ylo IS NULL OR (max_y >= ylo AND min_y <= yhi))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+      FROM files, preds GROUP BY layout, pred
+    ),
+    matches AS (
+      SELECT pred,
+             CAST(SUM(CASE WHEN (xlo IS NULL OR (x >= xlo AND x <= xhi))
+                            AND (ylo IS NULL OR (y >= ylo AND y <= yhi))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rows_match
+      FROM base, preds GROUP BY pred
+    )
+    SELECT s.layout, s.pred, s.n_files, s.files_read,
+           round(1.0 - CAST(s.files_read AS DOUBLE) / s.n_files, 6) AS skip_frac,
+           m.rows_match
+    FROM skipping s JOIN matches m USING (pred)
+    ORDER BY layout, pred
+    """,
+    doc="Z-order data layout vs linear (time-major) layout, scored by "
+    "min/max file skipping — the Delta/Iceberg OPTIMIZE ZORDER story. "
+    "Each event maps to an 8-bit (x=value, y=hour) point; the z-key "
+    "interleaves the bits arithmetically (no bit intrinsics needed, "
+    "identical math on both engines). Both layouts range-partition "
+    "rows into 32 files, per-file min/max zone maps are aggregated, "
+    "and three predicate shapes (x range, y range, xy box) are "
+    "evaluated against the zone maps: a file is skipped when its "
+    "[min,max] box cannot intersect the predicate. The output pins "
+    "BOTH the skipping counts (layout quality) and the true row "
+    "matches (correctness anchor, layout-invariant). The global ntile "
+    "is the write-side sort a real OPTIMIZE performs; reading the "
+    "zone maps is a metadata-only operation at any scale.",
+)
+def q135_zorder_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.floor("value").cast("long") % 256).alias("x"),
+        ((F.unix_timestamp("ts") / F.lit(3600)).cast("long") % 256).alias("y"),
+    )
+    z = base.withColumn("zkey", F.expr(_Z_SPARK))
+
+    lin = z.select(
+        "x", "y",
+        (F.ntile(N_ZFILES).over(Window.orderBy("y", "x", "event_id")) - 1).alias(
+            "file_id"
+        ),
+    )
+    zo = z.select(
+        "x", "y",
+        (F.ntile(N_ZFILES).over(Window.orderBy("zkey", "event_id")) - 1).alias(
+            "file_id"
+        ),
+    )
+
+    def stats(df, layout):
+        return df.groupBy("file_id").agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    files = stats(lin, "linear").unionByName(stats(zo, "zorder"))
+
+    preds = spark.createDataFrame(
+        [("x_range", 40, 79, None, None),
+         ("y_range", None, None, 64, 127),
+         ("xy_box", 40, 79, 64, 127)],
+        "pred string, xlo int, xhi int, ylo int, yhi int",
+    )
+    overlap = (
+        (F.col("xlo").isNull() | ((F.col("max_x") >= F.col("xlo"))
+                                  & (F.col("min_x") <= F.col("xhi"))))
+        & (F.col("ylo").isNull() | ((F.col("max_y") >= F.col("ylo"))
+                                    & (F.col("min_y") <= F.col("yhi"))))
+    )
+    skipping = (
+        files.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(overlap.cast("int")).cast("long").alias("files_read"),
+        )
+    )
+    row_hit = (
+        (F.col("xlo").isNull() | ((F.col("x") >= F.col("xlo"))
+                                  & (F.col("x") <= F.col("xhi"))))
+        & (F.col("ylo").isNull() | ((F.col("y") >= F.col("ylo"))
+                                    & (F.col("y") <= F.col("yhi"))))
+    )
+    matches = (
+        base.crossJoin(F.broadcast(preds))
+        .groupBy("pred")
+        .agg(F.sum(row_hit.cast("int")).cast("long").alias("rows_match"))
+    )
+    return (
+        skipping.join(F.broadcast(matches), "pred")
+        .select(
+            "layout", "pred", "n_files", "files_read",
+            F.round(
+                F.lit(1.0) - F.col("files_read").cast("double") / F.col("n_files"),
+                6,
+            ).alias("skip_frac"),
+            "rows_match",
+        )
+        .orderBy("layout", "pred")
+    )
