@@ -192,6 +192,9 @@ PLAN_BUDGETS = {
     "q131_retention_downsample": (4, 0, 0, 2),
     "q132_heartbeat_gaps": (2, 0, 0, 0),
     "q133_value_anomalies": (3, 2, 0, 0),
+    "q134_boilerplate_lines": (6, 1, 0, 0),
+    # the two nested loops are the broadcast 3-row predicate cross joins
+    "q135_zorder_fileskip": (3, 1, 0, 2),
 }
 
 
