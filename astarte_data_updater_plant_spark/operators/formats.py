@@ -131,3 +131,74 @@ def q117_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("part_parquet_orders").alias("source"), "n_rows", "checksum")
     )
     return li_sum.unionByName(ord_sum).orderBy("source")
+
+
+@register(
+    "q136_schema_evolution",
+    """
+    WITH v AS (
+      SELECT doc_id, doc_id % 2 AS version, lang, n_chars,
+             CASE WHEN doc_id % 2 = 1
+                  THEN CAST(CAST(n_chars % 1000 AS DECIMAL(18,1)) / 10
+                       AS DECIMAL(18,1))
+             END AS quality_score
+      FROM documents
+    )
+    SELECT version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS lang_nulls,
+           CAST(SUM(CASE WHEN version = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS score_nulls,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(quality_score) AS DOUBLE) AS sum_score
+    FROM v GROUP BY version ORDER BY version
+    """,
+    doc="Schema evolution across parquet batches: a v0 writer emits "
+    "(doc_id, lang, n_chars), a later v1 writer drops lang and adds "
+    "quality_score; both land in the SAME table directory. The read "
+    "side uses mergeSchema=true, so the scan unions the file schemas "
+    "by name and back-fills missing columns with null — the way a "
+    "100 TB landing zone absorbs producer upgrades without rewriting "
+    "history. The aggregate pins per-version row counts, the null "
+    "pattern the merge must produce (lang null exactly in v1 rows, "
+    "score null exactly in v0 rows), an exact integer checksum, and "
+    "an exact DECIMAL score sum; the oracle computes all of it from "
+    "the ORIGINAL table, so a column silently dropped, misaligned, "
+    "or type-coerced by the merged read breaks the hash.",
+)
+def q136_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q136_evolution_")
+    v0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v1 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("long") % 1000)
+        .cast("decimal(18,1)")
+        .alias("raw_score"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        (F.col("raw_score") / 10).cast("decimal(18,1)").alias("quality_score"),
+    )
+    v0.write.mode("overwrite").parquet(root)
+    v1.write.mode("append").parquet(root)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.withColumn("version", F.col("doc_id") % 2)
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("lang").isNull().cast("int")).cast("long").alias(
+                "lang_nulls"
+            ),
+            F.sum(F.col("quality_score").isNull().cast("int")).cast("long").alias(
+                "score_nulls"
+            ),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            F.sum("quality_score").cast("double").alias("sum_score"),
+        )
+        .orderBy("version")
+    )

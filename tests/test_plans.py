@@ -195,6 +195,7 @@ PLAN_BUDGETS = {
     "q134_boilerplate_lines": (6, 1, 0, 0),
     # the two nested loops are the broadcast 3-row predicate cross joins
     "q135_zorder_fileskip": (3, 1, 0, 2),
+    "q136_schema_evolution": (2, 0, 0, 0),
 }
 
 
