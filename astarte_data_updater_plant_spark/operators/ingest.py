@@ -1262,3 +1262,115 @@ def s86_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# -- s87: foreachBatch idempotent LWW merge sink -----------------------------
+
+
+@register(
+    "s87_foreachbatch_merge",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="foreachBatch exactly-once MERGE into a versioned parquet "
+    "store: the event stream arrives as three at-least-once slices "
+    "(mod-3 partition plus a mod-5 redelivery overlap, so ~1/3 of "
+    "rows are delivered twice in DIFFERENT micro-batches), and each "
+    "micro-batch folds into the store with a last-writer-wins merge "
+    "keyed on user_id (ts desc, event_id desc). The sink writes each "
+    "merge to a batch_id-versioned directory and flips a pointer — "
+    "the idempotence contract Structured Streaming requires from "
+    "foreachBatch: a replayed batch_id rewrites the SAME version "
+    "instead of double-applying. The final store must equal the "
+    "batch LWW oracle over the ORIGINAL events — redeliveries "
+    "across batch boundaries must leave no trace. This is the "
+    "pattern that lands a 100 TB/day stream in a lakehouse table "
+    "without Delta: version directories + atomic pointer swap; the "
+    "per-batch merge cost is one keyed shuffle of store+batch.",
+)
+def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = tempfile.mkdtemp(prefix="s87_src_")
+    base = time.time()
+    for i in range(3):
+        sl = ev.filter((F.col("event_id") % 3 == i) | (F.col("event_id") % 5 == i))
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sl.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        # file stream source orders by mtime — stamp slice order
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    store_root = tempfile.mkdtemp(prefix="s87_store_")
+    current = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = batch_df
+        if current["path"] is not None:
+            merged = sess.read.parquet(current["path"]).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        lww = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # batch_id-keyed version dir: a Structured Streaming retry of
+        # the same batch overwrites this exact dir (idempotent), and
+        # the pointer flip below is the commit
+        version_dir = os.path.join(store_root, f"v{batch_id}")
+        lww.write.mode("overwrite").parquet(version_dir)
+        current["path"] = version_dir
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s87_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return (
+        spark.read.parquet(current["path"])
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
