@@ -823,3 +823,138 @@ def q125_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("branch")
     )
+
+
+@register(
+    "q137_lonely_late_supplier",
+    """
+    SELECT s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name, n.n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): for "
+    "finished orders, find lineitems shipped >60 days after the order "
+    "date where ANOTHER supplier participated in the order (EXISTS -> "
+    "left-semi join) but NO other supplier was also late (NOT EXISTS "
+    "-> left-anti join). The reference relational surface has nothing "
+    "multi-correlated like this; in Spark both correlations compile "
+    "to keyed semi/anti hash joins on l_orderkey — no per-row "
+    "subquery execution — and the supplier/nation dims broadcast. "
+    "The late set is computed once and reused as both the probe and "
+    "the anti side, so the fact table is scanned twice, joined "
+    "three times, all on the same l_orderkey key.",
+)
+def q137_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = li.join(
+        orders_f, li.l_orderkey == orders_f.o_orderkey
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    with_other = late.join(
+        l2,
+        (late.l_orderkey == l2.r_orderkey) & (late.l_suppkey != l2.r_suppkey),
+        "leftsemi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    lonely = with_other.join(
+        other_late,
+        (with_other.l_orderkey == other_late.a_orderkey)
+        & (with_other.l_suppkey != other_late.a_suppkey),
+        "leftanti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lonely.join(F.broadcast(supp), lonely.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q138_important_parts",
+    f"""
+    SELECT p.p_partkey, p.p_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M}) *
+                (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})))
+                AS DECIMAL(38,6)) AS DOUBLE) AS part_value
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    HAVING CAST(SUM(CAST(l.l_extendedprice AS {_M}) *
+               (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})))
+               AS DECIMAL(38,6)) * 200 >
+           (SELECT CAST(SUM(CAST(l2.l_extendedprice AS {_M}) *
+                   (CAST(1 AS {_R}) - CAST(l2.l_discount AS {_R})))
+                   AS DECIMAL(38,6))
+            FROM lineitem l2)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part revenue compared "
+    "against a FRACTION of the global total — the HAVING-over-scalar-"
+    "subquery pattern. Both sides aggregate through exact DECIMAL and "
+    "the threshold test multiplies by the integer 200 (i.e. keeps "
+    "parts above 1/200 of total revenue) instead of dividing, so the "
+    "comparison is exact — no float threshold wobble can flip a "
+    "borderline part between engines. In Spark the global total is a "
+    "1-row aggregate cross-joined (broadcast) into the per-part "
+    "aggregate: one fact scan per aggregate, one shuffle each, no "
+    "repeated per-group subquery.",
+)
+def q138_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = dmoney("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("val")
+    )
+    total = li.agg(F.sum(rev).cast("decimal(38,6)").alias("total"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 200 > F.col("total"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )

@@ -196,6 +196,9 @@ PLAN_BUDGETS = {
     # the two nested loops are the broadcast 3-row predicate cross joins
     "q135_zorder_fileskip": (3, 1, 0, 2),
     "q136_schema_evolution": (2, 0, 0, 0),
+    "q137_lonely_late_supplier": (3, 5, 1, 0),
+    # the nested loop is the broadcast 1-row global-total cross join
+    "q138_important_parts": (3, 1, 0, 1),
 }
 
 
