@@ -734,3 +734,122 @@ def q127_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — Count-Min sketch heavy hitters with exact verification
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: depth (independent hash rows) x width (buckets).
+#: With w=64 the additive overestimate bound is eps*N = N/w; depth 4
+#: drives the probability of exceeding it to (1/e)^4.
+CM_DEPTH = 4
+CM_WIDTH = 64
+#: pairwise-independent integer hash family over the 32-bit term hash:
+#: bucket_d(h) = ((a_d * h + b_d) mod P) mod w, P = 2^31 - 1
+CM_PRIME = 2147483647
+CM_ROWS = [(1299721, 7), (2750161, 131), (4256233, 977), (5800079, 4099)]
+#: report the exact top-N terms and their sketch estimates
+CM_TOPN = 20
+
+#: 32-bit term hash shared with the MinHash ladder: first 8 hex chars
+#: of md5, parsed base-16 (functions/text.py:shingle_h32)
+_CM_H32_DUCK = "('0x' || substr(md5(term), 1, 8))::BIGINT"
+_CM_BUCKETS_DUCK = ", ".join(
+    f"(({a} * h32 + {b}) % {CM_PRIME}) % {CM_WIDTH} AS b{d}"
+    for d, (a, b) in enumerate(CM_ROWS)
+)
+
+
+@register(
+    "q141_countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks
+      WHERE term <> '' GROUP BY term
+    ),
+    h AS (SELECT term, exact_n, {_CM_H32_DUCK} AS h32 FROM cnt),
+    hb AS (SELECT term, exact_n, {_CM_BUCKETS_DUCK} FROM h),
+    -- the sketch: for each depth row, bucket counts summed over terms
+    sk AS (
+      SELECT d, bucket, SUM(exact_n) AS cell
+      FROM (
+        {" UNION ALL ".join(f"SELECT {d} AS d, b{d} AS bucket, exact_n FROM hb" for d in range(CM_DEPTH))}
+      ) GROUP BY d, bucket
+    ),
+    top AS (
+      SELECT term, exact_n, {", ".join(f"b{d}" for d in range(CM_DEPTH))}
+      FROM hb ORDER BY exact_n DESC, term LIMIT {CM_TOPN}
+    ),
+    est AS (
+      SELECT t.term, t.exact_n,
+             CAST(min(s.cell) AS BIGINT) AS cm_estimate
+      FROM top t
+      JOIN sk s ON ({" OR ".join(f"(s.d = {d} AND s.bucket = t.b{d})" for d in range(CM_DEPTH))})
+      GROUP BY t.term, t.exact_n
+    )
+    SELECT term, exact_n, cm_estimate,
+           cm_estimate - exact_n AS overestimate
+    FROM est ORDER BY exact_n DESC, term
+    """,
+    doc="Count-Min sketch frequency estimation, verified against "
+    "exact counts: every corpus term hashes into a 4x64 counter "
+    "array through a pairwise-independent integer hash family over "
+    "the shared md5-based 32-bit term hash, and the estimate for a "
+    "term is the MIN of its 4 cells — always an OVERestimate, within "
+    "N/64 with high probability. The sketch build is one groupBy "
+    "(map-side combinable: counters are sums) after a 4-way explode "
+    "of (depth, bucket) pairs, the fixed-size 256-cell array "
+    "broadcasts to probe the exact top-20, and the output pins both "
+    "the estimates and the per-term overestimate — the mergeable-"
+    "summary pattern (each partition sketches locally, cells add) "
+    "that answers frequency queries over 100 TB without a second "
+    "scan.",
+)
+def q141_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    hb = cnt.withColumn("h32", shingle_h32(F.col("term")))
+    for d, (a, b) in enumerate(CM_ROWS):
+        hb = hb.withColumn(
+            f"b{d}", ((F.lit(a) * F.col("h32") + b) % CM_PRIME) % CM_WIDTH
+        )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("bucket"))
+            for d in range(CM_DEPTH)
+        ]
+    )
+    sk = (
+        hb.select("exact_n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("exact_n").alias("cell"))
+    )
+    top = hb.orderBy(F.col("exact_n").desc(), "term").limit(CM_TOPN)
+    probe_cond = None
+    for d in range(CM_DEPTH):
+        c = (F.col("s.d") == d) & (F.col("s.bucket") == F.col(f"t.b{d}"))
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    est = (
+        top.alias("t")
+        .join(F.broadcast(sk.alias("s")), probe_cond)
+        .groupBy("t.term", "t.exact_n")
+        .agg(F.min("s.cell").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_n")).alias("overestimate"),
+    ).orderBy(F.col("exact_n").desc(), "term")

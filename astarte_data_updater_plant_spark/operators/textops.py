@@ -1056,3 +1056,132 @@ def q130_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: Okapi BM25 constants (the Robertson/Lucene defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed query workload: (query_id, term) pairs — the retrieval shapes
+#: a RAG corpus or a dedup-against-query-set pass runs at scale
+BM25_QUERIES = [
+    ("q_spark_join", "spark"), ("q_spark_join", "join"),
+    ("q_window_agg", "window"), ("q_window_agg", "agg"),
+    ("q_scan_hash", "scan"), ("q_scan_hash", "hash"), ("q_scan_hash", "table"),
+]
+BM25_TOPK = 10
+
+_BM25_QUERY_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+_BM25_TERMS = sorted({t for _, t in BM25_QUERIES})
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+#: the per-(doc, term) BM25 contribution — written ONCE and reused
+#: verbatim on both engines so the double arithmetic is bit-identical,
+#: then floored to a 1e-6 fixed-point BIGINT so the cross-term sum is
+#: exact integer arithmetic (order-free) on both sides
+_BM25_CONTRIB = (
+    "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * ({k1} + 1.0))"
+    " / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+).format(k1=BM25_K1, b=BM25_B)
+
+
+@register(
+    "q140_bm25_topk",
+    f"""
+    WITH queries(query, term) AS (VALUES {_BM25_QUERY_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_BM25_TERM_LIST}) GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.query, tf.doc_id,
+             CAST(floor(({_BM25_CONTRIB}) * 1000000) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN queries q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(c_e6) AS BIGINT) AS score_e6
+      FROM contrib GROUP BY query, doc_id
+    )
+    SELECT query, doc_id, n_terms_hit, score_e6
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query ORDER BY score_e6 DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOPK}
+    ORDER BY query, score_e6 DESC, doc_id
+    """,
+    doc="Okapi BM25 ranked retrieval: a fixed multi-term query "
+    "workload scored against the corpus with the Robertson k1/b "
+    "defaults — the retrieval primitive behind RAG indexing and "
+    "query-set decontamination. The plan filters the token explode "
+    "to query terms BEFORE aggregating (the scan prunes to ~7 terms' "
+    "postings, not the whole vocabulary), document frequency comes "
+    "from a window over the (doc, term) counts, corpus stats join as "
+    "a broadcast scalar, and the per-(doc,term) contribution — "
+    "computed with bit-identical double arithmetic on both engines — "
+    "is floored to 1e-6 fixed point so the cross-term sum is exact "
+    "integer math under ANY aggregation order. Ranking ties break on "
+    "doc_id; per-query top-10 is a bounded window.",
+)
+def q140_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    queries = spark.createDataFrame(BM25_QUERIES, "query string, term string")
+    contrib = (
+        dfreq.join(F.broadcast(queries), "term")
+        .join(dl, "doc_id")  # corpus-cardinality: keyed equi-join, never broadcast
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query",
+            "doc_id",
+            F.floor(F.expr(_BM25_CONTRIB) * 1000000).cast("bigint").alias("c_e6"),
+        )
+    )
+    scored = contrib.groupBy("query", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("c_e6").cast("long").alias("score_e6"),
+    )
+    w = Window.partitionBy("query").orderBy(F.col("score_e6").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .drop("rn")
+        .orderBy("query", F.col("score_e6").desc(), "doc_id")
+    )

@@ -199,6 +199,11 @@ PLAN_BUDGETS = {
     "q137_lonely_late_supplier": (3, 5, 1, 0),
     # the nested loop is the broadcast 1-row global-total cross join
     "q138_important_parts": (3, 1, 0, 1),
+    "q139_jl_projection": (2, 0, 0, 0),
+    # nested loop = broadcast 1-row corpus-stats cross join
+    "q140_bm25_topk": (9, 2, 1, 1),
+    # nested loop = broadcast 256-cell sketch probed with an OR disjunction
+    "q141_countmin_heavy_hitters": (5, 0, 0, 1),
 }
 
 
