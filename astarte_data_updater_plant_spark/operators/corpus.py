@@ -1369,3 +1369,64 @@ def q135_zorder_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — weighted corpus sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+#: sample size drawn without replacement, probability proportional to
+#: document length
+WS_K = 50
+#: deterministic uniform: the md5-based 32-bit doc hash folded into
+#: (0, 1] — replayable on any engine, any partitioning
+WS_U_MOD = 1000000
+
+
+@register(
+    "q142_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {WS_U_MOD} + 1) / {WS_U_MOD + 1}.0) / n_chars AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           round(es_key, 9) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WS_K}
+    """,
+    doc="Weighted sampling without replacement, probability "
+    "proportional to size (Efraimidis-Spirakis A-ES): each document "
+    "draws a deterministic uniform u from its md5 hash and ranks by "
+    "ln(u)/weight; the global top-50 IS the weighted sample. The "
+    "hash-derived u makes the draw replayable under any partitioning "
+    "or retry — the property a distributed sampler must have, since "
+    "a per-task RNG would sample a different corpus on every "
+    "speculative re-execution. One scan, one top-k (map-side "
+    "partial TakeOrdered, no full sort); the same keying extends to "
+    "per-stratum samples by windowing over the stratum instead of "
+    "ranking globally.",
+)
+def q142_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (shingle_h32(F.col("doc_id").cast("string")) % WS_U_MOD + 1) / F.lit(
+        float(WS_U_MOD + 1)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("es_key_raw"),
+    )
+    return (
+        keyed.select(
+            "doc_id", "source", "n_chars", F.round("es_key_raw", 9).alias("es_key")
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WS_K)
+    )

@@ -712,3 +712,78 @@ def q133_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — point-in-time feature join (feature-store semantics)
+# ---------------------------------------------------------------------------
+
+#: feature event classes gathered at each prediction point
+PIT_FEATURES = ("click", "view", "error")
+
+
+@register(
+    "q143_point_in_time_features",
+    f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, value, ts,
+             {", ".join(
+               f"last_value(CASE WHEN event_type = '{t}' THEN value END IGNORE NULLS) "
+               f"OVER (PARTITION BY user_id ORDER BY ts, event_id "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS {t}_value, "
+               f"last_value(CASE WHEN event_type = '{t}' THEN epoch_us(ts) END IGNORE NULLS) "
+               f"OVER (PARTITION BY user_id ORDER BY ts, event_id "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS {t}_us"
+               for t in PIT_FEATURES)}
+      FROM events
+    )
+    SELECT event_id, user_id,
+           {", ".join(
+             f"{t}_value, epoch_us(ts) - {t}_us AS {t}_age_us"
+             for t in PIT_FEATURES)}
+    FROM ordered WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="Point-in-time-correct feature join (the feature-store "
+    "primitive): every purchase event is a prediction point, and for "
+    "each feature class (click/view/error) the join must surface the "
+    "latest value STRICTLY BEFORE the point — never a future value, "
+    "which would leak the label into training features. Instead of "
+    "one as-of join per feature table (3 range joins), all feature "
+    "classes ride ONE window pass: conditional last_value(IGNORE "
+    "NULLS) over (user, ts, event_id) with a 1-PRECEDING frame gives "
+    "each class's most recent prior observation, plus its age in "
+    "exact integer microseconds. One shuffle on user_id total, "
+    "however many feature classes — the melt-then-window shape that "
+    "replaces N as-of joins at 100 TB.",
+)
+def q143_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ev
+    for t in PIT_FEATURES:
+        out = out.withColumn(
+            f"{t}_value",
+            F.last(
+                F.when(F.col("event_type") == t, F.col("value")), ignorenulls=True
+            ).over(w),
+        ).withColumn(
+            f"{t}_us",
+            F.last(
+                F.when(F.col("event_type") == t, ts_micros("ts")), ignorenulls=True
+            ).over(w),
+        )
+    cols = ["event_id", "user_id"]
+    for t in PIT_FEATURES:
+        cols.append(f"{t}_value")
+        out = out.withColumn(f"{t}_age_us", ts_micros("ts") - F.col(f"{t}_us"))
+        cols.append(f"{t}_age_us")
+    return out.filter(F.col("event_type") == "purchase").select(*cols).orderBy(
+        "event_id"
+    )

@@ -204,6 +204,8 @@ PLAN_BUDGETS = {
     "q140_bm25_topk": (9, 2, 1, 1),
     # nested loop = broadcast 256-cell sketch probed with an OR disjunction
     "q141_countmin_heavy_hitters": (5, 0, 0, 1),
+    "q142_weighted_sample": (1, 0, 0, 0),
+    "q143_point_in_time_features": (2, 0, 0, 0),
 }
 
 
