@@ -669,3 +669,78 @@ def q128_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — contrastive training-pair mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q144_contrastive_pairs",
+    f"""
+    WITH {_NEAR_DUP_CTES_SQL},
+    pos AS (
+      SELECT doc_a AS anchor_id, min(doc_b) AS pos_id
+      FROM near_dup_pairs GROUP BY doc_a
+    ),
+    neg_order AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS nk
+      FROM documents
+    ),
+    neg AS (
+      SELECT doc_id,
+             COALESCE(
+               LEAD(doc_id) OVER (ORDER BY nk, doc_id),
+               FIRST_VALUE(doc_id) OVER (ORDER BY nk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             ) AS neg_id
+      FROM neg_order
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_id
+    FROM pos p JOIN neg n ON n.doc_id = p.anchor_id
+    WHERE n.neg_id <> p.anchor_id AND n.neg_id <> p.pos_id
+    ORDER BY anchor_id
+    """,
+    doc="Contrastive-learning triplet mining: each anchor document "
+    "pairs with a POSITIVE (its lowest-id verified LSH near-duplicate "
+    "— reusing the q42 banded candidate topology, so positives come "
+    "from an equi-join, never an all-pairs scan) and a NEGATIVE "
+    "drawn by deterministic hash shuffling (every doc's md5-order "
+    "successor — an unbiased 'random other document' that replays "
+    "identically on retry, with wraparound at the end of the ring). "
+    "This is the (anchor, positive, negative) layout embedding "
+    "trainers consume; at scale the positive side rides the shared "
+    "pinned near-dup fragments and the negative ring is one sort "
+    "of (hash, id) pairs — at cluster scale a range-partitioned "
+    "sort, here a single window.",
+)
+def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    pos = pairs.groupBy(F.col("doc_a").alias("anchor_id")).agg(
+        F.min("doc_b").alias("pos_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nk = shingle_h32(F.col("doc_id").cast("string"))
+    w = Window.orderBy("nk", "doc_id")
+    neg = (
+        docs.select("doc_id", nk.alias("nk"))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.lead("doc_id").over(w),
+                F.first("doc_id").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                ),
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        pos.join(neg, pos.anchor_id == neg.doc_id)
+        .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("neg_id") != F.col("pos_id")))
+        .select("anchor_id", "pos_id", "neg_id")
+        .orderBy("anchor_id")
+    )

@@ -206,6 +206,7 @@ PLAN_BUDGETS = {
     "q141_countmin_heavy_hitters": (5, 0, 0, 1),
     "q142_weighted_sample": (1, 0, 0, 0),
     "q143_point_in_time_features": (2, 0, 0, 0),
+    "q144_contrastive_pairs": (6, 4, 0, 0),
 }
 
 
