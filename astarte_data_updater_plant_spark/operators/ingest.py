@@ -1374,3 +1374,130 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -- s88: transformWithState streak detector ---------------------------------
+
+#: per-event value threshold for the streak detector
+_S88_THRESH = 100.0
+
+
+@register(
+    "s88_stream_streak_state",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    b AS (
+      SELECT *, MAX(CASE WHEN value <= {_S88_THRESH} THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_break
+      FROM o
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(CASE WHEN value > {_S88_THRESH}
+                     THEN rn - COALESCE(last_break, 0) ELSE 0 END AS BIGINT)
+             AS streak_len
+    FROM b ORDER BY event_id
+    """,
+    doc="Arbitrary stateful processing beyond the ingest pipeline: a "
+    "per-user GroupState (applyInPandasWithState; the newer "
+    "transformWithState v2 API needs the protobuf state-server "
+    "package this environment does not ship) carries the running "
+    "count of CONSECUTIVE events above a value threshold across "
+    "micro-batch boundaries — the per-key streak/debounce shape (N failures in a "
+    "row, N heartbeats missed) that neither windowed aggregation nor "
+    "dropDuplicates can express. The stream arrives as three "
+    "time-ordered slices; each batch's rows are re-ordered per key "
+    "before folding so intra-batch arrival order never leaks into "
+    "state. The batch oracle is the gaps-and-islands rewrite "
+    "(row_number minus last breaker position), so every per-event "
+    "streak value is pinned, not just the final state. State is one "
+    "BIGINT per key — at cluster scale this is RocksDB-backed keyed "
+    "state with changelog checkpointing.",
+)
+def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    def streak_fold(key, pdf_iter, state):
+        df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        n = state.get[0] if state.exists else 0
+        events, streaks = [], []
+        for eid, val in zip(df["event_id"], df["value"]):
+            n = n + 1 if val > _S88_THRESH else 0
+            events.append(int(eid))
+            streaks.append(n)
+        state.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(events),
+                "event_id": events,
+                "streak_len": streaks,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    from pyspark.sql import Window
+
+    sliced = ev.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    src_dir = tempfile.mkdtemp(prefix="s88_src_")
+    base = time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            streak_fold,
+            outputStructType="user_id BIGINT, event_id BIGINT, streak_len BIGINT",
+            stateStructType="n BIGINT",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s88_streaks"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s88_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_id")
