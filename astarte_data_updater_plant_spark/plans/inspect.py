@@ -113,6 +113,9 @@ def _main(argv: list[str]) -> None:
     spark = get_spark()
     sf_dir = "/root/testdata/sf0.001"
     qs = queries_map()
+    if argv and argv[0] == "--catalog":
+        _write_catalog(argv[1] if len(argv) > 1 else "OPERATORS.md")
+        return
     if argv and argv[0] == "--all":
         out_path = argv[1] if len(argv) > 1 else "PLANS.md"
         import bench
@@ -148,6 +151,37 @@ def _main(argv: list[str]) -> None:
         for name in argv:
             df = qs[name](spark, sf_dir)
             print(f"== {name} ==\n{plan_summary(df)}\n{formatted_plan(df)}")
+
+
+def _write_catalog(out_path: str = "OPERATORS.md") -> None:
+    """Generate the user-facing operator catalog from the registry:
+    every declared query with its implementing module, oracle status,
+    and scale-design doc. The registry is the single source of truth,
+    so this file can never drift from the code."""
+    from .registry import QUERIES, _load_all
+
+    _load_all()
+    lines = [
+        "# Operator catalog\n\n",
+        "Auto-generated from `plans/registry.py` "
+        "(`python -m astarte_data_updater_plant_spark.plans.inspect --catalog`). "
+        f"{len(QUERIES)} declared queries, every one driver-runnable via "
+        "`__spark_entry__.queries()`; entries marked `oracle` are "
+        "hash-checked against DuckDB per round.\n",
+    ]
+    by_module: dict[str, list] = {}
+    for name, spec in sorted(QUERIES.items()):
+        mod = spec.fn.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append((name, spec))
+    for mod in sorted(by_module):
+        lines.append(f"\n## operators/{mod}.py\n\n")
+        for name, spec in by_module[mod]:
+            oracle = "oracle" if spec.oracle else "rows-only"
+            doc = " ".join((spec.doc or "").split())
+            lines.append(f"### `{name}` ({oracle})\n\n{doc}\n\n")
+    with open(out_path, "w") as f:
+        f.writelines(lines)
+    print(f"wrote {out_path} ({len(QUERIES)} entries)")
 
 
 if __name__ == "__main__":
