@@ -1430,3 +1430,78 @@ def q142_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — classifier evaluation: confusion matrix + precision/recall/F1
+# ---------------------------------------------------------------------------
+
+#: decision threshold on the q114 fixed-point classifier score
+PRF_THRESH = 0.0
+#: ground-truth rule evaluated per document (a deterministic stand-in
+#: for human labels: long documents are the positive class)
+PRF_TRUTH_MIN_CHARS = 250
+
+
+from ..plans.registry import QUERIES as _REGISTERED
+
+_Q114_SQL = _REGISTERED["q114_quality_classifier"].oracle
+
+
+@register(
+    "q146_classifier_prf",
+    f"""
+    WITH scored AS (
+      SELECT d.source,
+             q.score >= {PRF_THRESH} AS pred,
+             d.n_chars >= {PRF_TRUTH_MIN_CHARS} AS truth
+      FROM documents d JOIN ({_Q114_SQL}) q USING (doc_id)
+    ),
+    conf AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored GROUP BY source
+    )
+    SELECT source, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision,
+           CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall,
+           CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0) AS f1
+    FROM conf ORDER BY source
+    """,
+    doc="Classifier evaluation over the q114 hashed linear quality "
+    "classifier: per-source confusion matrix against a deterministic "
+    "ground-truth rule, with precision/recall/F1. The float metrics "
+    "are single divisions of exact integer counts (F1 via the "
+    "2TP/(2TP+FP+FN) identity — one division, not a p/r compose), "
+    "so every value is bit-deterministic. The shape — score a corpus "
+    "with a cheap model, compare against labels, slice by source — "
+    "is the continuous-eval loop a data-quality team runs on every "
+    "crawl; all of it is one scan of scores joined to truth plus a "
+    "per-source aggregate.",
+)
+def q146_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q114_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = docs.join(scored, "doc_id").select(
+        "source",
+        (F.col("score") >= PRF_THRESH).alias("pred"),
+        (F.col("n_chars") >= PRF_TRUTH_MIN_CHARS).alias("truth"),
+    )
+    tp = F.sum((F.col("pred") & F.col("truth")).cast("int")).cast("long")
+    fp = F.sum((F.col("pred") & ~F.col("truth")).cast("int")).cast("long")
+    fn = F.sum((~F.col("pred") & F.col("truth")).cast("int")).cast("long")
+    tn = F.sum((~F.col("pred") & ~F.col("truth")).cast("int")).cast("long")
+    conf = j.groupBy("source").agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn")
+    )
+    return conf.select(
+        "source", "tp", "fp", "fn", "tn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias("precision"),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias("recall"),
+        ((2 * F.col("tp")).cast("double") / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))).alias("f1"),
+    ).orderBy("source")

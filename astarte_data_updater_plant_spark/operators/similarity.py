@@ -343,3 +343,99 @@ def q139_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(proj, 6).alias("proj_norm"),
         F.round(proj / orig, 6).alias("distortion"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q145 — exact ROC-AUC (Mann-Whitney) for embedding-score tasks
+# ---------------------------------------------------------------------------
+
+#: binary tasks: label >= t is the positive class
+AUC_TASKS = (3, 5, 7)
+
+
+@register(
+    "q145_roc_auc",
+    f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6)
+               AS score
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT label,
+             RANK() OVER (ORDER BY score) AS rank_min,
+             RANK() OVER (ORDER BY score)
+               + COUNT(*) OVER (PARTITION BY score) - 1 AS rank_max
+      FROM s
+    ),
+    tasks(pos_min) AS (VALUES {", ".join(f"({t})" for t in AUC_TASKS)})
+    SELECT pos_min,
+           CAST(SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(CASE WHEN label < pos_min THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(SUM(CASE WHEN label >= pos_min
+                         THEN rank_min + rank_max ELSE 0 END)
+                - SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END) + 1)
+                AS BIGINT) AS u_x2,
+           CAST(SUM(CASE WHEN label >= pos_min
+                         THEN rank_min + rank_max ELSE 0 END)
+                - SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END) + 1)
+                AS DOUBLE)
+             / (2.0 * SUM(CASE WHEN label >= pos_min THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN label < pos_min THEN 1 ELSE 0 END))
+             AS auc
+    FROM ranked, tasks
+    GROUP BY pos_min
+    ORDER BY pos_min
+    """,
+    doc="Exact ROC-AUC via the Mann-Whitney U statistic, computed for "
+    "three binary tasks (label >= 3/5/7) over a shared per-vector "
+    "score: AUC equals (sum of positive ranks - P(P+1)/2) / (P*N), "
+    "and TIED scores take the average rank (rank_min + rank_max)/2 — "
+    "the doubled sum keeps every intermediate an exact integer, so "
+    "the statistic is bit-deterministic; the single final division "
+    "is the only float op. The rank pass is computed ONCE and all "
+    "tasks aggregate from it conditionally (3 tasks, still one "
+    "window + one aggregate — never one sort per task). At cluster "
+    "scale the global rank is a range-partitioned sort; the "
+    "evaluation shape (distributed exact AUC over billions of "
+    "scored examples) is what a model-eval pipeline runs after "
+    "every training epoch.",
+)
+def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "label",
+        F.round(norm(to_double_array(F.col("embedding"))), 6).alias("score"),
+    )
+    w_rank = Window.orderBy("score")
+    w_ties = Window.partitionBy("score")
+    ranked = s.select(
+        "label",
+        F.rank().over(w_rank).alias("rank_min"),
+        (F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).alias(
+            "rank_max"
+        ),
+    )
+    tasks = spark.createDataFrame([(t,) for t in AUC_TASKS], "pos_min int")
+    pos = F.col("label") >= F.col("pos_min")
+    n_pos = F.sum(pos.cast("int"))
+    n_neg = F.sum((~pos).cast("int"))
+    sum_r2 = F.sum(F.when(pos, F.col("rank_min") + F.col("rank_max")).otherwise(0))
+    u_x2 = sum_r2 - n_pos * (n_pos + 1)
+    return (
+        ranked.crossJoin(F.broadcast(tasks))
+        .groupBy("pos_min")
+        .agg(
+            n_pos.cast("long").alias("n_pos"),
+            n_neg.cast("long").alias("n_neg"),
+            u_x2.cast("long").alias("u_x2"),
+            (u_x2.cast("double") / (2.0 * n_pos * n_neg)).alias("auc"),
+        )
+        .orderBy("pos_min")
+    )

@@ -207,6 +207,9 @@ PLAN_BUDGETS = {
     "q142_weighted_sample": (1, 0, 0, 0),
     "q143_point_in_time_features": (2, 0, 0, 0),
     "q144_contrastive_pairs": (6, 4, 0, 0),
+    # nested loop = broadcast 3-row task list cross join
+    "q145_roc_auc": (2, 0, 0, 1),
+    "q146_classifier_prf": (4, 1, 0, 0),
 }
 
 
