@@ -1505,3 +1505,122 @@ def q146_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias("recall"),
         ((2 * F.col("tp")).cast("double") / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0))).alias("f1"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q147 — water-filling token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+#: global token budget as an exact fraction of the corpus total
+WF_BUDGET_NUM, WF_BUDGET_DEN = 3, 5
+
+
+@register(
+    "q147_token_waterfill",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} AS BIGINT)
+               AS budget,
+             CAST(COUNT(*) AS BIGINT) AS nsrc
+      FROM t
+    ),
+    r AS (
+      SELECT t.*, tot.budget, tot.nsrc,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rk,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t, tot
+    ),
+    scal AS (
+      SELECT COALESCE(MAX(CASE WHEN cum + n_tokens * (nsrc - rk) <= budget
+                               THEN rk END), 0) AS kstar,
+             COALESCE(MAX(CASE WHEN cum + n_tokens * (nsrc - rk) <= budget
+                               THEN cum END), 0) AS cumk
+      FROM r
+    )
+    SELECT source, n_tokens,
+           CAST(CASE WHEN rk <= kstar THEN n_tokens
+                WHEN nsrc > kstar THEN
+                  (budget - cumk) // (nsrc - kstar)
+                  + CASE WHEN rk - kstar <= (budget - cumk) % (nsrc - kstar)
+                         THEN 1 ELSE 0 END
+                ELSE n_tokens END AS BIGINT) AS allocation,
+           rk > kstar AS capped
+    FROM r, scal
+    ORDER BY source
+    """,
+    doc="Water-filling budget allocation: given per-source token "
+    "masses and a global training budget (3/5 of the corpus), find "
+    "the water level L such that every source contributes "
+    "min(n_tokens, L) and the budget is met exactly — small sources "
+    "pass through whole, large sources are capped at the level, and "
+    "the integer remainder spreads one token to the first capped "
+    "sources in deterministic order. The level is found WITHOUT "
+    "iteration: sources sort by mass, a prefix sum + the "
+    "monotone feasibility test cum + n*(remaining) <= budget "
+    "identifies the saturation point in one window pass, and the "
+    "division happens once — all integer arithmetic, bit-exact. "
+    "This is the mixture-scheduling step (cf. q116's temperature "
+    "sampling) that turns 'we can afford X tokens' into per-source "
+    "quotas; source cardinality is small, so every post-aggregation "
+    "frame broadcasts.",
+)
+def q147_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-source mass table feeds four consumers (total, rank,
+    # saturation scalar, final projection) — pin it so the corpus is
+    # scanned once, not once per branch
+    t = fragment(
+        spark,
+        sf_dir,
+        "source_token_mass",
+        lambda: load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")),
+    )
+    tot = t.agg(
+        (F.sum("n_tokens") * WF_BUDGET_NUM)
+        .cast("long")
+        .alias("_b"),
+        F.count(F.lit(1)).cast("long").alias("nsrc"),
+    ).select(
+        F.floor(F.col("_b") / WF_BUDGET_DEN).cast("long").alias("budget"), "nsrc"
+    )
+    w_rank = Window.orderBy("n_tokens", "source")
+    r = (
+        t.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    feasible = F.col("cum") + F.col("n_tokens") * (F.col("nsrc") - F.col("rk")) <= F.col("budget")
+    scal = r.agg(
+        F.coalesce(F.max(F.when(feasible, F.col("rk"))), F.lit(0)).alias("kstar"),
+        F.coalesce(F.max(F.when(feasible, F.col("cum"))), F.lit(0)).alias("cumk"),
+    )
+    level = F.floor((F.col("budget") - F.col("cumk")) / (F.col("nsrc") - F.col("kstar")))
+    leftover = (F.col("budget") - F.col("cumk")) % (F.col("nsrc") - F.col("kstar"))
+    alloc = (
+        F.when(F.col("rk") <= F.col("kstar"), F.col("n_tokens"))
+        .when(
+            F.col("nsrc") > F.col("kstar"),
+            level + F.when(F.col("rk") - F.col("kstar") <= leftover, 1).otherwise(0),
+        )
+        .otherwise(F.col("n_tokens"))
+    )
+    return (
+        r.crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            "n_tokens",
+            alloc.cast("long").alias("allocation"),
+            (F.col("rk") > F.col("kstar")).alias("capped"),
+        )
+        .orderBy("source")
+    )

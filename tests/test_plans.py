@@ -210,6 +210,8 @@ PLAN_BUDGETS = {
     # nested loop = broadcast 3-row task list cross join
     "q145_roc_auc": (2, 0, 0, 1),
     "q146_classifier_prf": (4, 1, 0, 0),
+    # the nested loops are broadcast scalar (budget/saturation) cross joins
+    "q147_token_waterfill": (6, 0, 0, 3),
 }
 
 
