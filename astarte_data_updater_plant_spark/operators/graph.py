@@ -120,3 +120,114 @@ def q93_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# q148 — triangle counting over a co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q148_triangle_count",
+    """
+    WITH cooc AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             user_id
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cooc a JOIN cooc b
+        ON a.event_type = b.event_type AND a.hr = b.hr
+       AND a.user_id < b.user_id
+    ),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+    ),
+    tris AS (
+      SELECT w.a, w.b, w.c
+      FROM wedges w JOIN edges e3 ON e3.u = w.a AND e3.v = w.c
+    ),
+    per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (
+        SELECT a AS user_id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY user_id
+    )
+    SELECT user_id, n_triangles,
+           (SELECT CAST(SUM(n_triangles) // 3 AS BIGINT) FROM per_user)
+             AS total_triangles
+    FROM per_user
+    ORDER BY user_id
+    """,
+    doc="Distributed triangle counting (the clustering-coefficient / "
+    "community-density primitive): users who share an (event_type, "
+    "hour) cell form edges; triangles are counted with the oriented "
+    "wedge-join — every edge is stored once as u<v, wedges join "
+    "edge(a,b)+edge(b,c) on the shared middle vertex, and a second "
+    "equi-join closes wedge(a,c) against the edge set, so each "
+    "triangle is found exactly once (a<b<c by construction) and the "
+    "join never materializes unordered pairs twice. This is the "
+    "MapReduce triangle algorithm of Suri & Vassilvitskii (here "
+    "oriented by id; the production refinement orients from the "
+    "lower-degree endpoint to bound wedge fan-out on skewed "
+    "graphs), and every stage is a keyed "
+    "equi-join — no all-pairs anywhere. Per-user triangle "
+    "participation plus the global count are both pinned.",
+)
+def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.fragments import fragment
+
+    def _edges() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        cooc = ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / F.lit(3600))).cast("long").alias("hr"),
+            "user_id",
+        ).distinct()
+        a, b = cooc.alias("a"), cooc.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.hr") == F.col("b.hr"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+            .distinct()
+        )
+
+    # the oriented edge list is read three times (both wedge sides +
+    # the closing probe) — pin it once
+    edges = fragment(spark, sf_dir, "cooc_edges", _edges)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.u") == F.col("e1.v")).select(
+        F.col("e1.u").alias("wa"), F.col("e1.v").alias("wb"), F.col("e2.v").alias("wc")
+    )
+    tris = wedges.join(
+        e3, (F.col("e3.u") == F.col("wa")) & (F.col("e3.v") == F.col("wc"))
+    ).select("wa", "wb", "wc")
+    # one read of the triangle set: explode the 3 corners, count per
+    # user; the global count is sum/3 (every triangle contributes 3
+    # corner rows) — no second pass
+    per_user = (
+        tris.select(
+            F.explode(F.array(F.col("wa"), F.col("wb"), F.col("wc"))).alias(
+                "user_id"
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    total = per_user.agg(
+        (F.sum("n_triangles") / 3).cast("long").alias("total_triangles")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .select("user_id", "n_triangles", "total_triangles")
+        .orderBy("user_id")
+    )

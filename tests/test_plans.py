@@ -212,6 +212,8 @@ PLAN_BUDGETS = {
     "q146_classifier_prf": (4, 1, 0, 0),
     # the nested loops are broadcast scalar (budget/saturation) cross joins
     "q147_token_waterfill": (6, 0, 0, 3),
+    # nested loop = broadcast 1-row total cross join
+    "q148_triangle_count": (15, 1, 4, 1),
 }
 
 
