@@ -439,3 +439,107 @@ def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos_min")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — top principal direction via power iteration (matrix-free)
+# ---------------------------------------------------------------------------
+
+#: fixed power-iteration count (unrolled in the oracle, like q93/q105)
+PI_ITERS = 2
+#: fixed-point scale for the exact cross-row accumulation
+PI_SCALE = 1_000_000
+
+
+def _pi_y_e6(emb, v: list) -> "F.Column":
+    """One matvec y = X^T X v as a column program: per row the scalar
+    s = x.v folds sequentially (deterministic), each dim's
+    contribution s*x_j snaps to 1e-6 fixed point, and the cross-row
+    sum is exact integer arithmetic — order-free under any
+    partitioning."""
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    s = F.aggregate(
+        F.zip_with(emb, v_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.transform(emb, lambda x: F.floor(s * x * PI_SCALE).cast("long"))
+
+
+def _pi_oracle_sql() -> str:
+    ctes = [
+        "e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings)",
+        "v0 AS (SELECT list_transform(range(0, 64), i -> 0.125) AS vlist)",
+    ]
+    for it in range(PI_ITERS):
+        ctes.append(
+            f"c{it} AS (SELECT unnest(list_transform(emb_d, x -> "
+            f"CAST(floor(s * x * {PI_SCALE}) AS BIGINT))) AS c, "
+            f"generate_subscripts(emb_d, 1) - 1 AS dim FROM "
+            f"(SELECT emb_d, list_dot_product(emb_d, vlist) AS s FROM e, v{it}))"
+        )
+        ctes.append(
+            f"y{it} AS (SELECT dim, CAST(SUM(c) AS BIGINT) AS y_e6 FROM c{it} "
+            f"GROUP BY dim)"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT sqrt(list_sum(list_transform("
+            f"list(y_e6 / {PI_SCALE}.0 ORDER BY dim), y -> y * y))) AS nrm "
+            f"FROM y{it})"
+        )
+        ctes.append(
+            f"v{it + 1} AS (SELECT list(y_e6 / {PI_SCALE}.0 / "
+            f"(SELECT nrm FROM n{it}) ORDER BY dim) AS vlist FROM y{it})"
+        )
+    last = PI_ITERS - 1
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT dim,
+           round(y_e6 / {PI_SCALE}.0 / (SELECT nrm FROM n{last}), 6) AS loading,
+           round((SELECT nrm FROM n{last}), 6) AS lambda_est
+    FROM y{last}
+    ORDER BY dim
+    """
+
+
+@register(
+    "q149_power_iteration_pca",
+    _pi_oracle_sql(),
+    doc="Top principal direction of the (uncentered) embedding Gram "
+    "matrix by power iteration, matrix-free: the 64x64 covariance is "
+    "never materialized — each iteration computes y = X^T(Xv) as one "
+    "scan (per-row dot product s = x.v, per-dim contribution s*x_j), "
+    "and the only cross-row reduction snaps contributions to 1e-6 "
+    "fixed point so the sum is EXACT integer arithmetic, identical "
+    "under any partitioning (float partial sums would make the "
+    "dominant eigenvector nondeterministic). Normalization divides "
+    "the 64 exact sums once per iteration in a fixed dim order on "
+    "both engines. Two unrolled iterations (driver collects only the "
+    "64-element vector between them — bounded by DIMENSION, never by "
+    "rows, the q93/q105 pattern); the oracle replays them as "
+    "unrolled CTEs. ||y|| of the last iteration estimates the top "
+    "eigenvalue. This is the distributed linear-algebra shape "
+    "(embedding whitening, spectral probes) that runs after every "
+    "corpus re-embedding.",
+)
+def q149_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        to_double_array(F.col("embedding")).alias("emb_d")
+    )
+    v = [0.125] * 64
+    y_df = None
+    nrm = None
+    for _ in range(PI_ITERS):
+        contribs = emb.select(
+            F.posexplode(_pi_y_e6(F.col("emb_d"), v)).alias("dim", "c")
+        )
+        y_df = contribs.groupBy("dim").agg(F.sum("c").cast("long").alias("y_e6"))
+        rows = sorted((r["dim"], r["y_e6"]) for r in y_df.collect())
+        y = [e6 / PI_SCALE for _, e6 in rows]
+        nrm = sum(c * c for c in y) ** 0.5
+        v = [c / nrm for c in y]
+    return y_df.select(
+        "dim",
+        F.round(F.col("y_e6") / PI_SCALE / F.lit(nrm), 6).alias("loading"),
+        F.round(F.lit(nrm), 6).alias("lambda_est"),
+    ).orderBy("dim")

@@ -214,6 +214,7 @@ PLAN_BUDGETS = {
     "q147_token_waterfill": (6, 0, 0, 3),
     # nested loop = broadcast 1-row total cross join
     "q148_triangle_count": (15, 1, 4, 1),
+    "q149_power_iteration_pca": (3, 0, 0, 0),
 }
 
 
