@@ -958,3 +958,101 @@ def q138_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+
+
+@register(
+    "q150_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): the "
+    "LEFT outer join keeps zero-order customers — COUNT(o_orderkey) "
+    "counts only matched rows, so the 0 bucket exists and an inner "
+    "join would silently drop it (the classic histogram-of-activity "
+    "bug). Two aggregations: per-customer count (shuffle on custkey, "
+    "which the join already established — Spark reuses the "
+    "partitioning, no second exchange for the groupBy), then the "
+    "tiny count-of-counts. All integers, hash-exact.",
+)
+def q150_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q151_idle_rich_customers",
+    f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS {_M})) AS DECIMAL(38,6)) AS DOUBLE)
+             AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (
+        SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS {_M})) AS DECIMAL(38,6))
+                    AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-H Q22 shape (rich customers who never ordered): the "
+    "threshold is a decorrelated scalar subquery — the positive-"
+    "balance average computed ONCE as an exact DECIMAL sum divided "
+    "a single time in DOUBLE (identical on both engines; a float "
+    "AVG would be partial-order dependent and could flip borderline "
+    "customers) — broadcast into the per-row filter; the NOT EXISTS "
+    "compiles to a left-anti hash join on custkey. One customer "
+    "scan per aggregate, nation broadcast, anti join keyed — the "
+    "find-the-disengaged-cohort query every CRM-scale dataset runs.",
+)
+def q151_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,4)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("threshold")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,4)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

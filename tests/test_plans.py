@@ -215,6 +215,9 @@ PLAN_BUDGETS = {
     # nested loop = broadcast 1-row total cross join
     "q148_triangle_count": (15, 1, 4, 1),
     "q149_power_iteration_pca": (3, 0, 0, 0),
+    "q150_order_count_distribution": (3, 1, 0, 0),
+    # nested loop = broadcast 1-row threshold cross join
+    "q151_idle_rich_customers": (3, 2, 0, 1),
 }
 
 
