@@ -159,3 +159,75 @@ def q96_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — incremental join-view maintenance (delta propagation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q152_incremental_join_view",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)))
+                AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Incremental view maintenance for a JOIN view, verified "
+    "against full recomputation: the orders/lineitem revenue view is "
+    "maintained as V_new = V_old + delta(V), where the join delta "
+    "expands by the product rule d(O JOIN L) = dO JOIN L_old + "
+    "O_old JOIN dL + dO JOIN dL (deltas: late-arriving orders are "
+    "o_orderkey % 5 = 0, late-arriving lineitems are "
+    "l_linenumber >= 4 — deliberately OVERLAPPING deltas so all "
+    "three product-rule terms are non-empty and a missing term "
+    "breaks the hash). Partial aggregates merge by re-aggregation — "
+    "sound because the measures are associative sums over EXACT "
+    "decimals; the distinct-order count is carried as a keyed set "
+    "union, not a count, because COUNT DISTINCT is not "
+    "delta-mergeable. The oracle recomputes the view from scratch; "
+    "the hash match IS the proof the maintenance algebra loses "
+    "nothing. At 100 TB this is the difference between touching "
+    "yesterday's partitions and re-joining the world.",
+)
+def q152_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 5 == 0)
+    l_old = li.filter(F.col("l_linenumber") < 4)
+    l_new = li.filter(F.col("l_linenumber") >= 4)
+
+    def joined(o, l):
+        return o.join(l, o.o_orderkey == l.l_orderkey).select(
+            "o_orderpriority", "o_orderkey", dmoney("l_extendedprice").alias("rev")
+        )
+
+    # product rule: three delta terms + the old view, all the same
+    # (priority, orderkey)-grained partial aggregate, merged by
+    # re-aggregation over the union
+    parts = (
+        joined(o_old, l_old)
+        .unionByName(joined(o_new, l_old))
+        .unionByName(joined(o_old, l_new))
+        .unionByName(joined(o_new, l_new))
+    )
+    per_order = parts.groupBy("o_orderpriority", "o_orderkey").agg(
+        F.sum("rev").alias("rev")
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            snap(F.sum("rev")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

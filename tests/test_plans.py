@@ -218,6 +218,7 @@ PLAN_BUDGETS = {
     "q150_order_count_distribution": (3, 1, 0, 0),
     # nested loop = broadcast 1-row threshold cross join
     "q151_idle_rich_customers": (3, 2, 0, 1),
+    "q152_incremental_join_view": (3, 4, 0, 0),
 }
 
 
