@@ -447,3 +447,169 @@ try:
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# q154 — perceptual-hash (aHash) near-duplicate images
+# ---------------------------------------------------------------------------
+
+#: perceptual-dedup geometry: 16x16 synthetic rasters, 8x8 aHash =
+#: 64 bits carried as four 16-bit band keys
+PH_SIZE = 16
+PH_BANDS = 4
+PH_HAMMING_MAX = 4
+#: the two cells (+1 brightness) that differentiate clone k of a base
+#: image — a sub-perceptual perturbation the exact md5 sees but the
+#: mean-threshold hash must NOT
+_PH_FLIPS = [(53, 0), (131, 7)]
+
+
+def _ph_pixel_sql(r: str, c: str) -> str:
+    """Closed-form pixel value: base gradient by image group + the
+    per-clone 2-cell perturbation (doc_id = 3*g + k)."""
+    cell = f"(({r}) * {PH_SIZE} + ({c}))"
+    flips = " + ".join(
+        f"CASE WHEN {cell} = ((doc_id % 3) * {a} + {b}) % 256 THEN 1 ELSE 0 END"
+        for a, b in _PH_FLIPS
+    )
+    return (
+        f"(((doc_id // 3) * 2654435761 + {cell} * "
+        f"(97 + ((doc_id // 3) % 13) * 16)) % 251 + {flips})"
+    )
+
+
+def _ph_oracle_sql() -> str:
+    blocksum = " + ".join(
+        _ph_pixel_sql(f"2 * (b // 8) + {dr}", f"2 * (b % 8) + {dc}")
+        for dr in (0, 1)
+        for dc in (0, 1)
+    )
+    band = (
+        "list_transform(range(0, {nb}), j -> CAST(list_sum(list_transform("
+        "range(0, 16), i -> CASE WHEN blocks[16 * j + i + 1] * 64 > total "
+        "THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT))"
+    ).format(nb=PH_BANDS)
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), b -> {blocksum}) AS blocks
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id, blocks, list_sum(blocks) AS total FROM h
+    ),
+    bands AS (
+      SELECT doc_id, {band} AS bands FROM hb
+    ),
+    ex AS (
+      SELECT doc_id, unnest(bands) AS bkey,
+             generate_subscripts(bands, 1) AS j, bands
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.bands AS ba, b.bands AS bb
+      FROM ex a JOIN ex b
+        ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+              + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+              AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+        + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+        <= {PH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+PH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [T.StructField(f"b{j}", T.LongType(), True) for j in range(PH_BANDS)]
+)
+
+
+def _ahash_bands(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        out: dict[str, list] = {f.name: [] for f in PH_SCHEMA.fields}
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            g, k = did // 3, did % 3
+            idx = np.arange(PH_SIZE * PH_SIZE, dtype=np.int64)
+            raster = (g * 2654435761 + idx * (97 + (g % 13) * 16)) % 251
+            for a, b in _PH_FLIPS:
+                raster = raster + (idx == (k * a + b) % 256)
+            raster = raster.reshape(PH_SIZE, PH_SIZE).astype(np.uint8)
+            # REAL codec round-trip: the hash is computed from decoded
+            # bytes, so a codec bug breaks the closed-form oracle match
+            _, _, _, px = decode_media(encode_pgm(raster))
+            px = px.astype(np.int64)
+            blocks = px.reshape(8, 2, 8, 2).sum(axis=(1, 3)).reshape(64)
+            total = int(blocks.sum())
+            bits = (blocks * 64 > total).astype(np.int64)
+            out["doc_id"].append(did)
+            for j in range(PH_BANDS):
+                out[f"b{j}"].append(int((bits[16 * j : 16 * j + 16] << np.arange(16)).sum()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "q154_perceptual_near_dup",
+    _ph_oracle_sql(),
+    doc="Perceptual-hash near-duplicate image detection: every third "
+    "document shares a base 16x16 raster with its two neighbors, "
+    "differing only by a 2-pixel brightness perturbation — exact "
+    "content hashing (q61) sees three distinct files, but the 8x8 "
+    "average-hash (block mean vs global mean, computed in exact "
+    "integer arithmetic as blocksum*64 > total) differs by at most "
+    "2 bits. The 64-bit hash is carried as four 16-bit bands; "
+    "pigeonhole guarantees near-dups share at least one exact band, "
+    "so candidates come from a band equi-join — never all-pairs — "
+    "and Hamming <= 4 verifies via bit_count(xor) on the candidate "
+    "set only (the q42 LSH topology transplanted to images). The "
+    "Spark side computes hashes from REAL PGM encode->decode "
+    "round-trips inside Arrow-batched mapInPandas; the oracle "
+    "recomputes them closed-form from the construction, so one "
+    "corrupted pixel anywhere in the codec chain breaks the match.",
+)
+def q154_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = docs.mapInPandas(_ahash_bands, schema=PH_SCHEMA)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(j + 1).alias("j"), F.col(f"b{j}").alias("bkey"))
+            for j in range(PH_BANDS)
+        ]
+    )
+    ex = bands.select(
+        "doc_id",
+        *[F.col(f"b{j}") for j in range(PH_BANDS)],
+        F.explode(band_structs).alias("bb"),
+    ).select("doc_id", *[f"b{j}" for j in range(PH_BANDS)], "bb.j", "bb.bkey")
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}"))
+        )
+        for j in range(PH_BANDS)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= PH_HAMMING_MAX).orderBy(
+        "doc_a", "doc_b"
+    )

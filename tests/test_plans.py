@@ -219,6 +219,7 @@ PLAN_BUDGETS = {
     # nested loop = broadcast 1-row threshold cross join
     "q151_idle_rich_customers": (3, 2, 0, 1),
     "q152_incremental_join_view": (3, 4, 0, 0),
+    "q154_perceptual_near_dup": (4, 1, 0, 0),
 }
 
 
