@@ -853,3 +853,125 @@ def q141_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_n")).alias("overestimate"),
     ).orderBy(F.col("exact_n").desc(), "term")
+
+
+# ---------------------------------------------------------------------------
+# q153 — data-contract validation suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q153_data_contract",
+    """
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_cust,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_price
+      FROM orders
+    ),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT) AS dup_lines,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+      FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'orders.custkey_not_null' AS rule, o.n AS n_checked,
+             o.null_cust AS n_violations FROM o
+      UNION ALL SELECT 'orders.orderkey_unique', o.n, o.dup_keys FROM o
+      UNION ALL SELECT 'orders.status_accepted_values', o.n, o.bad_status FROM o
+      UNION ALL SELECT 'orders.totalprice_positive', o.n, o.bad_price FROM o
+      UNION ALL SELECT 'orders.custkey_ref_customer', o.n, orphans.n_orphans
+                FROM o, orphans
+      UNION ALL SELECT 'lineitem.pk_unique', li.n, li.dup_lines FROM li
+      UNION ALL SELECT 'lineitem.quantity_in_range', li.n, li.bad_qty FROM li
+    )
+    ORDER BY rule
+    """,
+    doc="Data-contract validation (the expectation-suite shape): "
+    "null checks, key uniqueness, accepted value sets, numeric "
+    "ranges, and cross-table referential integrity, each reported as "
+    "(rule, checked, violations, passed). Everything per table "
+    "computes in ONE conditional-aggregate scan (not one scan per "
+    "rule — O(1) passes however many expectations the contract "
+    "grows); the referential check is a broadcast-dim anti-join "
+    "count. Violation counts are exact integers, so the report is "
+    "hash-tight — this is the pre-ingestion gate a 100 TB landing "
+    "zone runs before promoting a batch, and the same plan shape "
+    "extends to quarantining violating rows instead of counting "
+    "them.",
+)
+def q153_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("long").alias(
+            "null_cust"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias(
+            "dup_keys"
+        ),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("int"))
+        .cast("long")
+        .alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("long").alias(
+            "bad_price"
+        ),
+    )
+    orphans = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "leftanti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("dup_lines"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int"))
+        .cast("long")
+        .alias("bad_qty"),
+    )
+
+    # unpivot each 1-row aggregate with stack() so every rule of a
+    # table rides the SAME scan — O(1) passes per table, not per rule
+    o_rules = o.crossJoin(F.broadcast(orphans)).select(
+        F.col("n").alias("n_checked"),
+        F.expr(
+            "stack(5, "
+            "'orders.custkey_not_null', null_cust, "
+            "'orders.orderkey_unique', dup_keys, "
+            "'orders.status_accepted_values', bad_status, "
+            "'orders.totalprice_positive', bad_price, "
+            "'orders.custkey_ref_customer', n_orphans) AS (rule, n_violations)"
+        ),
+    )
+    l_rules = l.select(
+        F.col("n").alias("n_checked"),
+        F.expr(
+            "stack(2, "
+            "'lineitem.pk_unique', dup_lines, "
+            "'lineitem.quantity_in_range', bad_qty) AS (rule, n_violations)"
+        ),
+    )
+    return (
+        o_rules.unionByName(l_rules)
+        .select("rule", "n_checked", "n_violations",
+                (F.col("n_violations") == 0).alias("passed"))
+        .orderBy("rule")
+    )

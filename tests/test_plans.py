@@ -220,6 +220,8 @@ PLAN_BUDGETS = {
     "q151_idle_rich_customers": (3, 2, 0, 1),
     "q152_incremental_join_view": (3, 4, 0, 0),
     "q154_perceptual_near_dup": (4, 1, 0, 0),
+    # nested loop = broadcast 1-row orphan-count cross join
+    "q153_data_contract": (5, 1, 0, 1),
 }
 
 
