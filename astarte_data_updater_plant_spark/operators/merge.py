@@ -231,3 +231,116 @@ def q152_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — right-to-erasure propagation (GDPR delete cascade)
+# ---------------------------------------------------------------------------
+
+#: deterministic erasure request set: every 97th customer
+ERASE_MOD = 97
+
+
+@register(
+    "q155_erasure_propagation",
+    f"""
+    WITH erased AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    ),
+    o_gone AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erased)
+    ),
+    counts AS (
+      SELECT 'customer' AS tbl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS rows_erased
+      UNION ALL
+      SELECT 'orders',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o_gone)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM o_gone))
+    )
+    SELECT tbl, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after,
+           CAST(0 AS BIGINT) + (
+             SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IN (SELECT c_custkey FROM erased)
+               AND o.o_orderkey NOT IN (SELECT o_orderkey FROM o_gone)
+           ) AS residual_refs
+    FROM counts
+    ORDER BY tbl
+    """,
+    doc="Right-to-erasure cascade (the GDPR/CCPA deletion shape): a "
+    "deterministic erasure-request set of customers propagates "
+    "through the foreign-key graph — their orders, then those "
+    "orders' lineitems — and the report pins per-table "
+    "before/erased/after counts plus a residual-reference audit that "
+    "must be ZERO (a row surviving with a deleted parent is the "
+    "compliance failure this op exists to catch). Every propagation "
+    "step is a keyed semi/anti join on the foreign key — the erase "
+    "set rides as a broadcast when small and degrades gracefully to "
+    "a shuffle join when a bulk request arrives; the erase set and "
+    "its order cascade are pinned fragments, so each base table is "
+    "scanned at most twice (count + propagation). In a lakehouse deployment the same "
+    "plan drives the DELETE MERGE; here it drives the audit "
+    "arithmetic the deletion job must satisfy.",
+)
+def q155_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    from ..plans.fragments import fragment
+
+    # the erase set and its order cascade feed counts, the lineitem
+    # propagation AND the residual audit — pin both so each base
+    # table really is scanned once
+    erased = fragment(
+        spark,
+        sf_dir,
+        "erase_set",
+        lambda: cust.filter(F.col("c_custkey") % ERASE_MOD == 0),
+    )
+    o_gone = fragment(
+        spark,
+        sf_dir,
+        "erase_orders",
+        lambda: orders.join(
+            erased, orders.o_custkey == erased.c_custkey, "leftsemi"
+        ).select("o_orderkey"),
+    )
+    li_gone = li.join(o_gone, li.l_orderkey == o_gone.o_orderkey, "leftsemi")
+
+    def counts(tbl, full_df, gone_df):
+        n = full_df.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        g = gone_df.agg(F.count(F.lit(1)).cast("long").alias("rows_erased"))
+        return n.crossJoin(F.broadcast(g)).select(
+            F.lit(tbl).alias("tbl"), "rows_before", "rows_erased"
+        )
+
+    # the audit: orders referencing an erased customer that are NOT in
+    # the deletion set — must be empty by construction of o_gone
+    residual = (
+        orders.join(erased, orders.o_custkey == erased.c_custkey, "leftsemi")
+        .join(o_gone, "o_orderkey", "leftanti")
+        .agg(F.count(F.lit(1)).cast("long").alias("residual_refs"))
+    )
+    rows = (
+        counts("customer", cust, erased)
+        .unionByName(counts("orders", orders, o_gone))
+        .unionByName(counts("lineitem", li, li_gone))
+    )
+    return (
+        rows.crossJoin(F.broadcast(residual))
+        .select(
+            "tbl", "rows_before", "rows_erased",
+            (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+            "residual_refs",
+        )
+        .orderBy("tbl")
+    )

@@ -222,6 +222,8 @@ PLAN_BUDGETS = {
     "q154_perceptual_near_dup": (4, 1, 0, 0),
     # nested loop = broadcast 1-row orphan-count cross join
     "q153_data_contract": (5, 1, 0, 1),
+    # nested loops = broadcast 1-row count/residual cross joins
+    "q155_erasure_propagation": (7, 4, 0, 4),
 }
 
 
