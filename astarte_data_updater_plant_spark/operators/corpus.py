@@ -1624,3 +1624,151 @@ def q147_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — uncertainty sampling (annotation queue)
+# ---------------------------------------------------------------------------
+
+#: docs per source sent to annotators each cycle
+UNC_PER_SOURCE = 5
+
+
+@register(
+    "q156_uncertainty_sample",
+    f"""
+    WITH scored AS (
+      SELECT d.doc_id, d.source, q.score, abs(q.score) AS margin
+      FROM documents d JOIN ({_Q114_SQL}) q USING (doc_id)
+    )
+    SELECT doc_id, source, score, margin
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY margin, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {UNC_PER_SOURCE}
+    ORDER BY source, margin, doc_id
+    """,
+    doc="Uncertainty sampling for the annotation loop: the documents "
+    "whose classifier score sits closest to the decision boundary "
+    "(minimum |score|, the margin) are the ones a human label most "
+    "improves — selected top-5 PER SOURCE so the annotation batch "
+    "stays diverse instead of collapsing onto one domain's "
+    "boundary. One scan of scores, one bounded per-source window; "
+    "the classifier's fixed-point scores make the margin ranking "
+    "bit-deterministic (ties break on doc_id). This closes the "
+    "active-learning loop around q114/q146: score -> evaluate -> "
+    "route the most informative rows to humans.",
+)
+def q156_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q114_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(scored, "doc_id").withColumn("margin", F.abs(F.col("score")))
+    w = Window.partitionBy("source").orderBy("margin", "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= UNC_PER_SOURCE)
+        .select("doc_id", "source", "score", "margin")
+        .orderBy("source", "margin", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — distribution drift between snapshots (PSI)
+# ---------------------------------------------------------------------------
+
+#: fixed-width n_chars bins for the stability comparison
+PSI_BIN_W = 60
+PSI_N_BINS = 10
+
+
+@register(
+    "q157_psi_drift",
+    f"""
+    WITH snap AS (
+      SELECT doc_id % 2 AS snapshot,
+             least(n_chars // {PSI_BIN_W}, {PSI_N_BINS - 1}) AS bin
+      FROM documents
+    ),
+    bins AS (SELECT UNNEST(range(0, {PSI_N_BINS})) AS bin),
+    counts AS (
+      SELECT b.bin,
+             CAST(SUM(CASE WHEN s.snapshot = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN s.snapshot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM bins b LEFT JOIN snap s ON s.bin = b.bin
+      GROUP BY b.bin
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+    ),
+    contrib AS (
+      SELECT bin, ca, cb,
+             CAST(floor(
+               ((ca + 1.0) / (na + {PSI_N_BINS}) - (cb + 1.0) / (nb + {PSI_N_BINS}))
+               * ln(((ca + 1.0) / (na + {PSI_N_BINS}))
+                    / ((cb + 1.0) / (nb + {PSI_N_BINS})))
+               * 1000000000) AS BIGINT) AS contrib_e9
+      FROM counts, tot
+    )
+    SELECT bin, ca, cb, contrib_e9,
+           (SELECT CAST(SUM(contrib_e9) AS BIGINT) FROM contrib) AS psi_e9
+    FROM contrib
+    ORDER BY bin
+    """,
+    doc="Population Stability Index between two corpus snapshots "
+    "(doc_id parity splits the corpus into 'last week' and 'this "
+    "week'): the n_chars distribution is binned into 10 fixed-width "
+    "buckets (Laplace +1 smoothing so empty bins stay finite — the "
+    "standard PSI guard) and each bin contributes "
+    "(pa - pb) * ln(pa/pb). Per-bin contributions are computed with "
+    "identical double arithmetic on both engines, then floored to "
+    "1e-9 fixed point so the TOTAL is an exact integer sum — "
+    "order-free under any partitioning, the same discipline as "
+    "q140/q149. PSI > 0.2 is the conventional retrain trigger; this "
+    "is the drift monitor an ingestion pipeline evaluates on every "
+    "snapshot pair, one scan + one tiny aggregate.",
+)
+def q157_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snap = docs.select(
+        (F.col("doc_id") % 2).alias("snapshot"),
+        F.least(
+            F.floor(F.col("n_chars") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_N_BINS - 1),
+        ).alias("bin"),
+    )
+    bins = spark.range(PSI_N_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(snap, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("snapshot") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("snapshot") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + PSI_N_BINS)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + PSI_N_BINS)
+    contrib = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "ca", "cb",
+            F.floor((pa - pb) * F.log(pa / pb) * 1000000000)
+            .cast("long")
+            .alias("contrib_e9"),
+        )
+    )
+    total = contrib.agg(F.sum("contrib_e9").cast("long").alias("psi_e9"))
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select("bin", "ca", "cb", "contrib_e9", "psi_e9")
+        .orderBy("bin")
+    )

@@ -224,6 +224,9 @@ PLAN_BUDGETS = {
     "q153_data_contract": (5, 1, 0, 1),
     # nested loops = broadcast 1-row count/residual cross joins
     "q155_erasure_propagation": (7, 4, 0, 4),
+    "q156_uncertainty_sample": (4, 1, 0, 0),
+    # nested loops = broadcast 1-row totals cross joins
+    "q157_psi_drift": (7, 4, 0, 3),
 }
 
 
