@@ -975,3 +975,225 @@ def q153_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_violations") == 0).alias("passed"))
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — Markov transition matrix over event streams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q158_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    outdeg AS (
+      SELECT from_type, SUM(n) AS n_out FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / o.n_out AS p
+    FROM trans t JOIN outdeg o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix of the event stream: "
+    "per-user consecutive event-type pairs (LEAD over the same "
+    "(user, ts, event_id) order every sessionizer here uses) are "
+    "counted globally, then normalized into transition "
+    "probabilities by the exact out-degree — each probability is "
+    "ONE division of two exact integers, so the matrix is "
+    "bit-deterministic. One keyed window pass + a 25-cell "
+    "aggregate: the behavioral-model fit (next-action prediction, "
+    "anomaly scoring against expected flows) that runs over "
+    "billions of events with a single shuffle on user_id.",
+)
+def q158_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outdeg = trans.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.col("n_out")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — behavioral entropy per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q159_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, SUM(n) AS n_tot FROM c GROUP BY user_id),
+    contrib AS (
+      SELECT c.user_id, c.n, t.n_tot,
+             CAST(floor(-(CAST(c.n AS DOUBLE) / t.n_tot)
+                  * ln(CAST(c.n AS DOUBLE) / t.n_tot) * 1000000000) AS BIGINT)
+               AS h_e9
+      FROM c JOIN tot t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(n_tot) AS BIGINT) AS n_events,
+           CAST(SUM(h_e9) AS BIGINT) AS entropy_e9
+    FROM contrib
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Shannon entropy of each user's event-type distribution — "
+    "the behavioral-diversity signal (bots are low-entropy, organic "
+    "users high): per-(user, type) exact counts, per-term "
+    "-p*ln(p) computed with identical double arithmetic on both "
+    "engines and floored to 1e-9 fixed point, so the per-user SUM "
+    "is exact integer arithmetic — associative under any "
+    "aggregation order (the q140/q157 determinism discipline). Two "
+    "keyed aggregates on the same user key (partitioning reused), "
+    "no window, linear at any scale.",
+)
+def q159_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("n_tot"))
+    p = F.col("n").cast("double") / F.col("n_tot")
+    contrib = c.join(tot, "user_id").select(
+        "user_id",
+        "n_tot",
+        F.floor(-p * F.log(p) * 1000000000).cast("long").alias("h_e9"),
+    )
+    return (
+        contrib.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("n_tot").cast("long").alias("n_events"),
+            F.sum("h_e9").cast("long").alias("entropy_e9"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — top session paths
+# ---------------------------------------------------------------------------
+
+#: path length cap: the first K event types of each session
+PATH_K = 4
+#: report the top-N most common session openings
+PATH_TOPN = 15
+
+
+@register(
+    "q160_top_session_paths",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ),
+    ranked AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS pos
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             array_to_string(list(event_type ORDER BY pos), '>') AS path
+      FROM ranked WHERE pos <= {PATH_K}
+      GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPN}
+    """,
+    doc="Top session openings: events sessionize on the shared "
+    "30-minute gap rule (gaps-and-islands prefix sum), each "
+    "session's first 4 event types concatenate into a path string, "
+    "and the most common paths rank globally — the funnel-discovery "
+    "complement to q73's fixed-pattern funnel (there the pattern is "
+    "given; here the data surfaces it). Two windows over the same "
+    "(user, ts, event_id) order — one partitioning, reused — a "
+    "position-capped collect per session, and a bounded top-k. Ties "
+    "rank by path string so both engines cut the same top-15.",
+)
+def q160_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                ts_micros("ts") - ts_micros(F.lag("ts").over(w))
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = ordered.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = sess.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("pos") <= PATH_K)
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPN)
+    )

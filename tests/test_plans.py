@@ -227,6 +227,9 @@ PLAN_BUDGETS = {
     "q156_uncertainty_sample": (4, 1, 0, 0),
     # nested loops = broadcast 1-row totals cross joins
     "q157_psi_drift": (7, 4, 0, 3),
+    "q158_markov_transitions": (6, 1, 0, 0),
+    "q159_user_entropy": (5, 1, 0, 0),
+    "q160_top_session_paths": (2, 0, 0, 0),
 }
 
 
