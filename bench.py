@@ -168,6 +168,33 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
     }
 
 
+def corpus_pipeline_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end dedup-ladder throughput: the canonical-document
+    election (q47 — shingles -> MinHash -> LSH bands -> verified
+    pairs -> connected components -> per-component election) over the
+    documents table, reported as docs/sec. This is the corpus-assembly
+    counterpart to the ingest number: how fast the engine turns a raw
+    crawl into a deduplicated corpus."""
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+    from astarte_data_updater_plant_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    qmap = queries_map()
+    best = float("inf")
+    for _ in range(2):
+        clear_fragments()  # cold: rebuild shingle/band fragments each run
+        t0 = time.perf_counter()
+        qmap["q47_dedup_keep_best"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "corpus_dedup_docs": n_docs,
+        "corpus_dedup_sec": round(best, 3),
+        "corpus_dedup_docs_per_sec": round(n_docs / best),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -202,6 +229,7 @@ def main() -> None:
                 "sf": float(sf),
                 **ingest_throughput(spark, sf_dir),
                 **stream_ingest_throughput(spark, sf_dir),
+                **corpus_pipeline_throughput(spark, sf_dir),
             }
         )
     )
