@@ -1,0 +1,128 @@
+"""Semantic invariants of the round-4 operator additions — properties
+the DuckDB hash-parity gate cannot express because they relate columns
+WITHIN a result (conservation laws, bounds, audit zeros), not results
+across engines."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from astarte_data_updater_plant_spark.plans.registry import queries_map
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries_map()
+
+
+def test_waterfill_conserves_budget(spark, qs):
+    rows = qs["q147_token_waterfill"](spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 3 // 5
+    assert sum(r["allocation"] for r in rows) == budget
+    for r in rows:
+        assert 0 <= r["allocation"] <= r["n_tokens"]
+        # capped sources may pick up a +1 remainder token but can
+        # never exceed their own mass or the uncapped sources' floor
+        if not r["capped"]:
+            assert r["allocation"] == r["n_tokens"]
+
+
+def test_roc_auc_bounds_and_u_consistency(spark, qs):
+    for r in qs["q145_roc_auc"](spark, SF_DIR).collect():
+        assert 0.0 <= r["auc"] <= 1.0
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+        assert r["u_x2"] == round(r["auc"] * 2 * r["n_pos"] * r["n_neg"])
+
+
+def test_psi_total_is_sum_of_contributions(spark, qs):
+    rows = qs["q157_psi_drift"](spark, SF_DIR).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(10))
+    assert rows[0]["psi_e9"] == sum(r["contrib_e9"] for r in rows)
+    # parity split of one corpus: distributions near-identical, PSI
+    # far below the 0.2 retrain threshold
+    assert rows[0]["psi_e9"] < 200_000_000
+
+
+def test_erasure_cascade_is_complete(spark, qs):
+    rows = {r["tbl"]: r for r in qs["q155_erasure_propagation"](spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["residual_refs"] == 0
+        assert r["rows_after"] == r["rows_before"] - r["rows_erased"]
+        assert r["rows_erased"] >= 0
+
+
+def test_triangle_counts_conserve(spark, qs):
+    rows = qs["q148_triangle_count"](spark, SF_DIR).collect()
+    total = rows[0]["total_triangles"]
+    assert all(r["total_triangles"] == total for r in rows)
+    assert sum(r["n_triangles"] for r in rows) == 3 * total
+    assert total > 0
+
+
+def test_classifier_prf_confusion_sums(spark, qs):
+    docs_per_source: dict[str, int] = {}
+    from astarte_data_updater_plant_spark.sources.tables import load_table
+
+    for r in (
+        load_table(spark, SF_DIR, "documents").groupBy("source").count().collect()
+    ):
+        docs_per_source[r["source"]] = r["count"]
+    for r in qs["q146_classifier_prf"](spark, SF_DIR).collect():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == docs_per_source[r["source"]]
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["f1"] is not None:
+            assert 0.0 <= r["f1"] <= 1.0
+
+
+def test_entropy_bounds(spark, qs):
+    for r in qs["q159_user_entropy"](spark, SF_DIR).collect():
+        # 0 <= H <= ln(n_types); allow the 1e-9 floor slack per term
+        assert -r["n_types"] <= r["entropy_e9"]
+        assert r["entropy_e9"] <= math.log(r["n_types"]) * 1e9 + r["n_types"]
+
+
+def test_markov_rows_are_distributions(spark, qs):
+    rows = qs["q158_markov_transitions"](spark, SF_DIR).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_jl_projection_distortion_reasonable(spark, qs):
+    rows = qs["q139_jl_projection"](spark, SF_DIR).collect()
+    # JL with 16 dims: distortion concentrates around 1; the mean must
+    # be near 1 even though individual vectors swing
+    mean = sum(r["distortion"] for r in rows) / len(rows)
+    assert 0.7 < mean < 1.3
+
+
+def test_countmin_never_underestimates(spark, qs):
+    for r in qs["q141_countmin_heavy_hitters"](spark, SF_DIR).collect():
+        assert r["cm_estimate"] >= r["exact_n"]
+        assert r["overestimate"] == r["cm_estimate"] - r["exact_n"]
+
+
+def test_perceptual_near_dup_groups_recovered(spark, qs):
+    rows = qs["q154_perceptual_near_dup"](spark, SF_DIR).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    # every within-group clone pair (<=2 bit perturbation) must be found
+    import duckdb
+
+    (n_docs,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
+    missing = []
+    for g in range(n_docs // 3):
+        for a, b in ((3 * g, 3 * g + 1), (3 * g, 3 * g + 2), (3 * g + 1, 3 * g + 2)):
+            if b < n_docs and (a, b) not in pairs:
+                missing.append((a, b))
+    assert not missing, f"clone pairs missed: {missing[:5]}"
