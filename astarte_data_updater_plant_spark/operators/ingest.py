@@ -1501,3 +1501,141 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
+
+
+# -- s89: streaming 3-sigma alerting on exact running stats ------------------
+
+#: fixed-point snap and sigma multiplier (shared semantics with q133)
+_S89_SNAP = 1000
+_S89_SIGMA = 3
+#: alerts only fire once the device has a history
+_S89_MIN_N = 5
+
+
+@register(
+    "s89_stream_anomaly_alerts",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * {_S89_SNAP}) AS BIGINT) AS x
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, x,
+             COUNT(*) OVER pre AS n,
+             COALESCE(SUM(x) OVER pre, 0) AS sx,
+             COALESCE(SUM(x * x) OVER pre, 0) AS sxx
+      FROM s
+      WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(n AS BIGINT) AS n_prior,
+           CAST(CASE WHEN n >= {_S89_MIN_N}
+                      AND (n * x - sx) * (n * x - sx)
+                          > {_S89_SIGMA * _S89_SIGMA} * (n * sxx - sx * sx)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+    FROM w ORDER BY event_id
+    """,
+    doc="Streaming fleet anomaly alerting: per-device GroupState "
+    "carries EXACT integer running statistics (count, sum, sum of "
+    "squares at 1e-3 fixed point) across micro-batches, and each "
+    "arriving value tests against the history STRICTLY BEFORE it "
+    "with q133's rearranged pure-integer 3-sigma comparison "
+    "(n*x - sx)^2 > 9*(n*sxx - sx^2) — no floats in state, so the "
+    "stream's alert sequence is bit-identical to the batch "
+    "gaps-ordered oracle, replay after replay. Alerts gate on 5 "
+    "prior observations (cold devices never alarm). This composes "
+    "the reference's per-device keyed-state discipline with the "
+    "exact-statistics discipline: the alerting pipeline a 100 TB/day "
+    "device fleet actually needs, in one keyed stateful operator.",
+)
+def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sliced = ev.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    src_dir = tempfile.mkdtemp(prefix="s89_src_")
+    base = time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    def stats_fold(key, pdf_iter, state):
+        df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        n, sx, sxx = state.get if state.exists else (0, 0, 0)
+        events, priors, alerts = [], [], []
+        for eid, val in zip(df["event_id"], df["value"]):
+            x = int(val * _S89_SNAP + 0.5)  # ROUND half-up, positive values
+            d = n * x - sx
+            alert = int(
+                n >= _S89_MIN_N and d * d > _S89_SIGMA**2 * (n * sxx - sx * sx)
+            )
+            events.append(int(eid))
+            priors.append(n)
+            alerts.append(alert)
+            n, sx, sxx = n + 1, sx + x, sxx + x * x
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(events),
+                "event_id": events,
+                "n_prior": priors,
+                "is_alert": alerts,
+            }
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            stats_fold,
+            outputStructType=(
+                "user_id BIGINT, event_id BIGINT, n_prior BIGINT, is_alert BIGINT"
+            ),
+            stateStructType="n BIGINT, sx BIGINT, sxx BIGINT",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s89_alerts"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s89_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_id")
