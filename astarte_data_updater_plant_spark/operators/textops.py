@@ -1185,3 +1185,176 @@ def q140_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query", F.col("score_e6").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — retrieval evaluation: nDCG@10 and MRR over the BM25 run
+# ---------------------------------------------------------------------------
+
+from ..plans.registry import QUERIES as _REG
+
+
+def _q161_oracle() -> str:
+    q140 = _REG["q140_bm25_topk"].oracle
+    n_terms_values = ", ".join(
+        f"('{q}', {sum(1 for qq, _ in BM25_QUERIES if qq == q)})"
+        for q in sorted({q for q, _ in BM25_QUERIES})
+    )
+    return f"""
+    WITH retrieved AS (
+      SELECT query, doc_id, n_terms_hit,
+             ROW_NUMBER() OVER (PARTITION BY query
+                                ORDER BY score_e6 DESC, doc_id) AS rnk
+      FROM ({q140})
+    ),
+    qterms(query, n_terms) AS (VALUES {n_terms_values}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term FROM toks
+      WHERE term IN ({_BM25_TERM_LIST}) GROUP BY doc_id, term
+    ),
+    rel_corpus AS (
+      SELECT q.query, CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM (
+        SELECT t.doc_id, qq.query, COUNT(*) AS hit
+        FROM tf t JOIN (SELECT DISTINCT query, term
+                        FROM (VALUES {_BM25_QUERY_VALUES}) v(query, term)) qq
+          USING (term)
+        GROUP BY t.doc_id, qq.query
+      ) t JOIN qterms q USING (query)
+      WHERE t.hit = q.n_terms
+      GROUP BY q.query
+    ),
+    judged AS (
+      SELECT r.query, r.rnk,
+             CASE WHEN r.n_terms_hit = q.n_terms THEN 1 ELSE 0 END AS rel
+      FROM retrieved r JOIN qterms q USING (query)
+    ),
+    dcg AS (
+      SELECT query,
+             CAST(SUM(rel * CAST(floor(1000000000.0 / (ln(rnk + 1) / ln(2))
+                                       ) AS BIGINT)) AS BIGINT) AS dcg_e9,
+             CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+               AS first_rel_rank
+      FROM judged GROUP BY query
+    ),
+    idcg AS (
+      SELECT rc.query,
+             CAST(SUM(CAST(floor(1000000000.0 / (ln(i + 1) / ln(2)))
+                           AS BIGINT)) AS BIGINT) AS idcg_e9
+      FROM rel_corpus rc,
+           UNNEST(range(1, {BM25_TOPK} + 1)) AS t(i)
+      WHERE i <= rc.n_relevant
+      GROUP BY rc.query
+    )
+    SELECT d.query, d.n_retrieved, rc.n_relevant,
+           CASE WHEN d.first_rel_rank = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000000000.0 / d.first_rel_rank) AS BIGINT)
+           END AS mrr_e9,
+           d.dcg_e9, i.idcg_e9,
+           CAST(d.dcg_e9 AS DOUBLE) / i.idcg_e9 AS ndcg
+    FROM dcg d
+    JOIN rel_corpus rc USING (query)
+    JOIN idcg i USING (query)
+    ORDER BY query
+    """
+
+
+@register(
+    "q161_retrieval_metrics",
+    _q161_oracle(),
+    doc="Retrieval evaluation over the q140 BM25 run: binary "
+    "relevance (a document is relevant to a query iff it contains "
+    "ALL the query's terms), nDCG@10 against the ideal ranking of "
+    "the TRUE corpus-wide relevant count (not just the retrieved "
+    "set — retrieving 10 when 40 are relevant must cost recall), "
+    "and MRR from the first relevant rank. Every 1/log2(rank+1) "
+    "and 1/rank term is computed identically on both engines and "
+    "floored to 1e-9 fixed point, so DCG/IDCG/MRR sums are exact "
+    "integers and nDCG is one final division. The corpus-wide "
+    "relevance count is one pass over the pruned postings. This is "
+    "the eval loop that gates a retrieval index rebuild, expressed "
+    "as two keyed aggregates over frames q140 already produces.",
+)
+def q161_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_terms_map = {}
+    for q, _t in BM25_QUERIES:
+        n_terms_map[q] = n_terms_map.get(q, 0) + 1
+    qterms = spark.createDataFrame(
+        sorted(n_terms_map.items()), "query string, n_terms int"
+    )
+    retrieved = q140_bm25_topk(spark, sf_dir).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query").orderBy(F.col("score_e6").desc(), "doc_id")
+        ),
+    )
+    judged = retrieved.join(F.broadcast(qterms), "query").select(
+        "query",
+        "rnk",
+        (F.col("n_terms_hit") == F.col("n_terms")).cast("int").alias("rel"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    gain = F.floor(F.lit(1000000000.0) / log2(F.col("rnk") + 1)).cast("long")
+    dcg = judged.groupBy("query").agg(
+        F.sum(F.col("rel") * gain).cast("long").alias("dcg_e9"),
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .distinct()
+    )
+    qt_pairs = spark.createDataFrame(
+        sorted(set(BM25_QUERIES)), "query string, term string"
+    )
+    rel_corpus = (
+        tf.join(F.broadcast(qt_pairs), "term")
+        .groupBy("doc_id", "query")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(F.broadcast(qterms), "query")
+        .filter(F.col("hit") == F.col("n_terms"))
+        .groupBy("query")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    ranks = spark.range(1, BM25_TOPK + 1).select(F.col("id").alias("i"))
+    idcg = (
+        rel_corpus.crossJoin(F.broadcast(ranks))
+        .filter(F.col("i") <= F.col("n_relevant"))
+        .groupBy("query")
+        .agg(
+            F.sum(
+                F.floor(F.lit(1000000000.0) / log2(F.col("i") + 1)).cast("long")
+            )
+            .cast("long")
+            .alias("idcg_e9")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(rel_corpus), "query")
+        .join(F.broadcast(idcg), "query")
+        .select(
+            "query",
+            "n_retrieved",
+            "n_relevant",
+            F.when(F.col("first_rel_rank") == 0, F.lit(0))
+            .otherwise(
+                F.floor(F.lit(1000000000.0) / F.col("first_rel_rank"))
+            )
+            .cast("long")
+            .alias("mrr_e9"),
+            "dcg_e9",
+            "idcg_e9",
+            (F.col("dcg_e9").cast("double") / F.col("idcg_e9")).alias("ndcg"),
+        )
+        .orderBy("query")
+    )

@@ -228,6 +228,9 @@ PLAN_BUDGETS = {
     # nested loops = broadcast 1-row totals cross joins
     "q157_psi_drift": (7, 4, 0, 3),
     "q158_markov_transitions": (6, 1, 0, 0),
+    # eval composition over the q140 subtree; nested loops are the
+    # broadcast corpus-stats + rank-range cross joins
+    "q161_retrieval_metrics": (19, 9, 0, 2),
     "q159_user_entropy": (5, 1, 0, 0),
     "q160_top_session_paths": (2, 0, 0, 0),
 }
