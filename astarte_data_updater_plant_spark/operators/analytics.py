@@ -1197,3 +1197,181 @@ def q160_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — semi-structured extraction (schema-on-read JSON props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_json_extraction",
+    """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Schema-on-read over the semi-structured props column: the "
+    "Spark side parses with from_json against a declared schema "
+    "(the real mechanism — typed, null on malformed rows, no "
+    "regex), the oracle replays it with a regex extract, and the "
+    "per-event-type parse-rate + value stats must agree exactly. "
+    "Everything rides the ONE scan the group-aggregate needs; "
+    "from_json stays inside codegen. This is the landing-zone "
+    "pattern for event payloads too variable to pre-declare as "
+    "columns — parse at query time, monitor the parse rate.",
+)
+def q164_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("k").isNotNull().cast("int")).cast("long").alias(
+                "n_parsed"
+            ),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — Bloom filter build + measured false-positive rate
+# ---------------------------------------------------------------------------
+
+#: filter geometry: m bits, k hash functions
+BLOOM_M = 16384
+BLOOM_K = 7
+#: pairwise-independent hash rows over the integer key
+BLOOM_ROWS = [
+    (2654435761, 1), (2246822519, 3), (3266489917, 7), (668265263, 13),
+    (374761393, 31), (2654435789, 61), (2246822579, 127),
+]
+BLOOM_PRIME = 2147483647
+#: synthetic non-member probe count
+BLOOM_PROBES = 4096
+
+
+def _bloom_pos_sql(key: str, d: int) -> str:
+    a, b = BLOOM_ROWS[d]
+    return f"(({a} * ({key}) + {b}) % {BLOOM_PRIME}) % {BLOOM_M}"
+
+
+@register(
+    "q165_bloom_fpr",
+    f"""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('key', d)} AS pos FROM keys" for d in range(BLOOM_K))}
+      )
+    ),
+    maxk AS (SELECT MAX(key) AS mk FROM keys),
+    probes AS (
+      SELECT mk + 1 + UNNEST(range(0, {BLOOM_PROBES})) AS pkey FROM maxk
+    ),
+    probe_hits AS (
+      SELECT p.pkey,
+             CAST({" + ".join(
+               f"CASE WHEN EXISTS (SELECT 1 FROM bits WHERE pos = {_bloom_pos_sql('p.pkey', d)}) THEN 1 ELSE 0 END"
+               for d in range(BLOOM_K))} AS BIGINT) AS n_set
+      FROM probes p
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST({BLOOM_M} AS BIGINT) AS m,
+           CAST({BLOOM_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN n_set = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(SUM(CASE WHEN n_set = {BLOOM_K} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS fpr
+    FROM probe_hits
+    """,
+    doc="Bloom filter as a first-class mergeable summary, with its "
+    "false-positive rate MEASURED instead of assumed: the order-key "
+    "set hashes through 7 pairwise-independent rows into a 16384-bit "
+    "filter (the bit set is a distinct-aggregate — per-partition "
+    "filters OR together, the property that lets each executor "
+    "build locally and merge), then 4096 guaranteed-non-member "
+    "probes count how many pass all 7 bits. With n~1500 keys, "
+    "m/n~11, k=7 the analytic FPR is <1%; the measured rate is "
+    "pinned exactly. The probe check is a broadcast semi-join "
+    "against the bounded bit table — the same shape Spark's own "
+    "runtime bloom pushdown (q97) uses internally, here surfaced "
+    "as an operator a dedup/routing pipeline can persist and ship.",
+)
+def q165_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+
+    def pos(col, d):
+        a, b = BLOOM_ROWS[d]
+        return ((F.lit(a) * col + b) % BLOOM_PRIME) % BLOOM_M
+
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[pos(F.col("key"), d) for d in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    maxk = keys.agg(F.max("key").alias("mk"))
+    probes = (
+        spark.range(BLOOM_PROBES)
+        .crossJoin(F.broadcast(maxk))
+        .select((F.col("mk") + 1 + F.col("id")).alias("pkey"))
+    )
+    probe_pos = probes.select(
+        "pkey",
+        F.posexplode(
+            F.array(*[pos(F.col("pkey"), d) for d in range(BLOOM_K)])
+        ).alias("d", "pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left")
+        .groupBy("pkey")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("n_set"))
+    )
+    stats = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).crossJoin(
+        F.broadcast(bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")))
+    )
+    fp = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum((F.col("n_set") == BLOOM_K).cast("int")).cast("long").alias(
+            "n_false_pos"
+        ),
+    )
+    return (
+        stats.crossJoin(F.broadcast(fp))
+        .select(
+            "n_keys",
+            "n_bits_set",
+            F.lit(BLOOM_M).cast("long").alias("m"),
+            F.lit(BLOOM_K).cast("long").alias("k"),
+            "n_probes",
+            "n_false_pos",
+            (F.col("n_false_pos").cast("double") / F.col("n_probes")).alias("fpr"),
+        )
+    )

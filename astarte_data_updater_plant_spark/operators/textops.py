@@ -1358,3 +1358,46 @@ def q161_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+_Q32_SQL = _REG["q32_language_id"].oracle
+
+
+@register(
+    "q163_langid_confusion",
+    f"""
+    WITH preds AS (SELECT labeled_lang, pred_lang FROM ({_Q32_SQL}))
+    SELECT labeled_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN labeled_lang = pred_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM preds
+    GROUP BY labeled_lang, pred_lang
+    ORDER BY labeled_lang, pred_lang
+    """,
+    doc="Confusion matrix of the q32 n-gram language identifier "
+    "against the labeled lang column — which language pairs the "
+    "marker heuristic confuses, and how often. Composes the "
+    "existing classifier output with one 25-cell aggregate; the "
+    "per-cell counts are the monitoring artifact a lang-routing "
+    "pipeline (q116's mixture, q121's per-language vocab) checks "
+    "before trusting the router on a new crawl.",
+)
+def q163_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = q32_language_id(spark, sf_dir).select("labeled_lang", "pred_lang")
+    return (
+        preds.groupBy("labeled_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("labeled_lang") == F.col("pred_lang")).cast("int")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )

@@ -787,3 +787,81 @@ def q143_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") == "purchase").select(*cols).orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — per-device OLS trend (exact normal equations)
+# ---------------------------------------------------------------------------
+
+#: value fixed-point scale for the regression sums
+OLS_SNAP = 100
+
+
+@register(
+    "q162_device_trend",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+               // 1000000 AS x,
+             CAST(ROUND(value * {OLS_SNAP}) AS BIGINT) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM s GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
+             / n AS intercept
+    FROM agg
+    ORDER BY user_id
+    """,
+    doc="Per-device least-squares trend with EXACT normal equations: "
+    "x is integer seconds since the device's first observation "
+    "(centering keeps n*sum(x^2) far from BIGINT overflow), y snaps "
+    "to 1e-2 fixed point, and all five regression sums are integer "
+    "aggregates — so the slope's numerator and denominator are "
+    "exact BIGINTs pinned in the output, and slope/intercept are "
+    "single fixed-formula divisions. A float-accumulated regression "
+    "would drift with partition order; this one is the fleet-wide "
+    "drift detector (sensor degradation = slope) that reproduces "
+    "bit-for-bit on every replay. One window for the per-device "
+    "epoch + one aggregate, both on the same user key.",
+)
+def q162_device_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.floor(
+            (ts_micros("ts") - F.min(ts_micros("ts")).over(w)) / 1000000
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * OLS_SNAP).cast("long").alias("y"),
+    )
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    ).orderBy("user_id")

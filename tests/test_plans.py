@@ -233,6 +233,11 @@ PLAN_BUDGETS = {
     "q161_retrieval_metrics": (19, 9, 0, 2),
     "q159_user_entropy": (5, 1, 0, 0),
     "q160_top_session_paths": (2, 0, 0, 0),
+    "q162_device_trend": (2, 0, 0, 0),
+    "q163_langid_confusion": (3, 0, 0, 0),
+    "q164_json_extraction": (2, 0, 0, 0),
+    # nested loops = broadcast probe-base / 1-row stats cross joins
+    "q165_bloom_fpr": (10, 1, 0, 3),
 }
 
 
