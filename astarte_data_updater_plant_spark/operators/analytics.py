@@ -1375,3 +1375,98 @@ def q165_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_false_pos").cast("double") / F.col("n_probes")).alias("fpr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — A/B experiment analysis (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_ab_test",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    assign AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS BIGINT)
+               AS converted
+      FROM firsts WHERE rn = 1
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           CAST(floor(
+             (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0.0)
+             * 1000000000) AS BIGINT) AS z_e9
+    FROM wide
+    """,
+    doc="A/B experiment readout: users assign to variants by id "
+    "parity, a user converts when their FIRST event (by event time) "
+    "is a signup — the activation metric — and the two-proportion pooled "
+    "z-statistic compares arms — every input to the z formula is an "
+    "exact integer count, the formula evaluates in one fixed "
+    "expression order on both engines, and the statistic is floored "
+    "to 1e-9 fixed point so the readout is hash-tight. |z| > 1.96 "
+    "is the conventional 95% significance gate. Two keyed "
+    "aggregates (user, then variant) and a 2-row pivot: the "
+    "experimentation query every event platform serves continuously.",
+)
+def q167_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    assign = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            (F.col("event_type") == "signup").cast("long").alias("converted"),
+        )
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (r1 - r0) / F.nullif(
+        F.sqrt(
+            pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        r0.alias("rate0"),
+        r1.alias("rate1"),
+        F.floor(z * 1000000000).cast("long").alias("z_e9"),
+    )

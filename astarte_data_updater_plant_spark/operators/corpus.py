@@ -1772,3 +1772,110 @@ def q157_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "ca", "cb", "contrib_e9", "psi_e9")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — split-conformal coverage for the quality classifier
+# ---------------------------------------------------------------------------
+
+#: target miscoverage (alpha = 0.1 -> 90% prediction sets)
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10
+
+
+@register(
+    "q166_conformal_coverage",
+    f"""
+    WITH scored AS (
+      SELECT d.doc_id, d.n_chars, q.score,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS fold,
+             CAST(ROUND(abs((d.n_chars - 250) / 250.0 - q.score) * 1000000)
+                  AS BIGINT) AS nonconf_e6
+      FROM documents d JOIN ({_Q114_SQL}) q USING (doc_id)
+    ),
+    cal AS (
+      SELECT nonconf_e6,
+             ROW_NUMBER() OVER (ORDER BY nonconf_e6, doc_id) AS rn,
+             COUNT(*) OVER () AS n_cal
+      FROM scored WHERE fold = 0
+    ),
+    qhat AS (
+      SELECT nonconf_e6 AS q_e6 FROM cal
+      WHERE rn = least(
+        CAST(ceil((n_cal + 1) * (1.0 - {CONF_ALPHA_NUM}.0 / {CONF_ALPHA_DEN}))
+             AS BIGINT),
+        n_cal)
+    )
+    SELECT CAST((SELECT MAX(n_cal) FROM cal) AS BIGINT) AS n_cal,
+           (SELECT q_e6 FROM qhat) AS q_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN s.nonconf_e6 <= (SELECT q_e6 FROM qhat)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN s.nonconf_e6 <= (SELECT q_e6 FROM qhat)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage
+    FROM scored s WHERE s.fold = 1
+    """,
+    doc="Split-conformal calibration of the q114 quality classifier: "
+    "documents hash-split into calibration and test folds, the "
+    "nonconformity score (|target - score| at 1e-6 fixed point, "
+    "target = scaled document length) takes its "
+    "ceil((n+1)(1-alpha))-th order statistic on the calibration "
+    "fold — an EXACT integer order statistic via row_number, not an "
+    "interpolated float percentile, so the threshold is "
+    "bit-deterministic — and the test fold measures empirical "
+    "coverage, which conformal theory guarantees >= 90% in "
+    "expectation. The calibration quantile is one global sort of "
+    "the cal fold (range-partitioned at scale); coverage is one "
+    "conditional aggregate. This is the distribution-free "
+    "uncertainty wrapper a production scorer ships with.",
+)
+def q166_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    scored_base = q114_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = docs.join(scored_base, "doc_id").select(
+        "doc_id",
+        (shingle_h32(F.col("doc_id").cast("string")) % 2).alias("fold"),
+        F.round(
+            F.abs((F.col("n_chars") - 250) / F.lit(250.0) - F.col("score"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("nonconf_e6"),
+    )
+    cal = scored.filter(F.col("fold") == 0)
+    w = Window.orderBy("nonconf_e6", "doc_id")
+    ranked = cal.select(
+        "nonconf_e6",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()  # global count
+        ).alias("n_cal"),
+    )
+    target_rn = F.least(
+        F.ceil(
+            (F.col("n_cal") + 1)
+            * (1.0 - CONF_ALPHA_NUM / CONF_ALPHA_DEN)
+        ).cast("long"),
+        F.col("n_cal").cast("long"),
+    )
+    qhat = ranked.filter(F.col("rn") == target_rn).select(
+        F.col("nonconf_e6").alias("q_e6"), F.col("n_cal").cast("long").alias("n_cal")
+    )
+    test = scored.filter(F.col("fold") == 1)
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("q_e6").alias("q_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("nonconf_e6") <= F.col("q_e6")).cast("int"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal", "q_e6", "n_test", "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+    )

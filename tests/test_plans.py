@@ -238,6 +238,9 @@ PLAN_BUDGETS = {
     "q164_json_extraction": (2, 0, 0, 0),
     # nested loops = broadcast probe-base / 1-row stats cross joins
     "q165_bloom_fpr": (10, 1, 0, 3),
+    # nested loop = broadcast 1-row calibration-quantile cross join
+    "q166_conformal_coverage": (6, 2, 0, 1),
+    "q167_ab_test": (3, 0, 0, 0),
 }
 
 
