@@ -543,3 +543,157 @@ def q149_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y_e6") / PI_SCALE / F.lit(nrm), 6).alias("loading"),
         F.round(F.lit(nrm), 6).alias("lambda_est"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q168 — logistic regression by unrolled gradient descent (matrix-free)
+# ---------------------------------------------------------------------------
+
+#: fixed gradient-descent iterations (unrolled in the oracle)
+LR_ITERS = 2
+#: learning rate — exact binary fraction so w updates introduce no
+#: decimal-representation noise
+LR_ETA = 0.125
+#: fixed-point scale for the exact cross-row gradient accumulation
+LR_SCALE = 1_000_000
+
+
+def _lr_grad_e6(emb, label_col, w: list):
+    """Per-row gradient contribution of one GD step: residual r =
+    sigmoid(w.x) - y computed in a deterministic sequential fold,
+    each dim's r*x_j snapped to 1e-6 fixed point; the cross-row sum
+    is then exact integer arithmetic."""
+    w_lit = F.array(*[F.lit(float(c)) for c in w])
+    margin = F.aggregate(
+        F.zip_with(emb, w_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - label_col
+    return F.transform(emb, lambda x: F.floor(resid * x * LR_SCALE).cast("long"))
+
+
+def _lr_oracle_sql() -> str:
+    ctes = [
+        "e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d, "
+        "CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings)",
+        "w0 AS (SELECT list_transform(range(0, 64), i -> 0.0) AS w)",
+        "n AS (SELECT COUNT(*) AS n_rows FROM e)",
+    ]
+    for it in range(LR_ITERS):
+        ctes.append(
+            f"g{it} AS (SELECT unnest(list_transform(emb_d, x -> "
+            f"CAST(floor(r * x * {LR_SCALE}) AS BIGINT))) AS g, "
+            f"generate_subscripts(emb_d, 1) - 1 AS dim FROM "
+            f"(SELECT emb_d, 1.0 / (1.0 + exp(-list_dot_product(emb_d, w))) - y"
+            f" AS r FROM e, w{it}))"
+        )
+        ctes.append(
+            f"s{it} AS (SELECT dim, CAST(SUM(g) AS BIGINT) AS g_e6 FROM g{it} "
+            f"GROUP BY dim)"
+        )
+        ctes.append(
+            f"w{it + 1} AS (SELECT list(w_j - {LR_ETA} * g_e6 / {LR_SCALE}.0 / "
+            f"(SELECT n_rows FROM n) ORDER BY dim) AS w FROM "
+            f"(SELECT s.dim, s.g_e6, w.w[s.dim + 1] AS w_j FROM s{it} s, w{it} w))"
+        )
+    last = LR_ITERS
+    return f"""
+    WITH {", ".join(ctes)},
+    final AS (
+      SELECT UNNEST(w) AS w_j, generate_subscripts(w, 1) - 1 AS dim
+      FROM w{last}
+    ),
+    loss AS (
+      SELECT CAST(SUM(CAST(floor(
+               -(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * {LR_SCALE}
+             ) AS BIGINT)) AS BIGINT) AS loss_e6,
+             CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM (SELECT y, 1.0 / (1.0 + exp(-list_dot_product(e.emb_d, w.w))) AS p
+            FROM e, w{last} w)
+    )
+    SELECT f.dim, CAST(floor(f.w_j * 1000000000) AS BIGINT) AS weight_e9,
+           l.loss_e6, l.n_correct, l.n_rows
+    FROM final f, loss l
+    ORDER BY dim
+    """
+
+
+@register(
+    "q168_logreg_gd",
+    _lr_oracle_sql(),
+    doc="Logistic-regression training as pure DataFrame algebra: two "
+    "unrolled full-batch gradient steps on the 64-d embeddings "
+    "(label >= 5 as the class), each step one scan — per-row "
+    "sigmoid residual via a sequential fold, per-dim contribution "
+    "r*x_j floored to 1e-6 fixed point so the gradient REDUCTION is "
+    "exact integer arithmetic under any partitioning (the q149 "
+    "discipline applied to SGD: float gradient all-reduce is why "
+    "distributed training runs are unreproducible; integer-snapped "
+    "gradients replay bit-for-bit). The driver holds only the 64-d "
+    "weight vector between steps; eta=1/8 is an exact binary "
+    "fraction so the weight update adds no representation noise. "
+    "The output pins the final weights, the fixed-point log-loss "
+    "and the training accuracy — the oracle replays both steps as "
+    "unrolled CTEs.",
+)
+def q168_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        to_double_array(F.col("embedding")).alias("emb_d"),
+        (F.col("label") >= 5).cast("double").alias("y"),
+    )
+    n_rows = emb.count()
+    w = [0.0] * 64
+    for _ in range(LR_ITERS):
+        grads = emb.select(
+            F.posexplode(_lr_grad_e6(F.col("emb_d"), F.col("y"), w)).alias(
+                "dim", "g"
+            )
+        )
+        sums = sorted(
+            (r["dim"], r["g_e6"])
+            for r in grads.groupBy("dim")
+            .agg(F.sum("g").cast("long").alias("g_e6"))
+            .collect()
+        )
+        w = [
+            w[d] - LR_ETA * g_e6 / LR_SCALE / n_rows for d, g_e6 in sums
+        ]
+    w_lit = F.array(*[F.lit(float(c)) for c in w])
+    margin = F.aggregate(
+        F.zip_with(F.col("emb_d"), w_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    loss = emb.agg(
+        F.sum(
+            F.floor(
+                -(
+                    F.col("y") * F.log(p)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+                * LR_SCALE
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("loss_e6"),
+        F.sum(((p >= 0.5) == (F.col("y") == 1.0)).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    dims = spark.createDataFrame(
+        list(enumerate(w)), "dim int, w_raw double"
+    )
+    return (
+        dims.crossJoin(F.broadcast(loss))
+        .select(
+            "dim",
+            F.floor(F.col("w_raw") * 1000000000).cast("long").alias("weight_e9"),
+            "loss_e6", "n_correct", "n_rows",
+        )
+        .orderBy("dim")
+    )

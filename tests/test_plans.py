@@ -241,6 +241,8 @@ PLAN_BUDGETS = {
     # nested loop = broadcast 1-row calibration-quantile cross join
     "q166_conformal_coverage": (6, 2, 0, 1),
     "q167_ab_test": (3, 0, 0, 0),
+    # nested loop = broadcast 1-row loss-stats cross join
+    "q168_logreg_gd": (3, 0, 0, 1),
 }
 
 
