@@ -1879,3 +1879,180 @@ def q166_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_covered").cast("double") / F.col("n_test")).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — tokenizer round-trip (encode -> decode -> identity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_tokenizer_roundtrip",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) t
+    ),
+    vocab AS (
+      SELECT tok,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS tid
+      FROM toks GROUP BY tok
+    ),
+    ids AS (
+      SELECT t.doc_id, t.pos, v.tid FROM toks t JOIN vocab v USING (tok)
+    ),
+    decoded AS (
+      SELECT i.doc_id,
+             array_to_string(list(v.tok ORDER BY i.pos), ' ') AS text2,
+             COUNT(*) AS n_tokens
+      FROM ids i JOIN vocab v USING (tid)
+      GROUP BY i.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(dec.n_tokens AS BIGINT) AS n_tokens,
+           md5(d.text) AS orig_md5,
+           md5(dec.text2) AS decoded_md5,
+           md5(d.text) = md5(dec.text2) AS lossless
+    FROM documents d JOIN decoded dec USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Tokenizer round-trip integrity: every document encodes into "
+    "its id sequence against the full df-ranked vocabulary, decodes "
+    "BACK through the same vocabulary, and the reassembled text must "
+    "hash-equal the original — the lossless-encoding audit a "
+    "training-data pipeline runs before committing a tokenized "
+    "corpus (q121 measures the encoding; this proves it loses "
+    "nothing). Encode and decode are both keyed joins against the "
+    "broadcast vocabulary; the identity check rides the md5 the "
+    "hash gate already trusts. A truncating vocab, a position bug "
+    "in reassembly, or a whitespace normalization sneak-in all "
+    "break every row's lossless bit.",
+)
+def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tid",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")),
+        )
+        .select("tok", "tid")
+    )
+    ids = toks.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "tid")
+    decoded = (
+        ids.join(F.broadcast(vocab), "tid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text2"),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(decoded, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.col("text").cast("binary")).alias("orig_md5"),
+            F.md5(F.col("text2").cast("binary")).alias("decoded_md5"),
+            (
+                F.md5(F.col("text").cast("binary"))
+                == F.md5(F.col("text2").cast("binary"))
+            ).alias("lossless"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — Zipf's-law fit of the term-frequency distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q170_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(r) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(f) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+             AS zipf_exponent,
+           (SELECT MAX(f) FROM freq) AS top_freq
+    FROM agg
+    """,
+    doc="Zipf's-law fit of the corpus term-frequency distribution: "
+    "ln(frequency) regressed on ln(rank) with the q162 exact-OLS "
+    "discipline — per-point logs floored to 1e-6 fixed point "
+    "(identical doubles both engines), regression sums exact "
+    "BIGINTs, numerator/denominator pinned, one final division for "
+    "the exponent (natural corpora sit near -1; this synthetic "
+    "near-uniform vocabulary sits near 0 — exactly the kind of "
+    "distribution-shape red flag the statistic exists to raise "
+    "before tokenizer/vocab decisions are made on a crawl). One "
+    "explode + one global rank + a 5-sum aggregate.",
+)
+def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), "tok"))
+    )
+    pts = ranked.select(
+        F.floor(F.log("r") * 1000000).cast("long").alias("x"),
+        F.floor(F.log("f") * 1000000).cast("long").alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    top = freq.agg(F.max("f").alias("top_freq"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_terms"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den).alias("zipf_exponent"),
+        "top_freq",
+    )

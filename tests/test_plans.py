@@ -243,6 +243,9 @@ PLAN_BUDGETS = {
     "q167_ab_test": (3, 0, 0, 0),
     # nested loop = broadcast 1-row loss-stats cross join
     "q168_logreg_gd": (3, 0, 0, 1),
+    "q169_tokenizer_roundtrip": (10, 3, 0, 0),
+    # nested loop = broadcast 1-row top-frequency cross join
+    "q170_zipf_fit": (6, 0, 0, 1),
 }
 
 
