@@ -1056,3 +1056,53 @@ def q151_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q171_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(SUM(CAST(l_extendedprice AS {_M}) *
+                  (CAST(1 AS {_R}) - CAST(l_discount AS {_R})))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue view): "
+    "aggregate a revenue view, take its scalar MAX, and join back "
+    "for ALL suppliers achieving it — the classic view + scalar-"
+    "subquery decorrelation, which Spark compiles to one aggregate, "
+    "a 1-row broadcast, and an equality filter (never a re-aggregate "
+    "per row). Ties are semantically possible and both engines must "
+    "return every tying supplier; revenue goes through exact DECIMAL "
+    "so no 1-ulp wobble can break the equality against the max.",
+)
+def q171_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_expr(
+            dmoney("l_extendedprice")
+            * (F.lit(1).cast("decimal(8,4)") - drate("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

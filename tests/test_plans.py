@@ -246,6 +246,7 @@ PLAN_BUDGETS = {
     "q169_tokenizer_roundtrip": (10, 3, 0, 0),
     # nested loop = broadcast 1-row top-frequency cross join
     "q170_zipf_fit": (6, 0, 0, 1),
+    "q171_top_supplier": (4, 2, 0, 0),
 }
 
 
