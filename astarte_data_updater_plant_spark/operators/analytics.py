@@ -875,8 +875,15 @@ def q141_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     orphans AS (
+      -- NOT EXISTS, not NOT IN: NOT IN yields zero rows the moment either
+      -- side holds a NULL key, which is exactly the dirty-data case a
+      -- contract gate must catch.  NULL o_custkey is the not_null rule's
+      -- violation, not an orphan, so it is excluded here on BOTH engines.
       SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
-      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      FROM orders o2
+      WHERE o2.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o2.o_custkey)
     ),
     li AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -935,7 +942,11 @@ def q153_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     orphans = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "leftanti")
+        # NULL o_custkey is counted by the not_null rule, never as an orphan
+        # — keeps anti-join semantics identical to the oracle's NOT EXISTS
+        # even on dirty data where NOT IN would silently return zero.
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "leftanti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
     )
     l = li.agg(
@@ -1073,7 +1084,11 @@ def q158_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is exact integer arithmetic — associative under any "
     "aggregation order (the q140/q157 determinism discipline). Two "
     "keyed aggregates on the same user key (partitioning reused), "
-    "no window, linear at any scale.",
+    "no window, linear at any scale. Overflow bound: each |h_e9| "
+    "<= max(-p*ln p)*1e9 < 3.7e8 and the per-user sum is <= "
+    "ln(n_types)*1e9, so entropy_e9 stays under int64 until a user "
+    "has ~e^(9.2e9) distinct event types — safe by construction, no "
+    "widening needed (unlike q162/q170's unbounded regression sums).",
 )
 def q159_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

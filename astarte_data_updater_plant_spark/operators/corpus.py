@@ -1999,17 +1999,22 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     ),
     agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+      -- int128 accumulation: |x|,|y| <= ~4e7 (ln of anything that fits a
+      -- BIGINT count, scaled 1e6), so x*y ~ 1e15 and the sums reach ~1e20
+      -- at a realistic 1e5+ vocabulary — past int64.  HUGEINT here /
+      -- DECIMAL(38,0) on the Spark side keep both engines exact (and
+      -- identical) to ~1e38 instead of wrapping or raising at 9.2e18.
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM pts
     )
-    SELECT n AS n_terms,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
-             AS zipf_exponent,
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+           CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_exponent,
            (SELECT MAX(f) FROM freq) AS top_freq
     FROM agg
     """,
@@ -2039,20 +2044,27 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log("r") * 1000000).cast("long").alias("x"),
         F.floor(F.log("f") * 1000000).cast("long").alias("y"),
     )
+    # DECIMAL(38,0) accumulation (oracle: HUGEINT): |x|,|y| <= ~4e7, so
+    # x*y ~ 1e15 and the regression sums pass int64 at a ~1e5 vocabulary.
+    # Spark (non-ANSI) would wrap silently where DuckDB raises — widening
+    # both sides keeps the "exact integer, bit-deterministic" claim true
+    # to ~1e38 (a 1e22-term vocabulary, i.e. never).
+    xd = F.col("x").cast("decimal(12,0)")
+    yd = F.col("y").cast("decimal(12,0)")
     agg = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
     )
     top = freq.agg(F.max("f").alias("top_freq"))
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return agg.crossJoin(F.broadcast(top)).select(
-        F.col("n").alias("n_terms"),
-        num.cast("long").alias("slope_num"),
-        den.cast("long").alias("slope_den"),
-        (num.cast("double") / den).alias("zipf_exponent"),
+        F.col("n").cast("long").alias("n_terms"),
+        num.cast("decimal(38,0)").alias("slope_num"),
+        den.cast("decimal(38,0)").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("zipf_exponent"),
         "top_freq",
     )

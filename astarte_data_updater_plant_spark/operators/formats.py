@@ -18,13 +18,13 @@ approximate.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 from ..plans.registry import register
+from ..storage.scratch import scratch_dir
 from ..sources.tables import load_table
 
 _M = "DECIMAL(12,4)"
@@ -54,7 +54,7 @@ def q75_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
 
-    root = tempfile.mkdtemp(prefix="q75_roundtrip_")
+    root = scratch_dir(prefix="q75_roundtrip_")
     csv_dir = os.path.join(root, "nation_csv")
     json_dir = os.path.join(root, "orders_json")
     nation.write.mode("overwrite").option("header", "true").csv(csv_dir)
@@ -108,7 +108,7 @@ def q117_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
 
-    root = tempfile.mkdtemp(prefix="q117_roundtrip_")
+    root = scratch_dir(prefix="q117_roundtrip_")
     orc_dir = os.path.join(root, "lineitem_orc")
     part_dir = os.path.join(root, "orders_part")
     lineitem.write.mode("overwrite").orc(orc_dir)
@@ -169,7 +169,7 @@ def q117_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q136_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="q136_evolution_")
+    root = scratch_dir(prefix="q136_evolution_")
     v0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
     v1 = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timeutil import ts_micros
 from ..plans.registry import register
+from ..storage.scratch import scratch_dir
 from ..sources.stream import events_as_messages, telemetry_interface
 from ..sources.tables import load_table
 from ..streaming.pipeline import (
@@ -103,7 +104,6 @@ def s71_ingest_device_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate on closed input.",
 )
 def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.tables import table_path
 
@@ -134,7 +134,7 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s72_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="s72_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -166,12 +166,11 @@ def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices
     import glob
     import os
     import shutil
-    import tempfile
     import time as _time
 
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
     span = (hi - lo).total_seconds() + 1.0
-    src_dir = tempfile.mkdtemp(prefix=prefix)
+    src_dir = scratch_dir(prefix=prefix)
     stage_dir = os.path.join(src_dir, "_staged")
     slice_col = F.least(
         F.floor(
@@ -221,7 +220,6 @@ def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices
     "single-batch grouping.",
 )
 def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..streaming.pipeline import MESSAGE_SCHEMA, run_stream
 
@@ -255,7 +253,7 @@ def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame
             ds.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s73_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s73_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -280,7 +278,6 @@ def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame
     "At scale the dedup state is bounded by dropDuplicatesWithinWatermark.",
 )
 def s74_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.tables import table_path
 
@@ -312,7 +309,7 @@ def s74_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.writeStream.outputMode("complete")
         .format("memory")
         .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s74_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="s74_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -381,7 +378,6 @@ def s75_ingest_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mechanism that caps window/dedup state at 100 TB.",
 )
 def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -409,7 +405,7 @@ def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFram
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s76_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s76_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -446,7 +442,6 @@ def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFram
     "same query's batch formulation).",
 )
 def s77_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select(
@@ -499,7 +494,7 @@ def s77_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s77_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s77_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -557,7 +552,6 @@ def s77_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with O(open sessions) state instead of a full-history sort.",
 )
 def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
@@ -585,7 +579,7 @@ def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s78_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s78_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -626,7 +620,6 @@ def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equals the batch join the oracle states.",
 )
 def s79_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select(
@@ -654,7 +647,7 @@ def s79_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.outputMode("append")
         .format("memory")
         .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s79_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="s79_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -688,7 +681,6 @@ def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select(
@@ -723,7 +715,7 @@ def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s80_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s80_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -762,7 +754,6 @@ def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream scale.",
 )
 def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -790,7 +781,7 @@ def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s81_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s81_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -844,7 +835,6 @@ def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the inner join.",
 )
 def s82_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select(
@@ -898,7 +888,7 @@ def s82_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
             joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s82_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s82_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1109,7 +1099,6 @@ RECRAWL_REV_RESIDUE = 7
 def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -1139,7 +1128,7 @@ def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    src_dir = tempfile.mkdtemp(prefix="s85_src_")
+    src_dir = scratch_dir(prefix="s85_src_")
     base = __import__("time").time()
     for i, snap in enumerate((docs, recrawl)):
         stage = os.path.join(src_dir, f"_stage{i}")
@@ -1177,7 +1166,7 @@ def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s85_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s85_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1300,7 +1289,6 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     from pyspark.sql import Window
@@ -1308,7 +1296,7 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    src_dir = tempfile.mkdtemp(prefix="s87_src_")
+    src_dir = scratch_dir(prefix="s87_src_")
     base = time.time()
     for i in range(3):
         sl = ev.filter((F.col("event_id") % 3 == i) | (F.col("event_id") % 5 == i))
@@ -1321,7 +1309,7 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
         shutil.rmtree(stage)
 
-    store_root = tempfile.mkdtemp(prefix="s87_store_")
+    store_root = scratch_dir(prefix="s87_store_")
     current = {"path": None}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1356,7 +1344,7 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query = (
             stream.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s87_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s87_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1425,7 +1413,6 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     import pandas as pd
@@ -1455,7 +1442,7 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = ev.withColumn(
         "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
     )
-    src_dir = tempfile.mkdtemp(prefix="s88_src_")
+    src_dir = scratch_dir(prefix="s88_src_")
     base = time.time()
     for i in range(3):
         stage = os.path.join(src_dir, f"_stage{i}")
@@ -1493,7 +1480,7 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s88_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s88_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1555,7 +1542,6 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     import pandas as pd
@@ -1567,7 +1553,7 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = ev.withColumn(
         "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
     )
-    src_dir = tempfile.mkdtemp(prefix="s89_src_")
+    src_dir = scratch_dir(prefix="s89_src_")
     base = time.time()
     for i in range(3):
         stage = os.path.join(src_dir, f"_stage{i}")
@@ -1631,7 +1617,7 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="s89_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="s89_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

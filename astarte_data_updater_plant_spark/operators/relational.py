@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dmoney, drate, dsum, dsum_expr, exact_div
 from ..plans.registry import register
+from ..storage.scratch import scratch_dir
 from ..sources.tables import load_table
 
 # Shared decimal-cast fragments for the DuckDB oracle side. Keep in
@@ -601,13 +602,12 @@ N_BUCKETS = 8
 )
 def q88_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    root = tempfile.mkdtemp(prefix="q88_bucketed_")
+    root = scratch_dir(prefix="q88_bucketed_")
     for name, df, key in (
         ("q88_lineitem", li, "l_orderkey"),
         ("q88_orders", o, "o_orderkey"),

@@ -1250,16 +1250,26 @@ def _q161_oracle() -> str:
       WHERE i <= rc.n_relevant
       GROUP BY rc.query
     )
-    SELECT d.query, d.n_retrieved, rc.n_relevant,
-           CASE WHEN d.first_rel_rank = 0 THEN CAST(0 AS BIGINT)
+    -- LEFT joins from the full query list: a query with zero retrieved or
+    -- zero corpus-relevant docs must appear with explicit zero metrics,
+    -- not vanish from the eval report (the worst-performing queries are
+    -- exactly the ones an inner join would hide).
+    SELECT q.query,
+           CAST(COALESCE(d.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(COALESCE(rc.n_relevant, 0) AS BIGINT) AS n_relevant,
+           CASE WHEN COALESCE(d.first_rel_rank, 0) = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(floor(1000000000.0 / d.first_rel_rank) AS BIGINT)
            END AS mrr_e9,
-           d.dcg_e9, i.idcg_e9,
-           CAST(d.dcg_e9 AS DOUBLE) / i.idcg_e9 AS ndcg
-    FROM dcg d
-    JOIN rel_corpus rc USING (query)
-    JOIN idcg i USING (query)
-    ORDER BY query
+           CAST(COALESCE(d.dcg_e9, 0) AS BIGINT) AS dcg_e9,
+           CAST(COALESCE(i.idcg_e9, 0) AS BIGINT) AS idcg_e9,
+           CASE WHEN COALESCE(i.idcg_e9, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(d.dcg_e9, 0) AS DOUBLE) / i.idcg_e9
+           END AS ndcg
+    FROM qterms q
+    LEFT JOIN dcg d USING (query)
+    LEFT JOIN rel_corpus rc USING (query)
+    LEFT JOIN idcg i USING (query)
+    ORDER BY q.query
     """
 
 
@@ -1339,22 +1349,40 @@ def q161_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idcg_e9")
         )
     )
+    # LEFT joins from the full query list (mirrors the oracle): zero-recall
+    # or zero-retrieval queries appear with explicit zero metrics instead of
+    # silently dropping out of the eval report.
     return (
-        dcg.join(F.broadcast(rel_corpus), "query")
-        .join(F.broadcast(idcg), "query")
+        qterms.select("query")
+        .join(F.broadcast(dcg), "query", "left")
+        .join(F.broadcast(rel_corpus), "query", "left")
+        .join(F.broadcast(idcg), "query", "left")
         .select(
             "query",
-            "n_retrieved",
-            "n_relevant",
-            F.when(F.col("first_rel_rank") == 0, F.lit(0))
+            F.coalesce(F.col("n_retrieved"), F.lit(0))
+            .cast("long")
+            .alias("n_retrieved"),
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            F.when(
+                F.coalesce(F.col("first_rel_rank"), F.lit(0)) == 0, F.lit(0)
+            )
             .otherwise(
                 F.floor(F.lit(1000000000.0) / F.col("first_rel_rank"))
             )
             .cast("long")
             .alias("mrr_e9"),
-            "dcg_e9",
-            "idcg_e9",
-            (F.col("dcg_e9").cast("double") / F.col("idcg_e9")).alias("ndcg"),
+            F.coalesce(F.col("dcg_e9"), F.lit(0)).cast("long").alias("dcg_e9"),
+            F.coalesce(F.col("idcg_e9"), F.lit(0))
+            .cast("long")
+            .alias("idcg_e9"),
+            F.when(F.coalesce(F.col("idcg_e9"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("dcg_e9"), F.lit(0)).cast("double")
+                / F.col("idcg_e9")
+            )
+            .alias("ndcg"),
         )
         .orderBy("query")
     )

@@ -808,20 +808,27 @@ OLS_SNAP = 100
       FROM events
     ),
     agg AS (
+      -- int128 accumulation (Spark side: DECIMAL(38,0)): with a long
+      -- observation span x reaches ~1e7s, x*x ~ 1e14, and n*sxx passes
+      -- int64 once a device logs ~1e5 points — widen so "exact, bit-
+      -- deterministic" survives real fleet histories instead of
+      -- wrapping (Spark non-ANSI) or raising (DuckDB).
       SELECT user_id,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM s GROUP BY user_id
     )
-    SELECT CAST(user_id AS BIGINT) AS user_id, n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope,
-           (sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
-             / n AS intercept
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+           CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
     FROM agg
     ORDER BY user_id
     """,
@@ -847,21 +854,29 @@ def q162_device_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("x"),
         F.round(F.col("value") * OLS_SNAP).cast("long").alias("y"),
     )
+    # DECIMAL(38,0) accumulation (oracle: HUGEINT) — see the oracle note:
+    # n*sxx passes int64 for long, dense device histories; widening keeps
+    # the exact-normal-equations claim true at fleet scale.
+    xd = F.col("x").cast("decimal(14,0)")
+    yd = F.col("y").cast("decimal(14,0)")
     agg = s.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den
+    slope = num.cast("double") / den.cast("double")
     return agg.select(
         F.col("user_id").cast("long").alias("user_id"),
-        "n",
-        num.cast("long").alias("slope_num"),
-        den.cast("long").alias("slope_den"),
+        F.col("n").cast("long").alias("n"),
+        num.cast("decimal(38,0)").alias("slope_num"),
+        den.cast("decimal(38,0)").alias("slope_den"),
         slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
     ).orderBy("user_id")

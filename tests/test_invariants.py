@@ -126,3 +126,51 @@ def test_perceptual_near_dup_groups_recovered(spark, qs):
             if b < n_docs and (a, b) not in pairs:
                 missing.append((a, b))
     assert not missing, f"clone pairs missed: {missing[:5]}"
+
+
+def test_regression_sums_survive_large_vocabulary(spark):
+    """q162/q170's widened DECIMAL(38,0) accumulation is exact where the
+    old int64 path wrapped: a 200k-term Zipf-shaped vocabulary drives
+    n*sxy past 2^63; the Spark plan must match Python bignum arithmetic
+    bit-for-bit (ADVICE r4, corpus.py q170 overflow)."""
+    import pyspark.sql.functions as F
+
+    n_terms = 200_000
+    pts = spark.range(1, n_terms + 1).select(
+        F.floor(F.log(F.col("id")) * 1000000).cast("long").alias("x"),
+        F.floor(F.log(F.lit(float(n_terms)) / F.col("id")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(12,0)")
+    yd = F.col("y").cast("decimal(12,0)")
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    row = agg.select(
+        num.cast("decimal(38,0)").alias("num"),
+        den.cast("decimal(38,0)").alias("den"),
+        F.col("sxy"),
+    ).collect()[0]
+
+    import math
+
+    xs = [math.floor(math.log(r) * 1000000) for r in range(1, n_terms + 1)]
+    ys = [
+        math.floor(math.log(n_terms / r) * 1000000)
+        for r in range(1, n_terms + 1)
+    ]
+    n = n_terms
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert n * sxy > 2**63, "fixture must actually exceed int64"
+    assert int(row["num"]) == n * sxy - sx * sy
+    assert int(row["den"]) == n * sxx - sx * sx
+    assert int(row["sxy"]) == sxy
