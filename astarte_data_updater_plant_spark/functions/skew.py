@@ -51,3 +51,76 @@ def salted_join(
     )
     out = left.join(right, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+#: buckets above this row count get the salted-split treatment in
+#: guarded_self_pairs — far above anything a healthy LSH banding
+#: produces (3-word shingles cap buckets at ~8 on the synthetic
+#: corpus), so the guard is a no-op until a pathological corpus
+#: (one boilerplate shingle in 30% of docs) actually appears
+SELF_PAIR_BUCKET_CAP = 256
+
+
+def guarded_self_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    cap: int = SELF_PAIR_BUCKET_CAP,
+    n_salts: int = DEFAULT_SALT,
+) -> DataFrame:
+    """All (id_a < id_b) pairs sharing a bucket key, skew-guarded.
+
+    The LSH candidate generators self-join on bucket keys; a healthy
+    banding bounds bucket sizes by construction, but one pathological
+    key (a boilerplate shingle shared by 30% of the corpus) turns the
+    equi-join into a single straggler task materializing B^2 rows.
+    This helper splits the join by MEASURED bucket size:
+
+    - cold buckets (size <= cap): the plain equi-join, unchanged;
+    - hot buckets: the q58 salting pattern adapted to a self-join —
+      the left side takes a deterministic n_salts-way salt from its
+      row id, the right side replicates across every salt, so every
+      cross pair still meets exactly once while the hot bucket's work
+      spreads over n_salts tasks.
+
+    Pair semantics are EXACTLY the unguarded join's (the oracle SQL
+    stays the plain self-join); only the physical distribution
+    changes. The hot-key list is an aggregate over bucket keys,
+    broadcast — pathological keys are few by definition.
+    """
+    sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    hot = sizes.filter(F.col("__bsz") > cap).select(*key_cols)
+
+    def pairs(df: DataFrame, extra_key: list[str]) -> DataFrame:
+        a = df.alias("a")
+        b = df.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for k in key_cols + extra_key:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+
+    cold = bands.join(F.broadcast(hot), key_cols, "left_anti")
+    cold_pairs = pairs(cold, [])
+
+    hot_rows = bands.join(F.broadcast(hot), key_cols, "left_semi")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    left = hot_rows.withColumn("__salt", salt)
+    right = hot_rows.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    a = left.alias("a")
+    b = right.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.__salt") == F.col("b.__salt")
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    hot_pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranks import with_global_order
 from ..functions.text import shingle_h32, shingles_from_tokens
 from ..plans.fragments import fragment
 from ..plans.registry import register
@@ -116,10 +117,12 @@ def q110_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 2: per-group totals -> exclusive prefix over the tiny group
     # frame (one row per PACK_GROUP docs) -> broadcast back
     totals = t.groupBy("g").agg(F.sum("n").alias("gt"))
-    w_g = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "g", F.coalesce(F.sum("gt").over(w_g), F.lit(0)).alias("g_off")
-    )
+    # exclusive prefix over the per-group totals via the range-partitioned
+    # two-phase runner — stays parallel even when the group frame itself
+    # is large (n_docs / PACK_GROUP rows at corpus scale)
+    offsets = with_global_order(
+        totals, ["g"], cumsums=[("gt", "g_off", "exclusive")]
+    ).select("g", "g_off")
     c = t.join(F.broadcast(offsets), "g").select(
         "doc_id", "n", (F.col("g_off") + F.col("cum_in")).alias("cum_before")
     )
@@ -903,9 +906,12 @@ def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    w_v = Window.orderBy(F.col("df").desc(), "tok")
+    # range-partitioned two-phase rank (functions/ranks.py): a bare
+    # Window.orderBy would serialize the whole vocabulary onto one task
     vocab = (
-        df.withColumn("tid", F.row_number().over(w_v).cast("long"))
+        with_global_order(
+            df, [(F.col("df"), "desc"), "tok"], rank="tid"
+        )
         .filter(F.col("tid") <= VOCAB_N)
         .select("tok", "tid")
     )
@@ -1050,10 +1056,12 @@ def q126_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("score", "doc_id")
-    tiered = (
-        scored.join(toks, "doc_id")
-        .withColumn("tier", F.ntile(N_TIERS).over(w).cast("long"))
+    # exact NTILE via the range-partitioned two-phase rank — a bare
+    # Window.orderBy would funnel every document through one task
+    tiered = with_global_order(
+        scored.join(toks, "doc_id"),
+        ["score", "doc_id"],
+        ntile=(N_TIERS, "tier"),
     )
     return (
         tiered.groupBy("tier")
@@ -1305,18 +1313,15 @@ def q135_zorder_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = base.withColumn("zkey", F.expr(_Z_SPARK))
 
-    lin = z.select(
-        "x", "y",
-        (F.ntile(N_ZFILES).over(Window.orderBy("y", "x", "event_id")) - 1).alias(
-            "file_id"
-        ),
-    )
-    zo = z.select(
-        "x", "y",
-        (F.ntile(N_ZFILES).over(Window.orderBy("zkey", "event_id")) - 1).alias(
-            "file_id"
-        ),
-    )
+    # the write-side sort a real OPTIMIZE performs IS a range partition —
+    # express it as one (two-phase exact NTILE, functions/ranks.py), not a
+    # single-partition window
+    lin = with_global_order(
+        z, ["y", "x", "event_id"], ntile=(N_ZFILES, "tile")
+    ).select("x", "y", (F.col("tile") - 1).alias("file_id"))
+    zo = with_global_order(
+        z, ["zkey", "event_id"], ntile=(N_ZFILES, "tile")
+    ).select("x", "y", (F.col("tile") - 1).alias("file_id"))
 
     def stats(df, layout):
         return df.groupBy("file_id").agg(
@@ -1590,15 +1595,15 @@ def q147_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.floor(F.col("_b") / WF_BUDGET_DEN).cast("long").alias("budget"), "nsrc"
     )
-    w_rank = Window.orderBy("n_tokens", "source")
-    r = (
-        t.crossJoin(F.broadcast(tot))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .withColumn(
-            "cum",
-            F.sum("n_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
+    # rank + running mass in one two-phase pass (functions/ranks.py);
+    # source cardinality is small today, but the plan shape now survives
+    # a source taxonomy that grows with the corpus
+    r = with_global_order(
+        t,
+        ["n_tokens", "source"],
+        rank="rk",
+        cumsums=[("n_tokens", "cum", "inclusive")],
+    ).crossJoin(F.broadcast(tot))
     feasible = F.col("cum") + F.col("n_tokens") * (F.col("nsrc") - F.col("rk")) <= F.col("budget")
     scal = r.agg(
         F.coalesce(F.max(F.when(feasible, F.col("rk"))), F.lit(0)).alias("kstar"),
@@ -1845,14 +1850,11 @@ def q166_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nonconf_e6"),
     )
     cal = scored.filter(F.col("fold") == 0)
-    w = Window.orderBy("nonconf_e6", "doc_id")
-    ranked = cal.select(
-        "nonconf_e6",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()  # global count
-        ).alias("n_cal"),
-    )
+    # exact order statistic via the range-partitioned two-phase rank —
+    # the calibration fold is corpus-sized, so no single-partition window
+    ranked = with_global_order(
+        cal, ["nonconf_e6", "doc_id"], rank="rn", total="n_cal"
+    ).select("nonconf_e6", "rn", "n_cal")
     target_rn = F.least(
         F.ceil(
             (F.col("n_cal") + 1)
@@ -1936,15 +1938,13 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "tid",
-            F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")),
-        )
-        .select("tok", "tid")
-    )
+    # df-ranked ids via the range-partitioned two-phase rank — the full
+    # vocabulary never funnels through one task
+    vocab = with_global_order(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")),
+        [(F.col("n"), "desc"), "tok"],
+        rank="tid",
+    ).select("tok", "tid")
     ids = toks.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "tid")
     decoded = (
         ids.join(F.broadcast(vocab), "tid")
@@ -2037,9 +2037,8 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), "tok"))
-    )
+    # range-partitioned two-phase rank: the Zipf rank axis stays parallel
+    ranked = with_global_order(freq, [(F.col("f"), "desc"), "tok"], rank="r")
     pts = ranked.select(
         F.floor(F.log("r") * 1000000).cast("long").alias("x"),
         F.floor(F.log("f") * 1000000).cast("long").alias("y"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranks import with_global_order
+from ..functions.skew import guarded_self_pairs
 from ..functions.text import (
     MINHASH_PERMS,
     MINHASH_PRIME,
@@ -254,18 +256,11 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     banded = fragment(spark, sf_dir, "lsh_banded", _banded)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # skew-guarded candidate self-join (functions/skew.py): buckets past
+    # the cap — a boilerplate shingle shared corpus-wide — get the salted
+    # split instead of one straggler task; same pairs, so the oracle's
+    # plain self-join is unchanged
+    candidates = guarded_self_pairs(banded, ["band", "bkey"], "doc_id")
     # exact verify: fetch the two shingle SETS per candidate pair and
     # intersect them as arrays — candidate count is tiny relative to
     # the corpus, so carrying the arrays through two keyed joins beats
@@ -725,19 +720,20 @@ def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     nk = shingle_h32(F.col("doc_id").cast("string"))
-    w = Window.orderBy("nk", "doc_id")
-    neg = (
-        docs.select("doc_id", nk.alias("nk"))
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.lead("doc_id").over(w),
-                F.first("doc_id").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-                ),
-            ).alias("neg_id"),
-        )
-    )
+    # the hash ring as a range-partitioned two-phase rank + successor
+    # equi-join (rn % n + 1 wraps the tail to position 1) — the LEAD over
+    # a bare Window.orderBy this replaces serialized the whole corpus
+    # onto one task
+    ring = with_global_order(
+        docs.select("doc_id", nk.alias("nk")),
+        ["nk", "doc_id"],
+        rank="rn",
+        total="n",
+    ).withColumn("succ", F.col("rn") % F.col("n") + 1)
+    neg = ring.join(
+        ring.select(F.col("rn").alias("succ"), F.col("doc_id").alias("neg_id")),
+        "succ",
+    ).select("doc_id", "neg_id")
     return (
         pos.join(neg, pos.anchor_id == neg.doc_id)
         .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("neg_id") != F.col("pos_id")))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranks import with_global_order
 from ..functions.timeutil import ts_micros
 from ..plans.registry import register
 from ..storage.scratch import scratch_dir
@@ -999,6 +1000,15 @@ VT_DEL_MOD = 10
       AND o.value > {VT_THRESHOLD}
       AND o.ts >= m.install_ts
       AND (o.user_id % {VT_DEL_MOD} <> 0 OR o.ts < m.delete_ts)
+    UNION ALL
+    -- the negative path: every targeted device also received an install
+    -- aimed at the OBJECT-aggregated interface; the engine must reject
+    -- each one on the error wire (impl.ex:976-980), exactly once
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           'rejected:invalid_match_path' AS path,
+           CAST(NULL AS TIMESTAMP) AS fired_ts,
+           CAST(NULL AS DOUBLE) AS fired_value
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id % {VT_DEV_MOD} = 0)
     ORDER BY device_id, fired_ts, fired_value
     """,
     doc="The A32 RPC control plane end-to-end: for every 5th device an "
@@ -1012,7 +1022,12 @@ VT_DEL_MOD = 10
     "the SQL statement of the window: purchase values over the "
     "threshold between install and delete. Control message ids sort "
     "before data ids at equal timestamps, so the boundary is exactly "
-    "ts >= install_ts / ts < delete_ts on both sides.",
+    "ts >= install_ts / ts < delete_ts on both sides. Negative path: "
+    "each targeted device also receives an install aimed at the "
+    "OBJECT-aggregated interface (advertised in its introspection); "
+    "the reference rejects those (impl.ex:976-1016) and the oracle "
+    "pins exactly one wire-visible invalid_match_path error reply "
+    "per device — rejection is driver-checked, not just unit-tested.",
 )
 def s84_rpc_volatile_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1041,17 +1056,52 @@ def s84_rpc_volatile_triggers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("3 * cnt DIV 4 + 1"), F.col("ts"))
         ).alias("delete_ts"),
     )
-    rpc = rpc_trigger_messages(marks, VT_EVENT_TYPE, VT_THRESHOLD, VT_DEL_MOD)
-    out = run_batch(msgs.unionByName(rpc), interfaces=(telemetry_interface(),))
+    from ..sources.stream import (
+        OBJECT_INTERFACE,
+        OBJECT_INTROSPECTION,
+        TELEMETRY_INTROSPECTION,
+        object_interface,
+    )
+    from ..streaming.pipeline import errors_table
+
+    # negative path (impl.ex:976-1016): each targeted device's
+    # introspection also advertises the object-aggregated interface,
+    # and an InstallVolatileTrigger aimed at it rides the same RPC
+    # codec — the engine must answer each with a wire-visible error
+    both_intro = F.lit(
+        TELEMETRY_INTROSPECTION + b";" + OBJECT_INTROSPECTION
+    )
+    msgs = msgs.withColumn(
+        "payload",
+        F.when(F.col("msg_type") == "introspection", both_intro).otherwise(
+            F.col("payload")
+        ),
+    )
+    rpc = rpc_trigger_messages(
+        marks, VT_EVENT_TYPE, VT_THRESHOLD, VT_DEL_MOD,
+        object_iface_name=OBJECT_INTERFACE,
+    )
+    out = run_batch(
+        msgs.unionByName(rpc),
+        interfaces=(telemetry_interface(), object_interface()),
+    )
     fired = events_table(out).filter(
         F.col("event_type") == "volatile_trigger_fired"
-    )
-    return fired.select(
+    ).select(
         "device_id",
         "path",
         F.col("timestamp").alias("fired_ts"),
         F.col("new_value").cast("double").alias("fired_value"),
-    ).orderBy("device_id", "fired_ts", "fired_value")
+    )
+    rejected = errors_table(out).select(
+        "device_id",
+        F.concat(F.lit("rejected:"), F.col("error")).alias("path"),
+        F.lit(None).cast("timestamp").alias("fired_ts"),
+        F.lit(None).cast("double").alias("fired_value"),
+    )
+    return fired.unionByName(rejected).orderBy(
+        "device_id", "fired_ts", "fired_value"
+    )
 
 
 # -- s85: streaming cross-snapshot content dedup -----------------------------
@@ -1439,9 +1489,11 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    sliced = ev.withColumn(
-        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
-    )
+    # time-sliced via the range-partitioned two-phase NTILE — the bare
+    # Window.orderBy it replaces sorted every event on one task
+    sliced = with_global_order(
+        ev, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
     src_dir = scratch_dir(prefix="s88_src_")
     base = time.time()
     for i in range(3):
@@ -1550,9 +1602,11 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    sliced = ev.withColumn(
-        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
-    )
+    # time-sliced via the range-partitioned two-phase NTILE — the bare
+    # Window.orderBy it replaces sorted every event on one task
+    sliced = with_global_order(
+        ev, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
     src_dir = scratch_dir(prefix="s89_src_")
     base = time.time()
     for i in range(3):
@@ -1625,3 +1679,126 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# s90 — the Kafka connector seam, end-to-end against a broker stand-in
+# ---------------------------------------------------------------------------
+
+#: the Kafka source's exact output schema (what format("kafka") .load()
+#: yields) — fabricated by the broker stand-in so parse_wire_frames runs
+#: against the real contract it targets
+KAFKA_FRAME_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT, "
+    "headers ARRAY<STRUCT<key: STRING, value: BINARY>>"
+)
+
+
+def _kafka_frames_from_messages(msgs):
+    """MESSAGE_SCHEMA rows -> Kafka record frames, inverting
+    parse_wire_frames: routing metadata becomes x_astarte-style headers
+    (sources/connectors.py H_*), the BSON payload becomes the record
+    value, and absent fields (introspection has no interface/path) are
+    genuinely ABSENT headers, exercising the null-header path."""
+    from ..sources.connectors import (
+        H_DEVICE,
+        H_INTERFACE,
+        H_MESSAGE_ID,
+        H_PATH,
+        H_REALM,
+        H_TYPE,
+    )
+
+    def hdr(k, v):
+        return F.struct(F.lit(k).alias("key"), v.cast("binary").alias("value"))
+
+    headers = F.filter(
+        F.array(
+            hdr(H_REALM, F.col("realm")),
+            hdr(H_DEVICE, F.col("device_id")),
+            hdr(H_TYPE, F.col("msg_type")),
+            hdr(H_INTERFACE, F.col("interface")),
+            hdr(H_PATH, F.col("path")),
+            hdr(H_MESSAGE_ID, F.col("message_id")),
+        ),
+        lambda h: h["value"].isNotNull(),
+    )
+    return msgs.select(
+        F.col("device_id").cast("binary").alias("key"),
+        F.col("payload").alias("value"),
+        F.lit("astarte-data").alias("topic"),
+        F.pmod(F.crc32(F.col("device_id").cast("binary")), F.lit(8))
+        .cast("int")
+        .alias("partition"),
+        F.xxhash64("message_id").alias("offset"),
+        F.col("reception_timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+        headers.alias("headers"),
+    )
+
+
+@register(
+    "s90_kafka_frame_ingest",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' || event_type || '/value' AS path,
+           ts AS value_timestamp,
+           value AS double_value
+    FROM events
+    ORDER BY device_id, path, value_timestamp
+    """,
+    doc="The Kafka connector seam exercised end-to-end: messages are "
+    "re-encoded as Kafka RECORD FRAMES (key/value/topic/partition/"
+    "offset/timestamp/headers — the exact schema format('kafka') "
+    "yields), streamed file-by-file as a broker stand-in, and fed "
+    "through the REAL parse_wire_frames -> run_stream composition "
+    "kafka_message_stream uses (sources/connectors.py:99-130 is the "
+    "same projection over the same schema; only .format('kafka') "
+    "itself is absent in this container). Header-based dispatch, the "
+    "absent-header null path (introspection frames carry no "
+    "interface/path header), binary header decode, and the keyed "
+    "stateful fold all run exactly as they would against a live "
+    "broker, and the materialized datastream rows must equal the "
+    "batch SQL oracle (mirrors amqp_data_consumer.ex:109-270).",
+)
+def s90_kafka_frame_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.connectors import parse_wire_frames
+    from ..streaming.pipeline import run_stream
+
+    msgs = events_as_messages(spark, sf_dir)
+    frames = _kafka_frames_from_messages(msgs)
+    src_dir = _time_sliced_files(frames, "timestamp", prefix="s90_src_")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(KAFKA_FRAME_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = run_stream(
+            parse_wire_frames(stream), interfaces=(telemetry_interface(),)
+        )
+        ds = datastream_table(out).select(
+            "device_id", "path", "value_timestamp", "double_value"
+        )
+        qname = "s90_kafka_ingest"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            ds.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s90_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("device_id", "path", "value_timestamp")

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranks import with_global_order
 from ..functions.vectors import cosine, cosine_with_norms, dot, norm, to_double_array
 from ..plans.fragments import fragment
 from ..plans.registry import register
@@ -235,11 +236,24 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    w_init = Window.orderBy((F.col("vec_id") * KM_HASH) % F.lit(4294967296), "vec_id")
-    cents = (
-        emb.withColumn("centroid_id", F.row_number().over(w_init))
-        .filter(F.col("centroid_id") <= N_CENTROIDS)
-        .select("centroid_id", F.col("v").alias("cv"))
+    # seeded init as a distributed top-K (TakeOrderedAndProject), not a
+    # row_number over a bare Window.orderBy that would sort EVERY vector
+    # on one task just to pick K seeds; the K-row collect is the same
+    # bounded driver-side codebook state the Lloyd loop already keeps
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            "v",
+            ((F.col("vec_id") * KM_HASH) % F.lit(4294967296)).alias("hk"),
+        )
+        .orderBy("hk", "vec_id")
+        .limit(N_CENTROIDS)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["hk"], r["vec_id"]))
+    cents = spark.createDataFrame(
+        [(i + 1, list(r["v"])) for i, r in enumerate(seed_rows)],
+        "centroid_id int, cv array<double>",
     )
     for _ in range(KM_ITERS):
         w_assign = Window.partitionBy("vec_id").orderBy(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens
 from ..plans.fragments import fragment
+from ..functions.skew import guarded_self_pairs
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -150,18 +151,10 @@ def simhash_band_candidates(fp: DataFrame) -> DataFrame:
     bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval")
     )
-    a = bands.alias("a")
-    c = bands.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.bval") == F.col("c.bval"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # skew-guarded (functions/skew.py): a pathological fingerprint band
+    # shared corpus-wide salt-splits instead of stalling one task; pair
+    # semantics identical to the plain self-join the oracle states
+    return guarded_self_pairs(bands, ["b", "bval"], "doc_id")
 
 
 # Band-candidate CTEs over the fingerprints, the oracle twin of

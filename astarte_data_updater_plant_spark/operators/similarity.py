@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranks import with_global_order
 from ..functions.vectors import cosine_with_norms, norm, to_double_array
 from ..plans.registry import register
 from ..sources.tables import load_table
@@ -413,14 +414,16 @@ def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(norm(to_double_array(F.col("embedding"))), 6).alias("score"),
     )
-    w_rank = Window.orderBy("score")
+    # two-phase global row_number (functions/ranks.py), then min/max per
+    # tie group: tied scores occupy a contiguous global-rank interval
+    # whatever arbitrary order the range shuffle gives them, so min(rn)
+    # is exactly RANK() and max(rn) the upper average-rank bound — with
+    # no single-partition WindowExec (the w_ties window is keyed)
     w_ties = Window.partitionBy("score")
-    ranked = s.select(
+    ranked = with_global_order(s, ["score"], rank="rn").select(
         "label",
-        F.rank().over(w_rank).alias("rank_min"),
-        (F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).alias(
-            "rank_max"
-        ),
+        F.min("rn").over(w_ties).alias("rank_min"),
+        F.max("rn").over(w_ties).alias("rank_max"),
     )
     tasks = spark.createDataFrame([(t,) for t in AUC_TASKS], "pos_min int")
     pos = F.col("label") >= F.col("pos_min")

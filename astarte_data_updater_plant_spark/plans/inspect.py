@@ -89,11 +89,57 @@ def scan_columns(plan: str) -> list[set[str]]:
     return cols
 
 
+def _walk_plan(node):
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        # AQE wraps the query; exchanges live under initialPlan
+        yield from _walk_plan(node.initialPlan())
+    for i in range(node.children().size()):
+        yield from _walk_plan(node.children().apply(i))
+
+
+def empty_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized plan.
+
+    ``Window.orderBy(...)`` with no ``partitionBy`` compiles to WindowExec
+    on ONE partition — Spark logs "Moving all data to a single partition"
+    and serializes the whole input through one task. Such a node is a
+    100 TB scale-killer wherever the input is table-sized; this walker
+    makes it a testable plan property (see ``functions/ranks.py`` for
+    the parallel replacement).
+    """
+    out: list[str] = []
+    for node in _walk_plan(df._jdf.queryExecution().optimizedPlan()):
+        name = node.getClass().getSimpleName()
+        if name in ("Window", "WindowGroupLimit") and node.partitionSpec().size() == 0:
+            out.append(node.simpleString(120))
+    return out
+
+
+def distinct_exchanges(df: DataFrame) -> int:
+    """Distinct shuffle computations in one pass of the plan.
+
+    The pre-AQE physical plan PRINTS an identical exchange subtree once
+    per consumer branch, but at runtime AQE materializes each distinct
+    shuffle stage once and wires ReusedExchange into every other branch
+    (verified on the two-phase rank plans: the range shuffle executes
+    once, its two re-reads are ReusedExchange).  Counting printed
+    Exchange nodes therefore overstates the work a multi-branch plan
+    does; counting DISTINCT canonicalized exchanges matches what
+    executes.
+    """
+    seen = set()
+    for node in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            seen.add(node.canonicalized().hashCode())
+    return len(seen)
+
+
 def plan_summary(df: DataFrame) -> dict:
     """One-line scale profile of a query's physical plan."""
     plan = formatted_plan(df)
     return {
-        "exchanges": count_op(plan, "Exchange"),
+        "exchanges": distinct_exchanges(df),
         "broadcast_joins": count_op(plan, "BroadcastHashJoin"),
         "shuffle_joins": count_op(plan, "SortMergeJoin")
         + count_op(plan, "ShuffledHashJoin"),

@@ -98,6 +98,7 @@ def rpc_trigger_messages(
     event_type: str,
     threshold: float,
     delete_mod: int,
+    object_iface_name: str | None = None,
 ) -> DataFrame:
     """Volatile-trigger control messages synthesized THROUGH the
     protobuf RPC wire codec (rpc/handler.ex:35-100 round trip).
@@ -165,6 +166,37 @@ def rpc_trigger_messages(
                     "install_volatile_trigger",
                     _json.dumps(payload_spec).encode(),
                 )
+                if object_iface_name is not None:
+                    # negative path: a volatile DATA trigger aimed at an
+                    # object-aggregated interface — the reference rejects
+                    # these (impl.ex:976-980) and the engine must reply
+                    # with an error on the wire, not install silently
+                    ospec = {
+                        "interface": object_iface_name,
+                        "path": "/kind",
+                        "op": "ANY",
+                    }
+                    obuf = _wire.encode_install_volatile_trigger_call(
+                        realm_name=TELEMETRY_REALM,
+                        device_id=dev,
+                        object_id=b"\x00" * 16,
+                        object_type=2,
+                        parent_id=_wire.PARENT_TRIGGER_ID,
+                        simple_trigger_id=_wire.trigger_uuid(f"vt-obj-{uid}"),
+                        simple_trigger=_json.dumps(ospec).encode(),
+                        trigger_target=b"amqp:vt",
+                    )
+                    oname, of = _wire.decode_call(obuf)
+                    assert oname == "install_volatile_trigger"
+                    opayload = _json.loads(of["simple_trigger"].decode())
+                    opayload["trigger_id"] = str(
+                        _uuid.UUID(bytes=of["simple_trigger_id"])
+                    )
+                    push(
+                        f"a-objinstall-{uid}", its, of["device_id"],
+                        "install_volatile_trigger",
+                        _json.dumps(opayload).encode(),
+                    )
                 if int(uid) % delete_mod == 0:
                     dbuf = _wire.encode_delete_volatile_trigger_call(
                         realm_name=TELEMETRY_REALM,

@@ -38,6 +38,12 @@ HEADLINE = (
     "q50_cosine_topk",           # vector similarity
     "q55_ivf_ann_topk",          # IVF cell-probe ANN
     "q26_property_resend",       # LWW window + ordered string agg
+    # the former single-partition-window family, now two-phase global
+    # rank/ntile (functions/ranks.py) — benched so a re-introduced
+    # global window regresses a NUMBER, not just a plan test
+    "q126_curriculum_tiers",     # global NTILE over all documents
+    "q145_roc_auc",              # global tie-aware rank over all scores
+    "q170_zipf_fit",             # global vocabulary rank + exact OLS
 )
 
 #: One untimed pass to absorb one-time costs (JVM class loading,

@@ -142,6 +142,12 @@ def test_q93_pagerank_reuses_cached_edges(spark, qs):
 #: max nested-loop joins). A future edit that silently de-optimizes a
 #: plan — an extra shuffle, a lost broadcast, a join degrading to
 #: nested-loop — fails here before it ever reaches a benchmark.
+# "exchanges" counts DISTINCT canonicalized shuffles (plans/inspect.py):
+# duplicated prints of one exchange subtree collapse to the single stage
+# AQE actually materializes. The two-phase global-rank queries carry one
+# keyed-window hash shuffle plus ~bucket-count-row summary aggregates;
+# their budgets look larger than the data-sized shuffle count because the
+# tiny summary branches re-derive the (cheap) bucket projection.
 PLAN_BUDGETS = {
     "q01_pricing_summary": (2, 0, 0, 0),
     "q03_shipping_priority": (1, 2, 0, 0),
@@ -166,7 +172,7 @@ PLAN_BUDGETS = {
     # exchanges / zero joins; the dedup pipelines are keyed equi-joins
     # with broadcast index probes (q111/q113) and the SemDeDup
     # cell self-join keeps its broadcast-centroid nested loop (q115)
-    "q110_sequence_pack": (6, 1, 0, 0),
+    "q110_sequence_pack": (9, 2, 0, 1),
     "q111_incremental_dedup": (12, 5, 1, 0),
     "q112_c4_filters": (2, 0, 0, 0),
     "q113_substring_dedup": (11, 5, 0, 0),
@@ -178,12 +184,12 @@ PLAN_BUDGETS = {
     "q118_pq_adc_topk": (5, 3, 0, 0),
     "q119_pq_recall": (11, 3, 1, 1),
     "q120_pipeline_report": (9, 3, 1, 0),
-    "q121_vocab_encode": (6, 1, 0, 0),
+    "q121_vocab_encode": (8, 2, 0, 1),
     "q122_mojibake_repair": (2, 0, 0, 0),
-    "q123_packing_efficiency": (7, 1, 0, 0),
+    "q123_packing_efficiency": (10, 2, 0, 1),
     "q124_promo_revenue": (2, 1, 0, 0),
     "q125_or_predicate_revenue": (2, 1, 0, 0),
-    "q126_curriculum_tiers": (3, 1, 0, 0),
+    "q126_curriculum_tiers": (8, 5, 0, 2),
     "q127_column_profile": (2, 0, 0, 0),
     "q128_minhash_estimate_error": (6, 5, 0, 0),
     "q129_token_cooccurrence": (14, 5, 0, 1),
@@ -194,7 +200,7 @@ PLAN_BUDGETS = {
     "q133_value_anomalies": (3, 2, 0, 0),
     "q134_boilerplate_lines": (6, 1, 0, 0),
     # the two nested loops are the broadcast 3-row predicate cross joins
-    "q135_zorder_fileskip": (3, 1, 0, 2),
+    "q135_zorder_fileskip": (13, 3, 0, 6),
     "q136_schema_evolution": (2, 0, 0, 0),
     "q137_lonely_late_supplier": (3, 5, 1, 0),
     # the nested loop is the broadcast 1-row global-total cross join
@@ -206,12 +212,12 @@ PLAN_BUDGETS = {
     "q141_countmin_heavy_hitters": (5, 0, 0, 1),
     "q142_weighted_sample": (1, 0, 0, 0),
     "q143_point_in_time_features": (2, 0, 0, 0),
-    "q144_contrastive_pairs": (6, 4, 0, 0),
+    "q144_contrastive_pairs": (13, 5, 2, 4),
     # nested loop = broadcast 3-row task list cross join
-    "q145_roc_auc": (2, 0, 0, 1),
+    "q145_roc_auc": (8, 1, 0, 2),
     "q146_classifier_prf": (4, 1, 0, 0),
     # the nested loops are broadcast scalar (budget/saturation) cross joins
-    "q147_token_waterfill": (6, 0, 0, 3),
+    "q147_token_waterfill": (7, 2, 0, 5),
     # nested loop = broadcast 1-row total cross join
     "q148_triangle_count": (15, 1, 4, 1),
     "q149_power_iteration_pca": (3, 0, 0, 0),
@@ -239,13 +245,13 @@ PLAN_BUDGETS = {
     # nested loops = broadcast probe-base / 1-row stats cross joins
     "q165_bloom_fpr": (10, 1, 0, 3),
     # nested loop = broadcast 1-row calibration-quantile cross join
-    "q166_conformal_coverage": (6, 2, 0, 1),
+    "q166_conformal_coverage": (9, 7, 0, 2),
     "q167_ab_test": (3, 0, 0, 0),
     # nested loop = broadcast 1-row loss-stats cross join
     "q168_logreg_gd": (3, 0, 0, 1),
-    "q169_tokenizer_roundtrip": (10, 3, 0, 0),
+    "q169_tokenizer_roundtrip": (8, 5, 0, 2),
     # nested loop = broadcast 1-row top-frequency cross join
-    "q170_zipf_fit": (6, 0, 0, 1),
+    "q170_zipf_fit": (7, 1, 0, 2),
     "q171_top_supplier": (4, 2, 0, 0),
 }
 
@@ -305,3 +311,21 @@ def test_q92_merge_bounded_shuffles(spark, qs):
     # reuses the window partitioning, so at most 3 exchanges total
     assert s["exchanges"] <= 3
     assert s["nested_loop_joins"] == 0
+
+
+def test_no_single_partition_windows_anywhere(spark, qs):
+    """A Window with an empty partition spec serializes its whole input
+    through ONE task ("Moving all data to a single partition") — banned
+    from every batch query; global rank/ntile/prefix-sum must go through
+    functions/ranks.with_global_order (range-partitioned two-phase)."""
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+    from astarte_data_updater_plant_spark.plans.inspect import (
+        empty_partition_windows,
+    )
+
+    clear_fragments()
+    for name, fn in sorted(qs.items()):
+        if name.startswith("s"):
+            continue
+        bad = empty_partition_windows(fn(spark, SF_DIR))
+        assert not bad, f"{name}: single-partition Window(s): {bad}"
