@@ -61,6 +61,16 @@ def salted_join(
 SELF_PAIR_BUCKET_CAP = 256
 
 
+#: memoized hot-key probes, keyed like the fragment cache (application,
+#: caller-supplied key, cap) — same immutable-snapshot assumption, and
+#: cleared together with the fragments (plans/fragments.clear_fragments)
+_HOT_KEY_CACHE: dict = {}
+
+
+def clear_hot_key_cache() -> None:
+    _HOT_KEY_CACHE.clear()
+
+
 def guarded_self_pairs(
     bands: DataFrame,
     key_cols: list[str],
@@ -68,6 +78,7 @@ def guarded_self_pairs(
     *,
     cap: int = SELF_PAIR_BUCKET_CAP,
     n_salts: int = DEFAULT_SALT,
+    probe_key: str | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs sharing a bucket key, skew-guarded.
 
@@ -86,11 +97,14 @@ def guarded_self_pairs(
 
     Pair semantics are EXACTLY the unguarded join's (the oracle SQL
     stays the plain self-join); only the physical distribution
-    changes. The hot-key list is an aggregate over bucket keys,
-    broadcast — pathological keys are few by definition.
+    changes. The hot-key list is measured ONCE at plan-build time (a
+    bounded collect — pathological keys are few by definition, and the
+    band frames at the call sites are pinned fragments, so the probe is
+    one cached aggregate): on a healthy corpus the guard costs nothing —
+    the returned plan IS the plain self-join (measured: the always-on
+    cold/hot split tripled q42 at sf0.1 guarding against a skew that
+    wasn't there).
     """
-    sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-    hot = sizes.filter(F.col("__bsz") > cap).select(*key_cols)
 
     def pairs(df: DataFrame, extra_key: list[str]) -> DataFrame:
         a = df.alias("a")
@@ -103,10 +117,27 @@ def guarded_self_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
 
-    cold = bands.join(F.broadcast(hot), key_cols, "left_anti")
+    ck = None
+    if probe_key is not None:
+        ck = (bands.sparkSession.sparkContext.applicationId, probe_key, cap)
+    hot_keys = _HOT_KEY_CACHE.get(ck) if ck is not None else None
+    if hot_keys is None:
+        sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        hot_keys = sizes.filter(F.col("__bsz") > cap).select(*key_cols).collect()
+        if ck is not None:
+            _HOT_KEY_CACHE[ck] = hot_keys
+    if not hot_keys:
+        return pairs(bands, []).distinct()
+
+    hot = F.broadcast(
+        bands.sparkSession.createDataFrame(
+            hot_keys, bands.select(*key_cols).schema
+        )
+    )
+    cold = bands.join(hot, key_cols, "left_anti")
     cold_pairs = pairs(cold, [])
 
-    hot_rows = bands.join(F.broadcast(hot), key_cols, "left_semi")
+    hot_rows = bands.join(hot, key_cols, "left_semi")
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
     left = hot_rows.withColumn("__salt", salt)
     right = hot_rows.withColumn(

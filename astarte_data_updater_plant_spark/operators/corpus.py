@@ -905,7 +905,10 @@ def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df = fragment(
+        spark, sf_dir, "q121_tok_df",
+        lambda: toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")),
+    )
     # range-partitioned two-phase rank (functions/ranks.py): a bare
     # Window.orderBy would serialize the whole vocabulary onto one task
     vocab = (
@@ -1056,10 +1059,15 @@ def q126_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    # exact NTILE via the range-partitioned two-phase rank — a bare
-    # Window.orderBy would funnel every document through one task
+    # exact NTILE via the two-phase rank; the classifier-joined input is
+    # pinned — the helper's boundary probe plus its rank/summary branches
+    # would otherwise re-run the q114 feature hash several times
+    # (measured 9.6s -> ~1s at sf0.1)
     tiered = with_global_order(
-        scored.join(toks, "doc_id"),
+        fragment(
+            spark, sf_dir, "q126_scored_toks",
+            lambda: scored.join(toks, "doc_id"),
+        ),
         ["score", "doc_id"],
         ntile=(N_TIERS, "tier"),
     )
@@ -1311,7 +1319,10 @@ def q135_zorder_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("long") % 256).alias("x"),
         ((F.unix_timestamp("ts") / F.lit(3600)).cast("long") % 256).alias("y"),
     )
-    z = base.withColumn("zkey", F.expr(_Z_SPARK))
+    z = fragment(
+        spark, sf_dir, "q135_z",
+        lambda: base.withColumn("zkey", F.expr(_Z_SPARK)),
+    )
 
     # the write-side sort a real OPTIMIZE performs IS a range partition —
     # express it as one (two-phase exact NTILE, functions/ranks.py), not a
@@ -1839,15 +1850,20 @@ def q166_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored_base = q114_quality_classifier(spark, sf_dir).select("doc_id", "score")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    scored = docs.join(scored_base, "doc_id").select(
-        "doc_id",
-        (shingle_h32(F.col("doc_id").cast("string")) % 2).alias("fold"),
-        F.round(
-            F.abs((F.col("n_chars") - 250) / F.lit(250.0) - F.col("score"))
-            * 1000000
-        )
-        .cast("long")
-        .alias("nonconf_e6"),
+    # pinned: the cal fold feeds the helper (boundary probe + branches)
+    # and the test fold reads it again — one q114 evaluation, not five
+    scored = fragment(
+        spark, sf_dir, "q166_scored",
+        lambda: docs.join(scored_base, "doc_id").select(
+            "doc_id",
+            (shingle_h32(F.col("doc_id").cast("string")) % 2).alias("fold"),
+            F.round(
+                F.abs((F.col("n_chars") - 250) / F.lit(250.0) - F.col("score"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("nonconf_e6"),
+        ),
     )
     cal = scored.filter(F.col("fold") == 0)
     # exact order statistic via the range-partitioned two-phase rank —
@@ -1941,7 +1957,10 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-ranked ids via the range-partitioned two-phase rank — the full
     # vocabulary never funnels through one task
     vocab = with_global_order(
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")),
+        fragment(
+            spark, sf_dir, "q169_tok_n",
+            lambda: toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")),
+        ),
         [(F.col("n"), "desc"), "tok"],
         rank="tid",
     ).select("tok", "tid")
@@ -2031,11 +2050,12 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = fragment(
+        spark, sf_dir, "q170_freq",
+        lambda: docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f")),
     )
     # range-partitioned two-phase rank: the Zipf rank axis stays parallel
     ranked = with_global_order(freq, [(F.col("f"), "desc"), "tok"], rank="r")

@@ -260,7 +260,10 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap — a boilerplate shingle shared corpus-wide — get the salted
     # split instead of one straggler task; same pairs, so the oracle's
     # plain self-join is unchanged
-    candidates = guarded_self_pairs(banded, ["band", "bkey"], "doc_id")
+    candidates = guarded_self_pairs(
+        banded, ["band", "bkey"], "doc_id",
+        probe_key=f"{sf_dir}:lsh_banded",
+    )
     # exact verify: fetch the two shingle SETS per candidate pair and
     # intersect them as arrays — candidate count is tiny relative to
     # the corpus, so carrying the arrays through two keyed joins beats

@@ -135,7 +135,7 @@ def _ham_nib_sql(a: str, b: str, i: int) -> str:
 _HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in range(16))
 
 
-def simhash_band_candidates(fp: DataFrame) -> DataFrame:
+def simhash_band_candidates(fp: DataFrame, probe_key: str | None = None) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from the 4x16-bit band equi-join
     over the fingerprints — shared by q46 (Hamming verify) and q87
     (edit-distance verify)."""
@@ -154,7 +154,9 @@ def simhash_band_candidates(fp: DataFrame) -> DataFrame:
     # skew-guarded (functions/skew.py): a pathological fingerprint band
     # shared corpus-wide salt-splits instead of stalling one task; pair
     # semantics identical to the plain self-join the oracle states
-    return guarded_self_pairs(bands, ["b", "bval"], "doc_id")
+    return guarded_self_pairs(
+        bands, ["b", "bval"], "doc_id", probe_key=probe_key
+    )
 
 
 # Band-candidate CTEs over the fingerprints, the oracle twin of
@@ -200,7 +202,7 @@ def q46_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = fragment(
         spark, sf_dir, "simhash_fp", lambda: simhash_fingerprints(spark, sf_dir)
     )
-    cand = simhash_band_candidates(fp)
+    cand = simhash_band_candidates(fp, probe_key=f"{sf_dir}:simhash_bands")
 
     def nib_of(col: str, i: int):
         return F.instr(F.lit(_HEX), F.substring(F.col(col), i + 1, 1)) - 1
@@ -255,7 +257,7 @@ def q87_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = fragment(
         spark, sf_dir, "simhash_fp", lambda: simhash_fingerprints(spark, sf_dir)
     )
-    cand = simhash_band_candidates(fp)
+    cand = simhash_band_candidates(fp, probe_key=f"{sf_dir}:simhash_bands")
     docs = load_table(spark, sf_dir, "documents")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ranks import with_global_order
 from ..functions.vectors import cosine_with_norms, norm, to_double_array
+from ..plans.fragments import fragment
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -410,9 +411,12 @@ AUC_TASKS = (3, 5, 7)
 )
 def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    s = emb.select(
-        "label",
-        F.round(norm(to_double_array(F.col("embedding"))), 6).alias("score"),
+    s = fragment(
+        spark, sf_dir, "q145_scores",
+        lambda: emb.select(
+            "label",
+            F.round(norm(to_double_array(F.col("embedding"))), 6).alias("score"),
+        ),
     )
     # two-phase global row_number (functions/ranks.py), then min/max per
     # tie group: tied scores occupy a contiguous global-rank interval

@@ -47,10 +47,14 @@ def fragment(
 
 
 def clear_fragments() -> None:
-    """Unpersist and forget every pinned fragment."""
+    """Unpersist and forget every pinned fragment (and the skew-probe
+    memos that share the same immutable-snapshot assumption)."""
     for df in _FRAGMENTS.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _FRAGMENTS.clear()
+    from ..functions.skew import clear_hot_key_cache
+
+    clear_hot_key_cache()
