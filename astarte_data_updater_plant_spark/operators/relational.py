@@ -1106,3 +1106,460 @@ def q171_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — min-cost supplier per part (TPC-H Q2 shape, lineitem as supply)
+# ---------------------------------------------------------------------------
+
+#: Q2 adaptation: the schema has no partsupp table, so the supply
+#: relation is the observed (supplier, part) offers in lineitem, with
+#: unit cost in exact cents: (extendedprice * 100) DIV quantity —
+#: integer division is truncation on both engines for positive values.
+_Q172_COST = f"CAST(CAST(l_extendedprice AS {_M}) * 100 AS BIGINT) // CAST(l_quantity AS BIGINT)"
+
+
+@register(
+    "q172_min_cost_supplier",
+    f"""
+    WITH eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN({_Q172_COST}) AS cost_c2
+      FROM lineitem l JOIN eur ON eur.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, cost_c2,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY cost_c2, l_suppkey) AS rn
+      FROM offers
+    )
+    SELECT p.p_partkey, p.p_type, b.cost_c2,
+           e.s_suppkey AS suppkey, e.s_name AS supp_name,
+           e.n_name AS nation, e.s_acctbal AS acctbal
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN eur e ON e.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1 AND p.p_size >= 30 AND p.p_type = 'STANDARD'
+    ORDER BY acctbal DESC, p_partkey
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part), re-expressed for "
+    "a schema without partsupp: the supply relation is the observed "
+    "(supplier, part) offers in lineitem, the EUROPE supplier dim "
+    "broadcasts, per-pair min unit cost is one keyed aggregate, and "
+    "the classic correlated MIN subquery becomes a per-part keyed "
+    "window (rank 1 on cost, suppkey tie-break). Unit cost is exact "
+    "integer cents (DECIMAL*100 then integer division — truncation "
+    "identical on both engines), so the argmin is bit-deterministic. "
+    "Plan: one fact shuffle on (part, supp), one keyed window on "
+    "part, broadcast dims everywhere else.",
+)
+def q172_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 30) & (F.col("p_type") == "STANDARD")
+    )
+    eur = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.expr(
+                    f"CAST(CAST(l_extendedprice AS {_M}) * 100 AS BIGINT)"
+                    " DIV CAST(l_quantity AS BIGINT)"
+                )
+            ).alias("cost_c2")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_c2", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur), best.l_suppkey == eur.s_suppkey)
+        .select(
+            "p_partkey", "p_type", "cost_c2",
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        .orderBy(F.col("acctbal").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — national market share within a region (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "ECONOMY"
+
+
+@register(
+    "q173_market_share",
+    f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(l.l_extendedprice AS {_M})
+               * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                         ELSE CAST(0 AS DECIMAL(20,8)) END) AS DECIMAL(38,6))
+                AS DOUBLE) AS nation_volume,
+           CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume,
+           CAST(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                         ELSE CAST(0 AS DECIMAL(20,8)) END) AS DECIMAL(38,6))
+                AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): the 8-way star join — "
+    "fact x orders shuffle join, every dimension broadcast, nation "
+    "joined TWICE under different roles (customer market vs supplier "
+    "origin) — then a per-year conditional exact-decimal aggregate; "
+    "the share divides the two snapped doubles once, so it is "
+    "engine-identical. The market filter (region + product type) "
+    "prunes before the fact join; Catalyst pushes both predicates "
+    "into the broadcast dims.",
+)
+def q173_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - drate("l_discount")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            volume.alias("volume"),
+        )
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == _Q8_NATION, F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(20,8)"))
+    out = rev.groupBy("o_year").agg(
+        dsum_expr(nation_vol, "nation_volume"),
+        dsum_expr(F.col("volume"), "total_volume"),
+    )
+    return out.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# q174 — product profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+#: no partsupp table -> supply cost is modeled as a fixed fraction of
+#: the part's retail price (5%), keeping Q9's mixed-factor arithmetic
+#: and join topology intact
+_Q9_COST_FRAC = "0.05"
+
+
+@register(
+    "q174_product_profit",
+    f"""
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l.l_extendedprice AS {_M})
+               * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R}))
+             - CAST(l.l_quantity AS {_R})
+               * CAST(p.p_retailprice AS {_M})
+               * CAST({_Q9_COST_FRAC} AS {_R})
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product profit by supplier nation and year), "
+    "adapted to a schema without partsupp: supply cost is a fixed "
+    "fraction of p_retailprice, preserving the revenue-minus-cost "
+    "mixed-decimal expression (money*rate minus rate*money*rate — the "
+    "documented exact-decimal widths, snapped once at the end). Plan: "
+    "the p_name LIKE filter prunes the broadcast part dim before the "
+    "fact join, supplier/nation broadcast, one groupBy shuffle with "
+    "map-side partial aggregation.",
+)
+def q174_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - drate("l_discount")
+    ) - drate("l_quantity") * dmoney("p_retailprice") * F.lit(0.05).cast(
+        "decimal(8,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum_expr(amount, "profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — small-quantity order revenue (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_small_qty_revenue",
+    f"""
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             CAST(COUNT(*) AS BIGINT) AS qty_cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_small,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M})) AS DECIMAL(38,6))
+           AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg  ON pavg.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND p.p_type = 'SMALL'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pavg.qty_cnt < pavg.qty_sum
+    """,
+    doc="TPC-H Q17 shape (revenue from small-quantity orders): the "
+    "correlated 0.2*AVG(quantity) subquery becomes a per-part "
+    "aggregate joined back to the fact, and the fractional threshold "
+    "is CROSS-MULTIPLIED into pure integer arithmetic "
+    "(5*qty*cnt < sum <=> qty < 0.2*sum/cnt) so the cut is "
+    "bit-deterministic on both engines — no float division anywhere "
+    "near the predicate. Plan: two passes over lineitem sharing the "
+    "l_partkey partitioning (aggregate, then join), brand/type "
+    "filters pruning the broadcast part dim.",
+)
+def q175_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
+    )
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pavg, li.l_partkey == F.col("pk"))
+        .filter(
+            5 * F.col("l_quantity").cast("bigint") * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            (dsum("l_extendedprice", "rev") / F.lit(7.0)).alias("avg_yearly"),
+        )
+        .select("n_small", "avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — suppliers with excess share of a forecast part (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q176_excess_stock_suppliers",
+    """
+    WITH fparts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+    ),
+    shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+      FROM lineitem l
+      JOIN fparts fp ON fp.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    totals AS (
+      SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+      FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s JOIN totals t ON t.l_partkey = s.l_partkey
+      WHERE 2 * s.pair_qty > t.part_qty
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q20 shape (suppliers holding excess stock of forecast "
+    "parts), adapted without partsupp: 'stock share' is the supplier's "
+    "shipped share of each forecast part in the window, and the 50% "
+    "threshold is cross-multiplied to integers (2*pair_qty > part_qty) "
+    "so the cut is exact. The nested-subquery chain becomes two "
+    "stacked aggregates REUSING one (part, supp) partitioning, then a "
+    "left-semi join into the region-filtered supplier dim — the "
+    "classic EXISTS-to-semi-join rewrite Catalyst would emit for the "
+    "original nested form.",
+)
+def q176_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    fparts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    shipped = (
+        li.join(F.broadcast(fparts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("pair_qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    dominant = (
+        shipped.join(totals, shipped.l_partkey == F.col("tk"))
+        .filter(2 * F.col("pair_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — top customers by returned-item revenue (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q177_returned_item_customers",
+    f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           n.n_name AS nation, c.c_acctbal AS acctbal,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS {_M})
+                * (CAST(1 AS {_R}) - CAST(l.l_discount AS {_R})))
+                AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY custkey, cust_name, nation, acctbal
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (top customers by revenue lost to returns): "
+    "the returnflag filter pushes into the lineitem scan and the "
+    "order-date window into the orders scan BEFORE the fact-fact "
+    "shuffle join; customer and nation broadcast; revenue is the "
+    "exact-decimal discounted sum so the top-20 cut (revenue desc, "
+    "custkey tie-break — a total order) is bit-deterministic. The "
+    "LIMIT compiles to TakeOrdered, never a global sort.",
+)
+def q177_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - drate("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(dsum_expr(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )

@@ -1429,3 +1429,198 @@ def q163_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — bigram-LM perplexity filter (the CCNet LM-filter shape)
+# ---------------------------------------------------------------------------
+
+#: per-doc bigram list as a pure array expression (no explode until the
+#: scoring join): tokens i and i+1 concatenated, 1-indexed element_at
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+    " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+)
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(ts), 1)),"
+    " i -> ts[i] || ' ' || ts[i + 1])"
+)
+
+
+@register(
+    "q178_bigram_lm_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    train_bg AS (
+      SELECT unnest({_BIGRAMS_SQL}) AS bg
+      FROM toks WHERE doc_id % 2 = 0
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS bc FROM train_bg GROUP BY bg),
+    uc AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(COUNT(*) AS BIGINT) AS uc
+      FROM train_bg GROUP BY 1
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 2 = 0) u
+    ),
+    test_bg AS (
+      SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg
+      FROM toks WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(ln(CAST(COALESCE(u.uc, 0) + v.vsz AS DOUBLE)
+                            / (COALESCE(b.bc, 0) + 1)) * 1000000) AS BIGINT)
+               AS nll_e6
+      FROM test_bg t
+      LEFT JOIN bc b ON b.bg = t.bg
+      LEFT JOIN uc u ON u.w1 = string_split(t.bg, ' ')[1]
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS nll_e6,
+           CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS mean_nll_e6
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Bigram language-model perplexity filter — the CCNet/CC-Net "
+    "LM-quality gate: a bigram model with add-one smoothing trains on "
+    "the even-doc_id half of the corpus (counts = two keyed "
+    "aggregates; per-doc bigrams are a pure array transform, no "
+    "explode until scoring) and scores the odd half, p(w2|w1) = "
+    "(c(w1 w2)+1)/(c(w1 .)+V). Each bigram's negative log-prob is "
+    "ln of an integer ratio — identical doubles on both engines — "
+    "floored to 1e-6 fixed point, so the per-document sum is exact "
+    "integer arithmetic under any aggregation order and the "
+    "mean-NLL routing key (high = gibberish, low = fluent) is "
+    "bit-deterministic. Scoring joins are keyed equi-joins against "
+    "the count tables (corpus-sized vocabularies never broadcast); "
+    "V joins as a broadcast scalar.",
+)
+def q178_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    train_bg = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    )
+    bc = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    uc = (
+        train_bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    v = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ts").alias("t"))
+        .agg(F.countDistinct("t").alias("vsz"))
+    )
+    test_bg = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+    )
+    scored = (
+        test_bg.join(bc, "bg", "left")
+        .join(uc, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("uc"), F.lit(0)) + F.col("vsz")).cast(
+                        "double"
+                    )
+                    / (F.coalesce(F.col("bc"), F.lit(0)) + 1)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_e6").cast("long").alias("nll_e6"),
+            F.expr("CAST(SUM(nll_e6) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_nll_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — exact phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+
+#: the fixed 3-token query phrase (mid-frequency words of the corpus)
+PHRASE = ("merge", "slow", "join")
+
+
+@register(
+    "q179_phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, i AS pos, ts[i] AS tok
+      FROM toks, UNNEST(range(1, len(ts) + 1)) AS t(i)
+      WHERE ts[i] IN ('{PHRASE[0]}', '{PHRASE[1]}', '{PHRASE[2]}')
+    )
+    SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+    FROM postings p0
+    JOIN postings p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                    AND p1.tok = '{PHRASE[1]}'
+    JOIN postings p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+                    AND p2.tok = '{PHRASE[2]}'
+    WHERE p0.tok = '{PHRASE[0]}'
+    GROUP BY p0.doc_id
+    ORDER BY p0.doc_id
+    """,
+    doc="Exact phrase search via a positional inverted index — the "
+    "retrieval primitive BM25 (q140) cannot express: postings are "
+    "(doc, position, token) rows PRUNED to the phrase's tokens at the "
+    "scan (the IN filter pushes down, so the index touches ~3 terms' "
+    "postings however big the corpus), and adjacency is two keyed "
+    "self-joins on (doc, pos+k) — the standard positional-intersection "
+    "plan of a search engine, as shuffle-partitioned equi-joins. "
+    "Output pins match counts and first positions per document, so a "
+    "lost or off-by-one position breaks the hash.",
+)
+def q179_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok").isin(*PHRASE))
+    )
+    p0 = postings.filter(F.col("tok") == PHRASE[0]).select("doc_id", "pos")
+    p1 = postings.filter(F.col("tok") == PHRASE[1]).select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("pos1")
+    )
+    p2 = postings.filter(F.col("tok") == PHRASE[2]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    return (
+        p0.join(p1, (p0.doc_id == F.col("d1")) & (F.col("pos1") == p0.pos + 1))
+        .join(p2, (p0.doc_id == F.col("d2")) & (F.col("pos2") == p0.pos + 2))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -880,3 +880,133 @@ def q162_device_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q180 — LTTB downsampling (largest-triangle-three-buckets, parallel form)
+# ---------------------------------------------------------------------------
+
+#: buckets per device series (dashboard pixel budget)
+LTTB_B = 12
+
+
+@register(
+    "q180_lttb_downsample",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST((epoch_us(ts) - MIN(epoch_us(ts))
+                     OVER (PARTITION BY user_id)) // 1000000 AS BIGINT) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             CAST(NTILE({LTTB_B}) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS BIGINT)
+               AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    ),
+    bstats AS (
+      SELECT user_id, bucket,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM base GROUP BY user_id, bucket
+    ),
+    mid AS (
+      SELECT b.user_id, b.bucket, b.event_id, b.x, b.y,
+             abs((p.sx * n.c - n.sx * p.c) * (CAST(b.y AS HUGEINT) * p.c - p.sy)
+                 - (p.sx - CAST(b.x AS HUGEINT) * p.c) * (p.sy * n.c - n.sy * p.c))
+               AS area2
+      FROM base b
+      JOIN bstats p ON p.user_id = b.user_id AND p.bucket = b.bucket - 1
+      JOIN bstats n ON n.user_id = b.user_id AND n.bucket = b.bucket + 1
+    ),
+    picked AS (
+      SELECT user_id, bucket, event_id, x, y,
+             CAST(area2 AS DECIMAL(38,0)) AS area2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                      ORDER BY area2 DESC, event_id) AS arn FROM mid) t
+      WHERE arn = 1
+      UNION ALL
+      SELECT user_id, bucket, event_id, x, y, CAST(0 AS DECIMAL(38,0))
+      FROM base WHERE rn = 1 OR rn = cnt
+    )
+    SELECT user_id, bucket, event_id, x, y, area2
+    FROM picked ORDER BY user_id, bucket, event_id
+    """,
+    doc="LTTB (largest-triangle-three-buckets) downsampling per device "
+    "series, in its parallel form: classic LTTB anchors each bucket's "
+    "triangle on the PREVIOUS SELECTED point (a sequential chain); "
+    "the standard parallel variant anchors on the neighbor buckets' "
+    "AVERAGES instead, making every bucket's argmax independent — the "
+    "shape a 1000-executor dashboard pipeline actually ships. All "
+    "geometry is EXACT integer arithmetic: x is centered seconds, y "
+    "snaps to 1e-2, and the triangle area is cross-multiplied by the "
+    "neighbor-bucket counts (argmax invariant, denominators positive) "
+    "into int128 (HUGEINT / DECIMAL(38,0)) so the winning point is "
+    "bit-deterministic — no float area near the argmax. First/last "
+    "rows of each series are pinned like classic LTTB's endpoints. "
+    "Everything is keyed windows and keyed joins on (device, bucket); "
+    "nothing single-partition.",
+)
+def q180_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(
+            (ts_micros("ts") - F.min(ts_micros("ts")).over(wd)) / 1000000
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.ntile(LTTB_B).over(wo).cast("long").alias("bucket"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("cnt"),
+    )
+    d38 = "decimal(38,0)"
+    bstats = base.groupBy("user_id", "bucket").agg(
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.count(F.lit(1)).cast(d38).alias("c"),
+    )
+    p = bstats.select(
+        F.col("user_id").alias("pu"), F.col("bucket").alias("pb"),
+        F.col("sx").alias("psx"), F.col("sy").alias("psy"), F.col("c").alias("pc"),
+    )
+    n = bstats.select(
+        F.col("user_id").alias("nu"), F.col("bucket").alias("nb"),
+        F.col("sx").alias("nsx"), F.col("sy").alias("nsy"), F.col("c").alias("nc"),
+    )
+    yd = F.col("y").cast(d38)
+    xd = F.col("x").cast(d38)
+    area2 = F.abs(
+        (F.col("psx") * F.col("nc") - F.col("nsx") * F.col("pc"))
+        * (yd * F.col("pc") - F.col("psy"))
+        - (F.col("psx") - xd * F.col("pc"))
+        * (F.col("psy") * F.col("nc") - F.col("nsy") * F.col("pc"))
+    ).cast(d38)
+    mid = (
+        base.join(
+            p, (base.user_id == F.col("pu")) & (F.col("pb") == base.bucket - 1)
+        )
+        .join(n, (base.user_id == F.col("nu")) & (F.col("nb") == base.bucket + 1))
+        .select("user_id", "bucket", "event_id", "x", "y", area2.alias("area2"))
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area2").desc(), "event_id"
+    )
+    picked_mid = (
+        mid.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    endpoints = base.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("cnt"))
+    ).select(
+        "user_id", "bucket", "event_id", "x", "y",
+        F.lit(0).cast(d38).alias("area2"),
+    )
+    return picked_mid.unionByName(endpoints).orderBy(
+        "user_id", "bucket", "event_id"
+    )
