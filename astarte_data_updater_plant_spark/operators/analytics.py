@@ -1485,3 +1485,86 @@ def q167_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1.alias("rate1"),
         F.floor(z * 1000000000).cast("long").alias("z_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — K-fold target encoding (leakage-safe categorical feature)
+# ---------------------------------------------------------------------------
+
+#: folds for the out-of-fold encoding
+TE_FOLDS = 5
+
+
+@register(
+    "q181_target_encoding",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(user_id % {TE_FOLDS} AS BIGINT) AS fold,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    per_cat AS (
+      SELECT event_type, CAST(SUM(y) AS BIGINT) AS cat_sum,
+             CAST(COUNT(*) AS BIGINT) AS cat_cnt
+      FROM base GROUP BY event_type
+    ),
+    per_fold AS (
+      SELECT event_type, fold, CAST(SUM(y) AS BIGINT) AS fold_sum,
+             CAST(COUNT(*) AS BIGINT) AS fold_cnt
+      FROM base GROUP BY event_type, fold
+    )
+    SELECT f.event_type, f.fold,
+           f.fold_cnt AS n_in_fold,
+           CAST(c.cat_cnt - f.fold_cnt AS BIGINT) AS n_out_of_fold,
+           CAST(c.cat_sum - f.fold_sum AS BIGINT) AS enc_num,
+           CAST(c.cat_sum - f.fold_sum AS DOUBLE)
+             / (c.cat_cnt - f.fold_cnt) / 100.0 AS encoding
+    FROM per_fold f JOIN per_cat c USING (event_type)
+    ORDER BY event_type, fold
+    """,
+    doc="K-fold target encoding, the leakage-safe form: each fold's "
+    "encoding for a category is the mean target over the OTHER folds "
+    "(subtracting the fold's own sums from the category totals), so "
+    "no row's label influences its own feature — the difference "
+    "between a usable feature and silent target leakage. Targets "
+    "snap to 1e-2 fixed point; numerators/denominators are exact "
+    "BIGINT differences of two keyed aggregates SHARING the "
+    "event_type partitioning, and the single double division is "
+    "engine-identical. At 100 TB this is two map-side-combined "
+    "aggregates and one broadcast-size join — per-category state, "
+    "never per-row.",
+)
+def q181_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % TE_FOLDS).cast("long").alias("fold"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    per_cat = base.groupBy("event_type").agg(
+        F.sum("y").alias("cat_sum"), F.count(F.lit(1)).alias("cat_cnt")
+    )
+    per_fold = base.groupBy("event_type", "fold").agg(
+        F.sum("y").alias("fold_sum"), F.count(F.lit(1)).alias("fold_cnt")
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            F.col("fold_cnt").cast("long").alias("n_in_fold"),
+            (F.col("cat_cnt") - F.col("fold_cnt"))
+            .cast("long")
+            .alias("n_out_of_fold"),
+            (F.col("cat_sum") - F.col("fold_sum"))
+            .cast("long")
+            .alias("enc_num"),
+            (
+                (F.col("cat_sum") - F.col("fold_sum")).cast("double")
+                / (F.col("cat_cnt") - F.col("fold_cnt"))
+                / 100.0
+            ).alias("encoding"),
+        )
+        .orderBy("event_type", "fold")
+    )

@@ -1802,3 +1802,90 @@ def s90_kafka_frame_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("device_id", "path", "value_timestamp")
+
+
+# ---------------------------------------------------------------------------
+# s91 — checkpoint recovery: stream stopped and RESTARTED mid-corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s91_checkpoint_restart",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' || event_type || '/value' AS path,
+           ts AS value_timestamp,
+           value AS double_value
+    FROM events
+    ORDER BY device_id, path, value_timestamp
+    """,
+    doc="Crash/redeploy recovery end-to-end: the ingest stream consumes "
+    "the first half of the time-sliced corpus, TERMINATES, and a brand "
+    "new query (fresh plan objects, same checkpoint) consumes the "
+    "rest. The second query must restore every device's GroupState "
+    "from the state store — introspections arrived only in the first "
+    "half, so second-half data messages materialize correctly ONLY if "
+    "state survived the restart — and the parquet sink's commit log "
+    "must keep the union exactly-once. The batch SQL oracle over the "
+    "whole corpus is the acceptance bar (mirrors the reference's "
+    "requeue-and-resume recovery, message_tracker/server.ex:128-159, "
+    "re-expressed as checkpoint + WAL + idempotent sink).",
+)
+def s91_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    from ..streaming.pipeline import MESSAGE_SCHEMA, run_stream
+
+    msgs = events_as_messages(spark, sf_dir)
+    staged = _time_sliced_files(msgs, "reception_timestamp", prefix="s91_staged_")
+    src_dir = scratch_dir(prefix="s91_src_")
+    out_dir = os.path.join(scratch_dir(prefix="s91_out_"), "data")
+    ckpt = scratch_dir(prefix="s91_ckpt_")
+    files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    half = len(files) // 2
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+
+    def run_once() -> None:
+        # fresh reader/plan objects each time: a restart, not a resume
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        ds = datastream_table(
+            run_stream(stream, interfaces=(telemetry_interface(),))
+        ).select("device_id", "path", "value_timestamp", "double_value")
+        q = (
+            ds.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    try:
+        for f in files[:half]:
+            shutil.move(f, os.path.join(src_dir, os.path.basename(f)))
+        run_once()  # first life: consumes the first half, then terminates
+        base = time.time()
+        for i, f in enumerate(files[half:]):
+            dst = os.path.join(src_dir, os.path.basename(f))
+            shutil.move(f, dst)
+            os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        run_once()  # second life: same checkpoint, restored device state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(out_dir)
+        .select("device_id", "path", "value_timestamp", "double_value")
+        .orderBy("device_id", "path", "value_timestamp")
+    )
