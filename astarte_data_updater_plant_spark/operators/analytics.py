@@ -1568,3 +1568,85 @@ def q181_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — compaction planning (small-file OPTIMIZE bin-packing)
+# ---------------------------------------------------------------------------
+
+#: target compacted file size (bytes) and the synthetic bytes-per-row of
+#: the manifest derived from the events layout
+COMPACT_TARGET = 1 << 16
+COMPACT_ROW_BYTES = 64
+
+
+@register(
+    "q182_compaction_plan",
+    f"""
+    WITH manifest AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id AS file_id,
+             CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM events GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT day, file_id, bytes,
+             COALESCE(SUM(bytes) OVER (PARTITION BY day
+               ORDER BY bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM manifest
+    ),
+    planned AS (
+      SELECT day, file_id, bytes,
+             CAST(cum_before // {COMPACT_TARGET} AS BIGINT) AS bin
+      FROM ordered
+    )
+    SELECT day, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_file,
+           CAST(MAX(bytes) AS BIGINT) AS max_file
+    FROM planned
+    GROUP BY day, bin
+    ORDER BY day, bin
+    """,
+    doc="Small-file compaction planning — the OPTIMIZE bin-packing step "
+    "of table maintenance: a per-(day, writer) file manifest is "
+    "derived from the events layout, and within each day files pack "
+    "into target-size rewrite bins by the greedy size-descending "
+    "cumulative rule real compactors use (sort desc, cut at target "
+    "boundaries — the exclusive prefix sum makes bin assignment a "
+    "pure integer division). Everything is keyed windows and "
+    "aggregates PER DAY — compaction of a 100 TB table parallelizes "
+    "over partition directories, and the plan (inputs per bin, bin "
+    "bytes) is exact integers, hash-tight.",
+)
+def q182_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("user_id").alias("file_id"),
+    ).agg((F.count(F.lit(1)) * COMPACT_ROW_BYTES).cast("long").alias("bytes"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = manifest.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / COMPACT_TARGET
+        ).cast("long"),
+    )
+    return (
+        planned.groupBy("day", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inputs"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("bytes").cast("long").alias("min_file"),
+            F.max("bytes").cast("long").alias("max_file"),
+        )
+        .orderBy("day", "bin")
+    )

@@ -2087,3 +2087,84 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den.cast("double")).alias("zipf_exponent"),
         "top_freq",
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — systematic (low-variance) importance resampling of the corpus
+# ---------------------------------------------------------------------------
+
+#: number of training samples drawn per epoch plan
+RS_N = 500
+
+
+@register(
+    "q183_systematic_resample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, weight,
+             COALESCE(SUM(weight) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM w
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS HUGEINT) AS wtot FROM w)
+    SELECT doc_id, weight,
+           CAST(
+             ((CAST(cum_before AS HUGEINT) + weight) * {RS_N} + wtot - 1) // wtot
+             - (CAST(cum_before AS HUGEINT) * {RS_N} + wtot - 1) // wtot
+             AS BIGINT) AS multiplicity
+    FROM c, tot
+    WHERE ((CAST(cum_before AS HUGEINT) + weight) * {RS_N} + wtot - 1) // wtot
+          - (CAST(cum_before AS HUGEINT) * {RS_N} + wtot - 1) // wtot > 0
+    ORDER BY doc_id
+    """,
+    doc="Systematic (low-variance) resampling of the corpus by token "
+    "mass — the epoch sampling plan that draws exactly N examples "
+    "with P(doc) proportional to its weight and at most +/-1 "
+    "dispersion per doc (particle-filter systematic resampling, vs "
+    "q142's independent draws): lay every document's weight on a "
+    "cumulative axis via the range-partitioned two-phase prefix sum "
+    "(functions/ranks.py — no single-partition window), then each "
+    "doc's multiplicity is a closed-form count of the N evenly-spaced "
+    "picks falling in its interval — two integer ceil-divisions in "
+    "int128 (HUGEINT / DECIMAL(38,0)), no randomness, bit-exact, and "
+    "sum(multiplicity) == N by construction (pinned by an invariant "
+    "test).",
+)
+def q183_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("weight")
+    )
+    c = with_global_order(
+        w, ["doc_id"], cumsums=[("weight", "cum_before", "exclusive")]
+    )
+    tot = w.agg(F.sum("weight").cast("decimal(38,0)").alias("wtot"))
+    d38 = "decimal(38,0)"
+    cum = F.col("cum_before").cast(d38)
+    wt = F.col("weight").cast(d38)
+    n = F.lit(RS_N).cast(d38)
+
+    def floordiv(a, b):
+        # exact floor(a/b) for non-negative decimals: Spark's decimal
+        # division rounds HALF_UP at the result scale, so a true
+        # quotient epsilon-under an integer can round up (and vice
+        # versa); one multiplication-checked correction step in exact
+        # decimal arithmetic pins the true floor
+        q = F.floor(a / b).cast(d38)
+        q = F.when((q + 1) * b <= a, q + 1).otherwise(q)
+        return F.when(q * b > a, q - 1).otherwise(q)
+
+    hi = floordiv((cum + wt) * n + F.col("wtot") - 1, F.col("wtot")).cast("long")
+    lo = floordiv(cum * n + F.col("wtot") - 1, F.col("wtot")).cast("long")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("doc_id", "weight", (hi - lo).alias("multiplicity"))
+        .filter(F.col("multiplicity") > 0)
+        .orderBy("doc_id")
+    )

@@ -1889,3 +1889,105 @@ def s91_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("device_id", "path", "value_timestamp", "double_value")
         .orderBy("device_id", "path", "value_timestamp")
     )
+
+
+# ---------------------------------------------------------------------------
+# s92 — stream-static join with the static dim UPDATED between batches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s92_dim_refresh_join",
+    """
+    WITH sliced AS (
+      SELECT event_id, event_type, ts,
+             NTILE(3) OVER (ORDER BY ts, event_id) - 1 AS slice
+      FROM events
+    )
+    SELECT event_id,
+           event_type || '#v' || CAST(slice + 1 AS VARCHAR) AS label
+    FROM sliced
+    ORDER BY event_id
+    """,
+    doc="The per-batch dimension-refresh guarantee made driver-checkable "
+    "(SURVEY §4: the reference's 10-min interface-cache TTL, "
+    "impl.ex:47,1213-1229, is subsumed by re-resolving dims per "
+    "micro-batch): a foreachBatch sink re-reads the dimension table "
+    "ON EVERY BATCH and afterwards publishes version N+1 of it, so "
+    "batch k's events MUST join version k+1's labels — any caching of "
+    "the static side across batches (or a stale snapshot read) breaks "
+    "the oracle, which states the slice->version mapping exactly. "
+    "Three time-ordered slices via the two-phase NTILE, one file per "
+    "micro-batch.",
+)
+def s92_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    sliced = with_global_order(
+        ev, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
+    src_dir = scratch_dir(prefix="s92_src_")
+    base = time.time()
+    stage_root = scratch_dir(prefix="s92_stage_")
+    for i in range(3):
+        stage = os.path.join(stage_root, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+
+    # version 1 of the dimension: event_type -> 'type#v1'
+    dim_dir = scratch_dir(prefix="s92_dim_")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+
+    def write_dim(version: int) -> None:
+        spark.createDataFrame(
+            [(t, f"{t}#v{version}") for t in sorted(types)],
+            "event_type string, label string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    write_dim(1)
+    out_rows: list = []
+
+    def sink(batch, epoch_id: int) -> None:
+        # re-read the CURRENT dim snapshot — the per-batch refresh that
+        # subsumes the reference's cache TTL — then publish the next
+        # version for the following batch
+        dim = spark.read.parquet(dim_dir)
+        rows = (
+            batch.join(F.broadcast(dim), "event_type")
+            .select("event_id", "label")
+            .collect()
+        )
+        out_rows.extend((int(r["event_id"]), r["label"]) for r in rows)
+        write_dim(int(epoch_id) + 2)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", scratch_dir(prefix="s92_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        sorted(out_rows), "event_id long, label string"
+    ).orderBy("event_id")

@@ -174,3 +174,22 @@ def test_regression_sums_survive_large_vocabulary(spark):
     assert int(row["num"]) == n * sxy - sx * sy
     assert int(row["den"]) == n * sxx - sx * sx
     assert int(row["sxy"]) == sxy
+
+
+def test_systematic_resample_draws_exactly_n(spark, qs):
+    """q183: sum(multiplicity) must equal RS_N exactly (the systematic
+    sampler's defining property) and every doc's multiplicity must be
+    within +/-1 of its expected count n*w/W."""
+    from astarte_data_updater_plant_spark.operators.corpus import RS_N
+
+    rows = qs["q183_systematic_resample"](spark, SF_DIR).collect()
+    assert sum(r["multiplicity"] for r in rows) == RS_N
+    total_w = None
+    import duckdb
+
+    (total_w,) = duckdb.sql(
+        f"SELECT SUM(len(string_split(text, ' '))) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
+    for r in rows:
+        expected = RS_N * r["weight"] / total_w
+        assert abs(r["multiplicity"] - expected) <= 1.0
