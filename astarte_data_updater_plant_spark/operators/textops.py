@@ -1624,3 +1624,97 @@ def q179_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — PMI collocations (statistically bound token pairs)
+# ---------------------------------------------------------------------------
+
+#: minimum bigram support for a collocation candidate
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "q184_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT unnest({_BIGRAMS_SQL}) AS bg FROM toks
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY bg),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(ts) AS tok FROM toks) u GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM bc
+    ),
+    scored AS (
+      SELECT b.bg, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+             CAST(floor((ln(CAST(b.n_ab AS DOUBLE)) + ln(CAST(t.n_total AS DOUBLE))
+                         - ln(CAST(ua.n AS DOUBLE)) - ln(CAST(ub.n AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS pmi_e6
+      FROM bc b
+      JOIN uni ua ON ua.tok = string_split(b.bg, ' ')[1]
+      JOIN uni ub ON ub.tok = string_split(b.bg, ' ')[2]
+      CROSS JOIN tot t
+      WHERE b.n_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT bg, n_ab, n_a, n_b, pmi_e6
+    FROM scored
+    ORDER BY pmi_e6 DESC, bg
+    LIMIT {PMI_TOPK}
+    """,
+    doc="PMI collocation mining — the statistically-bound token pairs a "
+    "tokenizer should merge and a phrase index should key: PMI = "
+    "ln(c(ab)*N / (c(a)*c(b))) computed as a SUM OF FOUR LOGS of "
+    "exact integer counts (the identical double expression on both "
+    "engines — no integer product that could overflow at corpus "
+    "scale), floored to 1e-6 fixed point so the top-k cut "
+    "(pmi desc, bigram tie-break) is bit-deterministic. Marginals "
+    "and bigram counts are keyed aggregates; the scoring joins are "
+    "keyed equi-joins against the unigram table (corpus vocabularies "
+    "never broadcast); the LIMIT compiles to TakeOrdered.",
+)
+def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    bg = toks.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = bc.agg(F.sum("n_ab").alias("n_total"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    pmi = (
+        F.floor(
+            (
+                F.log(F.col("n_ab").cast("double"))
+                + F.log(F.col("n_total").cast("double"))
+                - F.log(F.col("n_a").cast("double"))
+                - F.log(F.col("n_b").cast("double"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("pmi_e6")
+    )
+    return (
+        bc.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", F.col("n_ab").cast("long").alias("n_ab"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"), pmi)
+        .orderBy(F.col("pmi_e6").desc(), "bg")
+        .limit(PMI_TOPK)
+    )
