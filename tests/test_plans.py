@@ -189,7 +189,7 @@ PLAN_BUDGETS = {
     "q123_packing_efficiency": (10, 2, 0, 1),
     "q124_promo_revenue": (2, 1, 0, 0),
     "q125_or_predicate_revenue": (2, 1, 0, 0),
-    "q126_curriculum_tiers": (8, 5, 0, 2),
+    "q126_curriculum_tiers": (6, 3, 0, 2),
     "q127_column_profile": (2, 0, 0, 0),
     "q128_minhash_estimate_error": (6, 5, 0, 0),
     "q129_token_cooccurrence": (14, 5, 0, 1),
@@ -245,7 +245,7 @@ PLAN_BUDGETS = {
     # nested loops = broadcast probe-base / 1-row stats cross joins
     "q165_bloom_fpr": (10, 1, 0, 3),
     # nested loop = broadcast 1-row calibration-quantile cross join
-    "q166_conformal_coverage": (9, 7, 0, 2),
+    "q166_conformal_coverage": (5, 4, 0, 2),
     "q167_ab_test": (3, 0, 0, 0),
     # nested loop = broadcast 1-row loss-stats cross join
     "q168_logreg_gd": (3, 0, 0, 1),
