@@ -2168,3 +2168,94 @@ def q183_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("multiplicity") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — classifier calibration (reliability bins + Brier score)
+# ---------------------------------------------------------------------------
+
+#: reliability-diagram bins over [0, 1)
+CAL_BINS = 10
+
+
+@register(
+    "q186_calibration_bins",
+    f"""
+    WITH scored AS (
+      SELECT d.doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-q.score))) AS BIGINT) AS p_e6,
+             CASE WHEN d.n_chars >= {PRF_TRUTH_MIN_CHARS}
+                  THEN 1000000 ELSE 0 END AS y_e6
+      FROM documents d JOIN ({_Q114_SQL}) q USING (doc_id)
+    ),
+    binned AS (
+      SELECT least(p_e6 // {1000000 // CAL_BINS}, {CAL_BINS - 1}) AS bin,
+             p_e6, y_e6,
+             CAST(p_e6 - y_e6 AS HUGEINT) * (p_e6 - y_e6) AS brier_term
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(p_e6) AS BIGINT) AS sum_p_e6,
+           CAST(SUM(brier_term) AS DECIMAL(38,0)) AS brier_e12,
+           CAST(SUM(p_e6) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_p,
+           CAST(SUM(CASE WHEN y_e6 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_pos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Classifier calibration — the reliability diagram plus Brier "
+    "score the eval loop checks before trusting q114's scores as "
+    "probabilities: scores map through the logistic (identical double "
+    "exp/divide on both engines) and floor to 1e-6 fixed point, so "
+    "bin assignment, per-bin probability mass, and every "
+    "(p - y)^2 Brier term are EXACT integers (terms reach 1e12, so "
+    "the sums ride int128 / DECIMAL(38,0)); mean_p vs frac_pos per "
+    "bin IS the calibration curve, each a single division of exact "
+    "sums. One scan of scores joined to truth, one 10-row aggregate — "
+    "linear at any scale.",
+)
+def q186_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored_base = q114_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p_e6 = F.floor(
+        F.lit(1000000.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    ).cast("long")
+    y_e6 = F.when(
+        F.col("n_chars") >= PRF_TRUTH_MIN_CHARS, F.lit(1000000)
+    ).otherwise(F.lit(0))
+    binned = docs.join(scored_base, "doc_id").select(
+        p_e6.alias("p_e6"), y_e6.alias("y_e6")
+    ).select(
+        F.least(
+            F.floor(F.col("p_e6") / (1000000 // CAL_BINS)),
+            F.lit(CAL_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "p_e6",
+        "y_e6",
+        (
+            (F.col("p_e6") - F.col("y_e6")).cast("decimal(38,0)")
+            * (F.col("p_e6") - F.col("y_e6"))
+        ).alias("brier_term"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("y_e6") > 0).cast("int")).cast("long").alias("n_pos"),
+            F.sum("p_e6").cast("long").alias("sum_p_e6"),
+            F.sum("brier_term").cast("decimal(38,0)").alias("brier_e12"),
+            (
+                F.sum("p_e6").cast("double") / F.count(F.lit(1)) / 1000000.0
+            ).alias("mean_p"),
+            (
+                F.sum((F.col("y_e6") > 0).cast("int")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

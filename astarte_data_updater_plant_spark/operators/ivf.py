@@ -848,3 +848,104 @@ def q119_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — nearest-prototype classification (class centroids as a model)
+# ---------------------------------------------------------------------------
+
+_COS_PV = (
+    "round(list_dot_product(CAST(embedding AS DOUBLE[]), pv)"
+    " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    "         CAST(embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(pv, pv))), 6)"
+)
+
+
+@register(
+    "q185_prototype_classifier",
+    f"""
+    WITH comp AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(round(embedding[i] * {KM_SNAP}) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    protos AS (
+      SELECT label AS proto_label,
+             list((CAST(s AS DOUBLE) / c) / {KM_SNAP} ORDER BY pos) AS pv
+      FROM comp GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, p.proto_label,
+             {_COS_PV} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_COS_PV} DESC, p.proto_label) AS rn
+      FROM embeddings e CROSS JOIN protos p
+    )
+    SELECT true_label, proto_label AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM scored WHERE rn = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+    doc="Nearest-class-prototype classification — the cheapest useful "
+    "embedding model (class centroids as prototypes, cosine argmax "
+    "assignment) and the standard probe for 'are these embeddings "
+    "linearly separable by class': prototypes use the k-means exact "
+    "discipline (components snapped to 1e-6 LONGs, exact sums, one "
+    "double division) so both engines hold the IDENTICAL 10x64 "
+    "codebook; assignment is a broadcast cross join + per-vector "
+    "keyed argmax on cosine rounded to 6 digits (label tie-break), "
+    "and the output confusion matrix carries exact counts (similarity "
+    "mass is deliberately NOT summed: re-rounding a 6-digit-rounded "
+    "double amplifies sub-ulp engine divergence — the q114 "
+    "never-round-a-derived-double rule). At 100 TB the prototype table stays "
+    "K x dim regardless of corpus size — the same bounded-state shape "
+    "as the IVF codebook.",
+)
+def q185_prototype_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
+    )
+    comp = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .withColumn("sval", F.round(F.col("val") * KM_SNAP).cast("long"))
+        .groupBy("label", "pos")
+        .agg(
+            ((F.sum("sval").cast("double") / F.count(F.lit(1))) / F.lit(KM_SNAP)).alias(
+                "cval"
+            )
+        )
+    )
+    rows = (
+        comp.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("pv")
+        )
+        .collect()
+    )
+    protos = spark.createDataFrame(
+        [(int(r["label"]), list(r["pv"])) for r in rows],
+        "proto_label int, pv array<double>",
+    )
+    sim = cosine(F.col("v"), F.col("pv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "proto_label")
+    scored = (
+        emb.crossJoin(F.broadcast(protos))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        scored.groupBy(
+            F.col("label").alias("true_label"),
+            F.col("proto_label").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
