@@ -193,3 +193,78 @@ def test_systematic_resample_draws_exactly_n(spark, qs):
     for r in rows:
         expected = RS_N * r["weight"] / total_w
         assert abs(r["multiplicity"] - expected) <= 1.0
+
+
+def test_with_global_order_matches_window_semantics(spark):
+    """functions/ranks.with_global_order must equal the single-partition
+    window functions it replaces — across skewed, tiny, desc, and
+    n<buckets inputs (the shapes that broke earlier designs)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from astarte_data_updater_plant_spark.functions.ranks import (
+        with_global_order,
+    )
+
+    def dataset(kind):
+        if kind == "uniform":
+            return spark.range(5000).select(
+                F.col("id"), F.xxhash64("id").alias("k")
+            )
+        if kind == "skewed":  # 60% of rows share one key prefix
+            return spark.range(5000).select(
+                F.col("id"),
+                F.when(F.col("id") % 5 < 3, F.lit(7))
+                .otherwise(F.col("id"))
+                .alias("k"),
+            )
+        if kind == "tiny":
+            return spark.range(3).select(F.col("id"), F.col("id").alias("k"))
+        return spark.range(40).select(  # fewer rows than buckets
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+
+    for kind in ("uniform", "skewed", "tiny", "small"):
+        df = dataset(kind)
+        got = with_global_order(
+            df, ["k", "id"], rank="rn", total="n",
+            ntile=(32, "t"),
+            cumsums=[("id", "cs", "inclusive"), ("id", "cse", "exclusive")],
+        ).orderBy("rn").collect()
+        wo = W.orderBy("k", "id")
+        run = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        exp = (
+            df.select(
+                "id", "k",
+                F.row_number().over(wo).alias("rn"),
+                F.count(F.lit(1)).over(
+                    wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+                ).alias("n"),
+                F.ntile(32).over(wo).alias("t"),
+                F.sum("id").over(run).alias("cs"),
+            )
+            .orderBy("rn")
+            .collect()
+        )
+        assert len(got) == len(exp), kind
+        for g, e in zip(got, exp):
+            assert (g["id"], g["rn"], g["n"], g["t"], g["cs"]) == (
+                e["id"], e["rn"], e["n"], e["t"], e["cs"]
+            ), (kind, g, e)
+            assert g["cse"] == e["cs"] - e["id"], (kind, g)
+
+    # desc ordering equals the window's desc ordering
+    df = dataset("uniform")
+    got = (
+        with_global_order(df, [(F.col("k"), "desc"), "id"], rank="rn")
+        .orderBy("rn")
+        .collect()
+    )
+    exp = (
+        df.select(
+            "id", F.row_number().over(W.orderBy(F.col("k").desc(), "id")).alias("rn")
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    assert [g["id"] for g in got] == [e["id"] for e in exp]
