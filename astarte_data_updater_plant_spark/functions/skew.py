@@ -79,6 +79,8 @@ def guarded_self_pairs(
     cap: int = SELF_PAIR_BUCKET_CAP,
     n_salts: int = DEFAULT_SALT,
     probe_key: str | None = None,
+    probe_bands: DataFrame | None = None,
+    probe_scale: int = 1,
 ) -> DataFrame:
     """All (id_a < id_b) pairs sharing a bucket key, skew-guarded.
 
@@ -122,8 +124,17 @@ def guarded_self_pairs(
         ck = (bands.sparkSession.sparkContext.applicationId, probe_key, cap)
     hot_keys = _HOT_KEY_CACHE.get(ck) if ck is not None else None
     if hot_keys is None:
-        sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-        hot_keys = sizes.filter(F.col("__bsz") > cap).select(*key_cols).collect()
+        # probe_bands lets callers supply a CHEAP deterministic sample
+        # (e.g. 1/probe_scale of documents, filter pushed to the scan)
+        # so a cold probe never has to materialize the full band frame;
+        # the threshold scales with the sample. A barely-hot bucket the
+        # sample misses is harmless (the plain join handles it); the
+        # pathological corpus-wide bucket the guard exists for is
+        # unmissable at any sane sample rate.
+        src = probe_bands if probe_bands is not None else bands
+        thresh = max(1, cap // probe_scale)
+        sizes = src.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        hot_keys = sizes.filter(F.col("__bsz") > thresh).select(*key_cols).collect()
         if ck is not None:
             _HOT_KEY_CACHE[ck] = hot_keys
     if not hot_keys:

@@ -259,7 +259,11 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-guarded candidate self-join (functions/skew.py): buckets past
     # the cap — a boilerplate shingle shared corpus-wide — get the salted
     # split instead of one straggler task; same pairs, so the oracle's
-    # plain self-join is unchanged
+    # plain self-join is unchanged. The probe aggregates the PINNED
+    # fragment, so its materialization cost is the same one the main
+    # job pays anyway (a 1/8-sample rebuild was measured SLOWER cold:
+    # the fragment gets materialized regardless, so sampling only adds
+    # compute).
     candidates = guarded_self_pairs(
         banded, ["band", "bkey"], "doc_id",
         probe_key=f"{sf_dir}:lsh_banded",

@@ -135,10 +135,7 @@ def _ham_nib_sql(a: str, b: str, i: int) -> str:
 _HAMMING_SQL = " + ".join(_ham_nib_sql("x.simhash", "y.simhash", i) for i in range(16))
 
 
-def simhash_band_candidates(fp: DataFrame, probe_key: str | None = None) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from the 4x16-bit band equi-join
-    over the fingerprints — shared by q46 (Hamming verify) and q87
-    (edit-distance verify)."""
+def _to_bands(fp: DataFrame) -> DataFrame:
     band_structs = F.array(
         *[
             F.struct(
@@ -148,14 +145,29 @@ def simhash_band_candidates(fp: DataFrame, probe_key: str | None = None) -> Data
             for b in range(N_SIM_BANDS)
         ]
     )
-    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval")
     )
+
+
+def simhash_band_candidates(
+    fp: DataFrame,
+    probe_key: str | None = None,
+    probe_fp: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the 4x16-bit band equi-join
+    over the fingerprints — shared by q46 (Hamming verify) and q87
+    (edit-distance verify). ``probe_fp`` (a cheap deterministic 1/8
+    fingerprint sample rebuilt from the scan) keeps the skew probe from
+    materializing the full fingerprint fragment on a cold run."""
+    bands = _to_bands(fp)
     # skew-guarded (functions/skew.py): a pathological fingerprint band
     # shared corpus-wide salt-splits instead of stalling one task; pair
     # semantics identical to the plain self-join the oracle states
+    probe = _to_bands(probe_fp) if probe_fp is not None else None
     return guarded_self_pairs(
-        bands, ["b", "bval"], "doc_id", probe_key=probe_key
+        bands, ["b", "bval"], "doc_id", probe_key=probe_key,
+        probe_bands=probe, probe_scale=8 if probe is not None else 1,
     )
 
 

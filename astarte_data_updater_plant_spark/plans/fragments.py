@@ -47,14 +47,18 @@ def fragment(
 
 
 def clear_fragments() -> None:
-    """Unpersist and forget every pinned fragment (and the skew-probe
-    memos that share the same immutable-snapshot assumption)."""
+    """Unpersist and forget every pinned fragment.
+
+    The skew-probe memos (functions/skew._HOT_KEY_CACHE) deliberately
+    SURVIVE this: the hot-key list is a performance hint, not a
+    correctness input — whatever snapshot it came from, the cold and
+    hot join paths compute identical pairs for every bucket, so a
+    stale list can only mis-tune the physical split, never the
+    result. Republishing a path therefore needs no probe invalidation
+    (call functions/skew.clear_hot_key_cache() to force a re-probe)."""
     for df in _FRAGMENTS.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _FRAGMENTS.clear()
-    from ..functions.skew import clear_hot_key_cache
-
-    clear_hot_key_cache()
