@@ -1991,3 +1991,71 @@ def s92_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(out_rows), "event_id long, label string"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# s93 — object-aggregated ingest under REAL Structured Streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s93_stream_object_rows",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           '/' AS path,
+           ts AS reception_timestamp,
+           event_type AS v_kind,
+           value AS v_reading
+    FROM events
+    ORDER BY device_id, reception_timestamp, v_kind
+    """,
+    doc="Object-aggregated ingest (A18) under REAL Structured "
+    "Streaming — the streaming twin of the batch s75: object BSON "
+    "documents arrive as time-ordered files (introspections first), "
+    "the keyed GroupState carries each device's introspection across "
+    "micro-batches, per-key type validation runs in the fold, and the "
+    "per-interface wide rows (one typed column per endpoint leaf) "
+    "materialized across FOUR micro-batches must equal the batch SQL "
+    "oracle. Closes the one ingest mode (object aggregation) that "
+    "only had batch-path stream coverage.",
+)
+def s93_stream_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.stream import events_as_object_messages, object_interface
+    from ..streaming.pipeline import MESSAGE_SCHEMA, object_table, run_stream
+
+    iface = object_interface()
+    msgs = events_as_object_messages(spark, sf_dir)
+    src_dir = _time_sliced_files(msgs, "reception_timestamp", prefix="s93_src_")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = run_stream(stream, interfaces=(iface,))
+        obj = object_table(out, iface).select(
+            "device_id", "path", "reception_timestamp", "v_kind", "v_reading"
+        )
+        qname = "s93_stream_object"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            obj.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s93_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy(
+        "device_id", "reception_timestamp", "v_kind"
+    )
