@@ -1010,3 +1010,109 @@ def q180_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked_mid.unionByName(endpoints).orderBy(
         "user_id", "bucket", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — event-time lateness profile (watermark tuning)
+# ---------------------------------------------------------------------------
+
+#: lateness histogram bucket upper bounds, seconds (last bucket open)
+LATE_BOUNDS = (0, 60, 600, 3600, 86400)
+
+
+@register(
+    "q187_lateness_profile",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw_us
+      FROM events
+    ),
+    lat AS (
+      SELECT CAST((hw_us - epoch_us(ts)) // 1000000 AS BIGINT) AS late_s
+      FROM o
+    ),
+    b AS (
+      SELECT late_s,
+             CASE
+               WHEN late_s <= 0 THEN 0
+               WHEN late_s <= 60 THEN 1
+               WHEN late_s <= 600 THEN 2
+               WHEN late_s <= 3600 THEN 3
+               WHEN late_s <= 86400 THEN 4
+               ELSE 5
+             END AS bucket
+      FROM lat
+    ),
+    agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(late_s) AS BIGINT) AS max_late_s
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM agg)
+    SELECT a.bucket, a.n_events, a.max_late_s,
+           CAST(SUM(a.n_events) OVER (ORDER BY a.bucket) AS BIGINT) AS cum_events,
+           CAST(SUM(a.n_events) OVER (ORDER BY a.bucket) AS DOUBLE) / t.n
+             AS cum_frac
+    FROM agg a, tot t
+    ORDER BY a.bucket
+    """,
+    doc="Event-time lateness profile — the measurement behind every "
+    "watermark choice: per device, lateness of each event is the "
+    "running high-water mark of event time (in arrival order, "
+    "event_id) minus its own event time, exact integer seconds; the "
+    "histogram over operational buckets (on-time / <=1m / <=10m / "
+    "<=1h / <=1d / beyond) with cumulative fractions reads off "
+    "directly as 'a 10-minute watermark retains X% of events'. One "
+    "keyed window (device partitions) + a 6-row aggregate; the tiny "
+    "cumulative window runs over 6 bucket rows, never the data. This "
+    "is how s76/s80's withWatermark('1 hour') stops being folklore.",
+)
+def q187_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_s = F.floor(
+        (F.max(ts_micros("ts")).over(w) - ts_micros("ts")) / 1000000
+    ).cast("long")
+    bucket = (
+        F.when(F.col("late_s") <= 0, 0)
+        .when(F.col("late_s") <= 60, 1)
+        .when(F.col("late_s") <= 600, 2)
+        .when(F.col("late_s") <= 3600, 3)
+        .when(F.col("late_s") <= 86400, 4)
+        .otherwise(5)
+    )
+    agg = (
+        ev.select(late_s.alias("late_s"))
+        .select("late_s", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+    )
+    tot = agg.agg(F.sum("n_events").cast("long").alias("n"))
+    # the cumulative frame is 6 bucket rows — a broadcast theta-join
+    # keeps even this micro-window out of single-partition WindowExec
+    right = agg.select(
+        F.col("bucket").alias("rb"), F.col("n_events").alias("rn")
+    )
+    cum = (
+        agg.join(F.broadcast(right), F.col("rb") <= F.col("bucket"), "left")
+        .groupBy("bucket", "n_events", "max_late_s")
+        .agg(F.sum("rn").cast("long").alias("cum_events"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n_events", "max_late_s", "cum_events",
+            (F.col("cum_events").cast("double") / F.col("n")).alias("cum_frac"),
+        )
+        .orderBy("bucket")
+    )
