@@ -1116,3 +1116,100 @@ def q187_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — robust per-device outliers (median / MAD, exact order statistics)
+# ---------------------------------------------------------------------------
+
+#: the classic robust cutoff: |x - median| > 3 * MAD
+MAD_K = 3
+
+
+@register(
+    "q188_robust_outliers",
+    f"""
+    WITH s AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, y AS med FROM (
+        SELECT user_id, y,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY y) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM s
+      ) t WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT s.user_id, s.y, m.med, abs(s.y - m.med) AS ad
+      FROM s JOIN med m USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, ad AS mad FROM (
+        SELECT user_id, ad,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM dev
+      ) t WHERE rn = (n + 1) // 2
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(d.med) AS BIGINT) AS median_e2,
+           CAST(MAX(md.mad) AS BIGINT) AS mad_e2,
+           CAST(SUM(CASE WHEN abs(d.y - d.med) > {MAD_K} * md.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md USING (user_id)
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+    doc="Robust per-device outlier detection via median/MAD — the "
+    "heavy-tail-safe complement to q133's mean/sigma gate (one fat "
+    "outlier inflates sigma and masks the rest; the median absolute "
+    "deviation does not budge): values snap to 1e-2 fixed point, the "
+    "median is an EXACT order statistic (lower median, rank "
+    "(n+1) DIV 2, via keyed windows — never an interpolated float "
+    "percentile), MAD is the exact median of integer absolute "
+    "deviations, and the 3-MAD cutoff is a pure integer comparison, "
+    "so every count is bit-deterministic. Two keyed rank passes and "
+    "two keyed joins, all on the device key — one partitioning reused "
+    "throughout, linear at fleet scale.",
+)
+def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+
+    def keyed_median(df, col, out):
+        w = Window.partitionBy("user_id").orderBy(col)
+        wc = Window.partitionBy("user_id")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+            .select("user_id", F.col(col).alias(out))
+        )
+
+    med = keyed_median(s, "y", "med")
+    dev = s.join(med, "user_id").withColumn(
+        "ad", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = keyed_median(dev.select("user_id", "ad"), "ad", "mad")
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med").cast("long").alias("median_e2"),
+            F.max("mad").cast("long").alias("mad_e2"),
+            F.sum(
+                (F.abs(F.col("y") - F.col("med")) > MAD_K * F.col("mad")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
