@@ -2059,3 +2059,70 @@ def s93_stream_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy(
         "device_id", "reception_timestamp", "v_kind"
     )
+
+
+# ---------------------------------------------------------------------------
+# s94 — COMPLETE output mode: running totals re-emitted whole per batch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s94_stream_complete_totals",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_e2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="COMPLETE output mode — the one Structured Streaming mode the "
+    "suite had not exercised (append: s72..s93; update: subsumed by "
+    "the keyed folds): an unwatermarked global aggregation whose "
+    "ENTIRE result re-emits every micro-batch, so the memory sink's "
+    "final snapshot after four availableNow batches must equal the "
+    "whole-corpus batch aggregate, exactly — counts and the 1e-2 "
+    "fixed-point value mass (exact DISTINCT is unsupported on "
+    "streams, a real engine constraint this scenario documents). "
+    "State is one row per event_type (bounded domain), which is "
+    "precisely when complete mode is the right tool at scale.",
+)
+def s94_stream_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = _time_sliced_files(ev, "ts", prefix="s94_src_")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_v_e2"),
+        )
+        qname = "s94_complete_totals"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.select("event_type", "n_events", "sum_v_e2")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s94_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_type")

@@ -1718,3 +1718,78 @@ def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_e6").desc(), "bg")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — retrieval hard-negative mining over the BM25 run
+# ---------------------------------------------------------------------------
+
+#: hard negatives kept per query
+HARDNEG_K = 5
+
+
+def _q189_oracle() -> str:
+    q140 = _REG["q140_bm25_topk"].oracle
+    n_terms_values = ", ".join(
+        f"('{q}', {sum(1 for qq, _ in BM25_QUERIES if qq == q)})"
+        for q in sorted({q for q, _ in BM25_QUERIES})
+    )
+    return f"""
+    WITH retrieved AS (
+      SELECT query, doc_id, n_terms_hit, score_e6,
+             ROW_NUMBER() OVER (PARTITION BY query
+                                ORDER BY score_e6 DESC, doc_id) AS rnk
+      FROM ({q140})
+    ),
+    qterms(query, n_terms) AS (VALUES {n_terms_values}),
+    neg AS (
+      SELECT r.query, r.doc_id, r.rnk, r.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY r.query ORDER BY r.rnk) AS k
+      FROM retrieved r JOIN qterms q USING (query)
+      WHERE r.n_terms_hit < q.n_terms
+    )
+    SELECT query, doc_id, rnk, score_e6
+    FROM neg WHERE k <= {HARDNEG_K}
+    ORDER BY query, rnk
+    """
+
+
+@register(
+    "q189_hard_negatives",
+    _q189_oracle(),
+    doc="Hard-negative mining for contrastive retriever training — the "
+    "step after BM25 (q140): a HARD negative is a document the ranker "
+    "scores highly yet is NOT relevant (misses at least one query "
+    "term under q161's all-terms relevance rule); taking the top-K "
+    "such per query yields exactly the confusable examples a "
+    "bi-encoder needs (random negatives are too easy). Rides the "
+    "already-ranked q140 frame: one broadcast join against the query "
+    "term counts, one keyed filter + per-query top-K window — no new "
+    "corpus scan. Scores stay the exact 1e-6 fixed-point integers, "
+    "so membership and order of the mined set are bit-deterministic.",
+)
+def q189_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_terms_map = {}
+    for q, _t in BM25_QUERIES:
+        n_terms_map[q] = n_terms_map.get(q, 0) + 1
+    qterms = spark.createDataFrame(
+        sorted(n_terms_map.items()), "query string, n_terms int"
+    )
+    retrieved = q140_bm25_topk(spark, sf_dir).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query").orderBy(
+                F.col("score_e6").desc(), "doc_id"
+            )
+        ),
+    )
+    neg = retrieved.join(F.broadcast(qterms), "query").filter(
+        F.col("n_terms_hit") < F.col("n_terms")
+    )
+    wk = Window.partitionBy("query").orderBy("rnk")
+    return (
+        neg.withColumn("_k", F.row_number().over(wk))
+        .filter(F.col("_k") <= HARDNEG_K)
+        .select("query", "doc_id", "rnk", "score_e6")
+        .orderBy("query", "rnk")
+    )
