@@ -22,11 +22,14 @@ every rank silently corrupts (observed: duplicated/lost rows at sf0.01).
 Instead the partitioning here is an explicit, DETERMINISTIC bucket
 column, a pure function of the row's sort key:
 
-1. Boundary discovery (two bounded driver actions at plan-build time):
-   ``count()`` sizes a hash-based sample (``xxhash64(key) % S == 0`` —
-   deterministic, unlike random sampling), the sorted sample yields
-   ``B-1`` lexicographic cut points, collected to the driver (~32·B key
-   tuples, independent of table size).
+1. Boundary discovery (ONE bounded driver action at plan-build time):
+   a bottom-k-by-hash sketch — the ``32·B`` rows with the smallest
+   ``xxhash64(key)`` (deterministic, unlike random sampling; keys are
+   unique by the total-order requirement, so this is a uniform sample)
+   via ``orderBy(hash).limit(32·B)``, which compiles to a distributed
+   TakeOrdered (per-partition top-k, driver merge — no count pass, no
+   full shuffle); the sorted sample yields ``B-1`` lexicographic cut
+   points (~32·B key tuples on the driver, independent of table size).
 2. ``bucket = size(filter(boundaries, b -> b < key_struct))`` — a pure
    projection; every branch that recomputes it gets identical buckets
    by construction.  Struct comparison is lexicographic over the key.
@@ -119,19 +122,26 @@ def with_global_order(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
 
-    # --- phase 1: deterministic boundary discovery (bounded actions) ----
+    # --- phase 1: deterministic boundary discovery (ONE bounded action)
     keyed = df.select(*[c.alias(f"_gk{i}") for i, c in enumerate(sc)])
     key_fields = keyed.schema.fields
-    n_rows = keyed.count()
     boundaries: list[tuple] = []
-    if n_rows > 1 and n_buckets > 1:
-        stride = max(1, n_rows // (n_buckets * SAMPLES_PER_BUCKET))
-        sample = keyed.filter(
-            F.pmod(F.xxhash64(*[F.col(f.name) for f in key_fields]), stride)
-            == 0
-        ).collect()
+    if n_buckets > 1:
+        # bottom-k by xxhash64(key): a deterministic uniform sample of
+        # exactly min(n_rows, 32*B) rows in a single TakeOrdered action
+        # (per-partition top-k + driver merge) — no separate count()
+        # pass sizing a stride. Ties on the hash break on the full key
+        # (a total order), so the sample is bit-stable across retries.
+        k_names = [f.name for f in key_fields]
+        sample = (
+            keyed.withColumn("_gh", F.xxhash64(*[F.col(n) for n in k_names]))
+            .orderBy("_gh", *k_names)
+            .limit(n_buckets * SAMPLES_PER_BUCKET)
+            .drop("_gh")
+            .collect()
+        )
         sample.sort(key=lambda r: tuple(r))
-        if sample:
+        if len(sample) > 1:
             step = len(sample) / n_buckets
             cuts = []
             for i in range(1, n_buckets):

@@ -60,6 +60,13 @@ def salted_join(
 #: (one boilerplate shingle in 30% of docs) actually appears
 SELF_PAIR_BUCKET_CAP = 256
 
+#: hard bound on the hot-key probe's driver collect: guarding is a
+#: physical-distribution hint, so capping the list at the N HOTTEST
+#: buckets keeps the result exact (unguarded buckets just take the
+#: plain join) while bounding driver memory and the broadcast even on
+#: a corpus where thousands of buckets exceed the cap (ADVICE r5)
+MAX_HOT_KEYS = 1024
+
 
 #: memoized hot-key probes, keyed like the fragment cache (application,
 #: caller-supplied key, cap) — same immutable-snapshot assumption, and
@@ -134,7 +141,17 @@ def guarded_self_pairs(
         src = probe_bands if probe_bands is not None else bands
         thresh = max(1, cap // probe_scale)
         sizes = src.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-        hot_keys = sizes.filter(F.col("__bsz") > thresh).select(*key_cols).collect()
+        # bounded collect: keep only the MAX_HOT_KEYS HOTTEST buckets
+        # (TakeOrdered, not a full sort) — correctness never depends on
+        # the list, so truncation only leaves the (1025th-hottest and
+        # colder) buckets on the plain-join path
+        hot_keys = [
+            r[:-1]
+            for r in sizes.filter(F.col("__bsz") > thresh)
+            .orderBy(F.col("__bsz").desc(), *key_cols)
+            .limit(MAX_HOT_KEYS)
+            .collect()
+        ]
         if ck is not None:
             _HOT_KEY_CACHE[ck] = hot_keys
     if not hot_keys:

@@ -115,8 +115,16 @@ def q110_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = t.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
     # phase 2: per-group totals -> exclusive prefix over the tiny group
-    # frame (one row per PACK_GROUP docs) -> broadcast back
-    totals = t.groupBy("g").agg(F.sum("n").alias("gt"))
+    # frame (one row per PACK_GROUP docs) -> broadcast back. Pinned:
+    # with_global_order references its input from the sample probe plus
+    # two execution branches, and an unpinned totals lineage re-runs
+    # the documents scan + groupBy each time (ADVICE r5).
+    totals = fragment(
+        spark,
+        sf_dir,
+        "q110_group_totals",
+        lambda: t.groupBy("g").agg(F.sum("n").alias("gt")),
+    )
     # exclusive prefix over the per-group totals via the range-partitioned
     # two-phase runner — stays parallel even when the group frame itself
     # is large (n_docs / PACK_GROUP rows at corpus scale)

@@ -725,14 +725,24 @@ def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = pairs.groupBy(F.col("doc_a").alias("anchor_id")).agg(
         F.min("doc_b").alias("pos_id")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    nk = shingle_h32(F.col("doc_id").cast("string"))
     # the hash ring as a range-partitioned two-phase rank + successor
     # equi-join (rn % n + 1 wraps the tail to position 1) — the LEAD over
     # a bare Window.orderBy this replaces serialized the whole corpus
-    # onto one task
+    # onto one task. The (doc_id, hash) key frame is pinned as a
+    # fragment: with_global_order references its input from the sample
+    # probe, the rank branch, and the per-bucket summary, so an
+    # unpinned lineage would re-scan documents three times (ADVICE r5).
+    ring_keys = fragment(
+        spark,
+        sf_dir,
+        "q144_ring_keys",
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            shingle_h32(F.col("doc_id").cast("string")).alias("nk"),
+        ),
+    )
     ring = with_global_order(
-        docs.select("doc_id", nk.alias("nk")),
+        ring_keys,
         ["nk", "doc_id"],
         rank="rn",
         total="n",

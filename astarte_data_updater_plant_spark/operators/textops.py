@@ -1436,10 +1436,17 @@ def q163_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: per-doc bigram list as a pure array expression (no explode until the
-#: scoring join): tokens i and i+1 concatenated, 1-indexed element_at
+#: scoring join): tokens i and i+1 concatenated, 1-indexed element_at.
+#: The size >= 2 guard is load-bearing: sequence(1, 0) in Spark is the
+#: DESCENDING [1, 0] (step defaults to -1 when start > stop), so a
+#: single-token document would hit element_at(ts, 2) and throw
+#: INVALID_ARRAY_INDEX_IN_ELEMENT_AT; the guarded form yields the empty
+#: bigram list, matching DuckDB's empty range(1, 1).
 _BIGRAMS_EXPR = (
-    "transform(sequence(1, greatest(size(ts) - 1, 0)),"
+    "CASE WHEN size(ts) >= 2 THEN"
+    " transform(sequence(1, size(ts) - 1),"
     " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+    " ELSE cast(array() AS array<string>) END"
 )
 _BIGRAMS_SQL = (
     "list_transform(range(1, greatest(len(ts), 1)),"

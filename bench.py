@@ -12,8 +12,10 @@ measured, so driver-side collect never flatters a slow plan.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,6 +61,46 @@ WARMUP = (
 )
 
 
+#: timed executions per measured block; the median of 5 is reported
+#: (best-of-N understated steady state and could not be compared
+#: across rounds — r5's q23/q26 "regressions" were unattributable
+#: box noise) and the IQR rides along so a drift can be told apart
+#: from dispersion
+RUNS = 5
+
+
+def measure(run, *, warmups: int = 1, runs: int = RUNS) -> tuple[float, float]:
+    """median + IQR of ``runs`` timed executions of ``run()``.
+
+    Isolation per measured block (the r5 verdict's attributability
+    ask): collect driver + JVM garbage first so one family's heap
+    pressure doesn't bill the next, then ``warmups`` untimed passes to
+    absorb codegen/class-loading, then the timed loop."""
+    gc.collect()
+    try:
+        from pyspark.sql import SparkSession
+
+        SparkSession.getActiveSession().sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    for _ in range(warmups):
+        run()
+    ts = sorted(_timed(run) for _ in range(runs))
+    med = statistics.median(ts)
+    if len(ts) >= 4:
+        q1, _q2, q3 = statistics.quantiles(ts, n=4)
+        iqr = q3 - q1
+    else:
+        iqr = ts[-1] - ts[0]
+    return round(med, 3), round(iqr, 3)
+
+
+def _timed(run) -> float:
+    t0 = time.perf_counter()
+    run()
+    return time.perf_counter() - t0
+
+
 def ingest_throughput(spark, sf_dir: str) -> dict:
     """Full state-machine ingest (BSON decode -> per-device fold ->
     datastream rows) over the events table, reported as msgs/sec.
@@ -81,25 +123,19 @@ def ingest_throughput(spark, sf_dir: str) -> dict:
     msgs = events_as_messages(spark, sf_dir).persist()
     try:
         n_msgs = msgs.count()
-        # one untimed pass, same steady-state rationale as WARMUP: the
-        # first execution pays python-worker spawn + codegen for this
-        # plan shape, one-time costs on a long-lived cluster
-        run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+
+        def one():
             run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
                 "noop"
             ).mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        sec = best
+
+        sec, iqr = measure(one)
     finally:
         msgs.unpersist()
     return {
         "ingest_msgs": n_msgs,
-        "ingest_sec": round(sec, 3),
+        "ingest_sec": sec,
+        "ingest_sec_iqr": iqr,
         "ingest_msgs_per_sec": round(n_msgs / sec),
     }
 
@@ -164,12 +200,12 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
         return time.perf_counter() - t0
 
     try:
-        one_run()  # untimed warm-up, same policy as batch ingest
-        sec = min(one_run() for _ in range(2))
+        sec, iqr = measure(one_run)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {
-        "stream_ingest_sec": round(sec, 3),
+        "stream_ingest_sec": sec,
+        "stream_ingest_sec_iqr": iqr,
         "stream_ingest_msgs_per_sec": round(n_msgs / sec),
     }
 
@@ -186,18 +222,19 @@ def corpus_pipeline_throughput(spark, sf_dir: str) -> dict:
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     qmap = queries_map()
-    best = float("inf")
-    for _ in range(2):
+
+    def one():
         clear_fragments()  # cold: rebuild shingle/band fragments each run
-        t0 = time.perf_counter()
         qmap["q47_dedup_keep_best"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        best = min(best, time.perf_counter() - t0)
+
+    sec, iqr = measure(one)
     return {
         "corpus_dedup_docs": n_docs,
-        "corpus_dedup_sec": round(best, 3),
-        "corpus_dedup_docs_per_sec": round(n_docs / best),
+        "corpus_dedup_sec": sec,
+        "corpus_dedup_sec_iqr": iqr,
+        "corpus_dedup_docs_per_sec": round(n_docs / sec),
     }
 
 
@@ -210,19 +247,22 @@ def main() -> None:
     for name in WARMUP:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # three timed executions per query, keep the min: single-shot
+    # median of RUNS timed executions per query, with per-query GC
+    # isolation + a dedicated warm-up pass (see measure()): single-shot
     # numbers swing +-30% on a shared box (GC, page cache, co-tenant
     # noise — round 4 measured the SAME commit at 8.3s and 10.7s an
-    # hour apart); the min of three is a far tighter steady-state
-    # estimator and is what a long-lived cluster actually serves
+    # hour apart), and best-of-N hid dispersion entirely, making
+    # round-over-round drift unattributable (r5 verdict). The IQR is
+    # reported per query so a real regression (median moves, IQR
+    # small) reads differently from noise (IQR swallows the delta).
     timings: dict[str, float] = {}
+    iqrs: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+        def one(q=qmap[name]):
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        timings[name], iqrs[name] = measure(one)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -231,7 +271,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "estimator": f"median_of_{RUNS}",
                 "queries": timings,
+                "queries_iqr": iqrs,
                 "sf": float(sf),
                 **ingest_throughput(spark, sf_dir),
                 **stream_ingest_throughput(spark, sf_dir),

@@ -268,3 +268,36 @@ def test_with_global_order_matches_window_semantics(spark):
         .collect()
     )
     assert [g["id"] for g in got] == [e["id"] for e in exp]
+
+
+def test_bigrams_expr_survives_short_documents(spark):
+    """_BIGRAMS_EXPR must yield the empty list for 0- and 1-token
+    documents instead of throwing INVALID_ARRAY_INDEX_IN_ELEMENT_AT:
+    sequence(1, 0) in Spark is the DESCENDING [1, 0], so the unguarded
+    transform indexed element_at(ts, 2) on a 1-token array (ADVICE r5,
+    textops.py q178/q184). DuckDB's range(1, 1) is empty, so the guard
+    also keeps Spark/oracle parity on short docs."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from astarte_data_updater_plant_spark.operators.textops import (
+        _BIGRAMS_EXPR,
+        _BIGRAMS_SQL,
+    )
+
+    texts = ["", "one", "two tokens", "now three tokens"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        F.split("text", " ").alias("ts")
+    )
+    got = [r["bg"] for r in df.select(F.expr(_BIGRAMS_EXPR).alias("bg")).collect()]
+    exp = [
+        duckdb.sql(
+            f"SELECT {_BIGRAMS_SQL} FROM (SELECT string_split(?, ' ') AS ts)",
+            params=[t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    # note: split('', ' ') is [''] in both engines — a 1-token doc
+    assert got == exp
+    assert got[0] == [] and got[1] == []
+    assert got[3] == ["now three", "three tokens"]
