@@ -27,6 +27,14 @@ def get_spark(app_name: str = "astarte_data_updater_plant_spark") -> SparkSessio
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local-mode executors live in the driver JVM, so the 1g driver
+        # default is the ENTIRE cluster memory; size it to the box (the
+        # bench host has 128 GiB for 32 cores). Only effective at JVM
+        # launch — a session created elsewhere first keeps its own.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

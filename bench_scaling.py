@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""Two-point scaling bench: measures how every scale-sensitive operator
+family's runtime grows from R=1 to R=10 (~sf0.1 -> ~sf1.0) and writes
+``BENCH_SCALING_r{N}.json``.
+
+Why this exists (r5 verdict, item 1): every 100 TB claim in the
+operator docstrings rested on PLAN SHAPE (keyed shuffles, no
+single-partition windows, broadcast small sides). A two-point curve is
+the cheapest empirical check of those claims: a family whose plan is
+truly shuffle-linear should cost ~R x (plus fixed overhead) at R x the
+data; a superlinear ratio names a design bug no plan inspection caught
+(e.g. an accidental O(n^2) candidate stage or a driver-side collect
+that grows with the input).
+
+Methodology
+-----------
+- The R=10 dataset is built BY replication of sf0.1 with key shifts, so
+  join fan-outs, group cardinalities per key, and dup-structure stay
+  constant while volume grows 10x (what a bigger crawl actually looks
+  like):
+  * fact keys (orderkey/custkey/partkey/suppkey/doc_id/vec_id/
+    event_id/user_id) shift by copy * (max_key+1) — referential
+    integrity holds within each copy, per-key group sizes unchanged;
+  * region/nation stay fixed (bounded by geography, as in TPC-H);
+  * document text is interleaved with a per-copy tag token (" c<k> ")
+    so cross-copy shingle overlap is ZERO — near-dup structure is
+    preserved within a copy and not artificially inflated across
+    copies (a naive 10x copy would turn every doc into a 10-clique and
+    square the pair count);
+  * embeddings get a deterministic per-copy, per-dimension jitter
+    (hash-derived, +-0.05) so ANN top-k neighborhoods differ per copy
+    while the geometry stays realistic.
+  BOTH scale points (R=1 and R=10) pass through the same transform, so
+  the ratio compares identical per-row work at 10x volume.
+- Every timed run is COLD: fragments and the skew-probe memo are
+  cleared first, so the ratio covers the full pipeline including
+  signature/band materialization, and timing includes plan build (the
+  two-phase rank helpers do their bounded boundary-sample action at
+  build time).
+- Per query and scale: one untimed warm-up (codegen/class-load, paid
+  once on a long-lived cluster) then ``RUNS`` timed runs; the median is
+  reported with the spread.
+- ``ratio`` = r10_sec / r1_sec. Near-linear families land well under
+  ~12x (10x data + fixed overhead amortization); anything above
+  flags superlinearity.
+
+Adversarial hot-bucket corpus (r5 verdict, item 6): a variant of the
+R=10 documents table where ~2.4% of docs collapse onto one boilerplate
+template (5 near-identical variants — the crawl-dup pathology LSH
+banding is worst at: one band bucket holding ~1200 docs, far past
+SELF_PAIR_BUCKET_CAP=256, ~0.6M candidate pairs). q42 is timed on it so
+``guarded_self_pairs``' salted split is MEASURED under real skew, not
+just semantics-checked at n=1000 (tests/test_skew.py).
+
+Usage:  python bench_scaling.py [round_number]
+Env:    SPARK_GRAFT_SCALE_SRC (default /root/testdata/sf0.1)
+        SPARK_GRAFT_SCALE_DIR (default /tmp/scaledata)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from astarte_data_updater_plant_spark.functions.skew import clear_hot_key_cache
+from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+from astarte_data_updater_plant_spark.plans.registry import queries_map
+from astarte_data_updater_plant_spark.session import get_spark
+
+RUNS = 2
+
+#: the scale-sensitive families named by the r5 verdict: dedup ladder,
+#: two-phase global ranks, LSH/IVF ANN, one TPC-H star join
+SCALE_QUERIES = (
+    "q05_local_supplier_volume",
+    "q40_exact_dedup",
+    "q41_minhash_signatures",
+    "q42_lsh_near_dup_pairs",
+    "q43_simhash",
+    "q44_ngram_jaccard_pairs",
+    "q45_near_dup_components",
+    "q47_dedup_keep_best",
+    "q53_lsh_ann_topk",
+    "q105_ivf_trained_topk",
+    "q126_curriculum_tiers",
+    "q145_roc_auc",
+    "q170_zipf_fit",
+)
+
+#: key-shift columns per table (offset = per-copy stride = max+1 of the
+#: source column, computed once)
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: offsets must be consistent across tables sharing a key domain
+SHARED_DOMAINS = {
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+}
+FIXED_DIMS = ("region", "nation")
+
+BOILERPLATE = (
+    "subscribe to our newsletter accept all cookies to continue reading "
+    "this content is available to registered members only please sign in "
+    "or create a free account to view the full article terms of service "
+    "privacy policy all rights reserved copyright twenty twenty four site "
+    "map contact us about careers advertise help center frequently asked "
+    "questions returns shipping policies gift cards store locator deals"
+)
+
+
+def _offsets(src: str) -> dict[str, int]:
+    import duckdb
+
+    offs: dict[str, int] = {}
+    for tbl, cols in KEY_SHIFTS.items():
+        for c in cols:
+            if c in SHARED_DOMAINS:
+                continue
+            (mx,) = duckdb.sql(
+                f"SELECT MAX({c}) FROM '{src}/{tbl}.parquet'"
+            ).fetchone()
+            offs[c] = int(mx) + 1
+    for c, (_t, base) in SHARED_DOMAINS.items():
+        offs[c] = offs[base]
+    return offs
+
+
+def build_scaled(spark, src: str, out: str, r: int) -> None:
+    """Deterministic R-fold replication of ``src`` into ``out``."""
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+    offs = _offsets(src)
+    for tbl in FIXED_DIMS:
+        spark.read.parquet(f"{src}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{tbl}.parquet")
+    for tbl, cols in KEY_SHIFTS.items():
+        base = spark.read.parquet(f"{src}/{tbl}.parquet")
+        types = dict(base.dtypes)
+        copies = []
+        for k in range(r):
+            d = base
+            for c in cols:
+                d = d.withColumn(
+                    c, (F.col(c) + F.lit(k * offs[c])).cast(types[c])
+                )
+            if tbl == "documents":
+                # per-copy tag between every pair of tokens: within-copy
+                # dup structure preserved, cross-copy shingle overlap 0
+                d = d.withColumn(
+                    "text", F.regexp_replace("text", " ", f" c{k} ")
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if tbl == "embeddings":
+                # per-copy, per-dimension hash jitter in [-0.05, 0.05]
+                def _jitter(copy):
+                    def f(x, i):
+                        h = F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(copy), i),
+                            F.lit(1001),
+                        )
+                        return x + (h - 500).cast("double") / 10000.0
+
+                    return f
+
+                d = d.withColumn(
+                    "embedding",
+                    F.transform("embedding", _jitter(k)).cast("array<float>"),
+                )
+            copies.append(d)
+        full = copies[0]
+        for d in copies[1:]:
+            full = full.unionByName(d)
+        full.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+    with open(marker, "w") as fh:
+        fh.write(f"r={r} src={src}\n")
+
+
+def build_hot_corpus(spark, scaled10: str, out: str) -> dict:
+    """Adversarial variant of the R=10 documents: one boilerplate
+    template (5 near-identical variants) replaces ~2.4% of texts."""
+    marker = os.path.join(out, "_BUILT")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        docs = spark.read.parquet(f"{scaled10}/documents.parquet")
+        hot_text = F.concat(
+            F.lit(BOILERPLATE),
+            F.lit(" variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        )
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 42 == 0, hot_text).otherwise(
+                F.col("text")
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents.parquet")
+        with open(marker, "w") as fh:
+            fh.write("hot\n")
+    import duckdb
+
+    (n_hot,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/documents.parquet/*.parquet' "
+        "WHERE doc_id % 42 = 0"
+    ).fetchone()
+    return {"n_hot_docs": int(n_hot)}
+
+
+def timed_runs(run, *, warmups: int = 1, runs: int = RUNS) -> dict:
+    for _ in range(warmups):
+        clear_fragments()
+        clear_hot_key_cache()
+        run()
+    ts = []
+    for _ in range(runs):
+        clear_fragments()
+        clear_hot_key_cache()
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    return {
+        "sec": round(statistics.median(ts), 3),
+        "spread": round(max(ts) - min(ts), 3),
+    }
+
+
+def ingest_point(spark, sf_dir: str) -> dict:
+    from astarte_data_updater_plant_spark.sources.stream import (
+        events_as_messages,
+        telemetry_interface,
+    )
+    from astarte_data_updater_plant_spark.streaming.pipeline import run_batch
+
+    msgs = events_as_messages(spark, sf_dir).persist()
+    try:
+        n = msgs.count()
+
+        def one():
+            run_batch(msgs, interfaces=(telemetry_interface(),)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        m = timed_runs(one)
+    finally:
+        msgs.unpersist()
+    return {"msgs": n, **m, "msgs_per_sec": round(n / m["sec"])}
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    r1_dir, r10_dir = f"{root}/r1", f"{root}/r10"
+    hot_dir = f"{root}/hot10"
+
+    spark = get_spark("bench_scaling")
+    t0 = time.perf_counter()
+    build_scaled(spark, src, r1_dir, 1)
+    build_scaled(spark, src, r10_dir, 10)
+    hot_meta = build_hot_corpus(spark, r10_dir, hot_dir)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    qmap = queries_map()
+    queries: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        row: dict = {}
+        for label, d in (("r1", r1_dir), ("r10", r10_dir)):
+
+            def one(q=qmap[name], d=d):
+                q(spark, d).write.format("noop").mode("overwrite").save()
+
+            m = timed_runs(one)
+            row[f"{label}_sec"] = m["sec"]
+            row[f"{label}_spread"] = m["spread"]
+        row["ratio"] = round(row["r10_sec"] / row["r1_sec"], 2)
+        queries[name] = row
+        print(name, row, flush=True)
+
+    ing = {
+        "r1": ingest_point(spark, r1_dir),
+        "r10": ingest_point(spark, r10_dir),
+    }
+    ing["ratio"] = round(ing["r10"]["sec"] / ing["r1"]["sec"], 2)
+    print("ingest", ing, flush=True)
+
+    def q42_hot(d=hot_dir):
+        qmap["q42_lsh_near_dup_pairs"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    hot = timed_runs(q42_hot)
+    adversarial = {
+        **hot_meta,
+        "q42_hot_sec": hot["sec"],
+        "q42_hot_spread": hot["spread"],
+        "q42_clean_r10_sec": queries["q42_lsh_near_dup_pairs"]["r10_sec"],
+        "hot_overhead_x": round(
+            hot["sec"] / queries["q42_lsh_near_dup_pairs"]["r10_sec"], 2
+        ),
+    }
+    print("adversarial", adversarial, flush=True)
+
+    out = {
+        "metric": "scaling_ratio_r10_over_r1",
+        "unit": "ratio",
+        "src": src,
+        "runs_per_point": RUNS,
+        "estimator": "median_cold",
+        "build_sec": build_sec,
+        "queries": queries,
+        "max_ratio": max(q["ratio"] for q in queries.values()),
+        "ingest": ing,
+        "adversarial_q42": adversarial,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_SCALING_r{int(rnd):02d}.json" if rnd.isdigit() else "BENCH_SCALING.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
