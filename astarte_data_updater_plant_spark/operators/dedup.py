@@ -96,6 +96,37 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bkey) — the LSH band keys for every document.
+
+    One (band, bkey) row per band via a single explode — a per-band
+    union would re-evaluate the whole MinHash transform once per
+    branch (measured 3x slower at sf0.1). Shared as the ``lsh_banded``
+    fragment by q42 (self-join near-dup) and q190 (cross-set
+    decontamination join).
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
+        )
+    )
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (doc_id, shingle) view, for consumers that need the
     inverted-index form."""
@@ -229,33 +260,9 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = fragment(
         spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
     )
-
-    def _banded() -> DataFrame:
-        sig = minhash_signatures(spark, sf_dir)
-        # one (band, bkey) row per band via a single explode — a
-        # per-band union would re-evaluate the whole MinHash transform
-        # once per branch (measured 3x slower at sf0.1)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
-                    ).alias("bkey"),
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-        return (
-            sig.select("doc_id", F.explode(band_structs).alias("bb"))
-            .select(
-                "doc_id",
-                F.col("bb.band").alias("band"),
-                F.col("bb.bkey").alias("bkey"),
-            )
-        )
-
-    banded = fragment(spark, sf_dir, "lsh_banded", _banded)
+    banded = fragment(
+        spark, sf_dir, "lsh_banded", lambda: _banded_frame(spark, sf_dir)
+    )
     # skew-guarded candidate self-join (functions/skew.py): buckets past
     # the cap — a boilerplate shingle shared corpus-wide — get the salted
     # split instead of one straggler task; same pairs, so the oracle's
@@ -756,4 +763,152 @@ def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("neg_id") != F.col("pos_id")))
         .select("anchor_id", "pos_id", "neg_id")
         .orderBy("anchor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — fuzzy (LSH) decontamination against an evaluation set
+# ---------------------------------------------------------------------------
+
+#: q190's eval-set selector: doc_id % 7 (distinct from q108's % 97 so
+#: the fuzzy sweep has verifiable straddling near-dup pairs at every
+#: test scale — % 97 leaves zero near-dups crossing the eval/train cut
+#: at sf0.01, which would pin only the empty result)
+DECONTAM_LSH_MOD = 7
+
+#: the banded CTE over the shared signature SQL, standalone form for
+#: cross-set joins (q42 embeds the same shape inside its self-join CTEs)
+_BANDED_CTE_SQL = """banded AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id,
+               0 AS band, h0 || ':' || h1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, h2 || ':' || h3 FROM sig
+        UNION ALL SELECT doc_id, 2, h4 || ':' || h5 FROM sig
+        UNION ALL SELECT doc_id, 3, h6 || ':' || h7 FROM sig
+      ) u
+    )"""
+
+
+@register(
+    "q190_lsh_decontamination",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    {_BANDED_CTE_SQL},
+    cands AS (
+      SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+      FROM banded t JOIN banded e ON t.band = e.band AND t.bkey = e.bkey
+      WHERE t.doc_id % {DECONTAM_LSH_MOD} <> 0
+        AND e.doc_id % {DECONTAM_LSH_MOD} = 0
+    ),
+    tok AS ({_SH_SQL}),
+    tok_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_id, c.eval_doc_id, COUNT(*) AS n_shared
+      FROM cands c
+      JOIN tok ta ON ta.doc_id = c.doc_id
+      JOIN tok tb ON tb.doc_id = c.eval_doc_id AND tb.shingle = ta.shingle
+      GROUP BY c.doc_id, c.eval_doc_id
+    )
+    SELECT s.doc_id, s.eval_doc_id,
+           CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared)
+             AS jaccard
+    FROM shared s
+    JOIN tok_counts ca ON ca.doc_id = s.doc_id
+    JOIN tok_counts cb ON cb.doc_id = s.eval_doc_id
+    WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - s.n_shared) >= 0.5
+    ORDER BY 1, 2
+    """,
+    doc="Fuzzy decontamination — the NEAR-duplicate complement to "
+    "q108's exact n-gram check (the Llama-style contamination sweep "
+    "catches paraphrased or lightly edited benchmark leaks that exact "
+    "n-gram overlap misses): training docs whose MinHash bands collide "
+    "with any evaluation doc's bands become candidates, exact "
+    "shingle-set Jaccard >= 0.5 verifies. The eval side of the band "
+    "join is BROADCAST (real eval sets are a few thousand docs however "
+    "big the corpus), so the corpus-side probe never shuffles the "
+    "training bands — the same asymmetric topology as q108, upgraded "
+    "from exact overlap to LSH similarity. Shares the pinned "
+    "lsh_banded + shingle_sets fragments with the q42 ladder, so "
+    "running the dedup pass and the decontamination sweep together "
+    "materializes signatures once.",
+)
+def q190_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    banded = fragment(
+        spark, sf_dir, "lsh_banded", lambda: _banded_frame(spark, sf_dir)
+    )
+    train = banded.filter(F.col("doc_id") % DECONTAM_LSH_MOD != 0)
+    ev = (
+        banded.filter(F.col("doc_id") % DECONTAM_LSH_MOD == 0)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"), "band", "bkey"
+        )
+    )
+    cands = (
+        train.join(F.broadcast(ev), ["band", "bkey"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    sets_t = sa.select("doc_id", F.col("shingles").alias("sh_t"))
+    sets_e = sa.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_e")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    jac = inter.cast("double") / union
+    return (
+        cands.join(sets_t, "doc_id")
+        .join(F.broadcast(sets_e.join(
+            F.broadcast(ev.select("eval_doc_id").distinct()), "eval_doc_id"
+        )), "eval_doc_id")
+        .filter(jac >= 0.5)
+        .select("doc_id", "eval_doc_id", jac.alias("jaccard"))
+        .orderBy("doc_id", "eval_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q191_cross_source_dup_matrix",
+    f"""
+    WITH {_NEAR_DUP_CTES_SQL}
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM near_dup_pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source duplication heat map — which sources copy from "
+    "which: every verified near-dup pair (the q42 ladder, shared "
+    "pinned fragments) is attributed to its unordered source pair and "
+    "counted. The artifact a curation team reads before weighting "
+    "sources (a mirror site shows up as an off-diagonal spike; "
+    "boilerplate-heavy domains as a diagonal one). Two broadcast "
+    "dimension joins + one keyed aggregate on top of the existing "
+    "pair topology — nothing new shuffles at scale except the "
+    "~|pairs| attribution rows.",
+)
+def q191_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
     )

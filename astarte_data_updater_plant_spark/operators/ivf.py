@@ -949,3 +949,120 @@ def q185_prototype_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — SemDeDup threshold-calibration curve
+# ---------------------------------------------------------------------------
+
+#: lowest cosine considered by the calibration sweep (pairs below it
+#: would never drop at any examined threshold)
+SEM_CURVE_MIN_E2 = 30
+
+
+@register(
+    "q192_semdedup_threshold_curve",
+    f"""
+    WITH {_km_oracle_cents(KM_ITERS)},
+    {_TRAINED_CORPUS_SQL},
+    pairs AS (
+      SELECT a.vec_id AS ua, b.vec_id AS ub,
+             {_COS.format(a="a.v", b="b.v")} AS cos
+      FROM corpus a JOIN corpus b
+        ON b.centroid_id = a.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= {SEM_CURVE_MIN_E2} / 100.0
+    ),
+    thr AS (
+      SELECT CAST(i AS BIGINT) AS thr_e2
+      FROM UNNEST(range({SEM_CURVE_MIN_E2}, 100, 5)) AS t(i)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+    agg AS (
+      SELECT t.thr_e2,
+             CAST(COUNT(p.ub) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT p.ub) AS BIGINT) AS n_dropped
+      FROM thr t LEFT JOIN pairs p ON p.cos >= t.thr_e2 / 100.0
+      GROUP BY t.thr_e2
+    )
+    SELECT agg.thr_e2, agg.n_pairs, agg.n_dropped, tot.n_corpus,
+           CAST(agg.n_dropped AS DOUBLE) / tot.n_corpus AS drop_frac
+    FROM agg, tot
+    ORDER BY thr_e2
+    """,
+    doc="SemDeDup threshold calibration — the curve read before "
+    "committing to a cosine cutoff (q115 runs at one threshold; this "
+    "sweeps them): for every candidate threshold, the number of "
+    "within-cluster pairs above it and the number of documents the "
+    "greedy keep-lowest rule would drop (a doc drops iff ANY lower-id "
+    "cluster-mate exceeds the threshold, so COUNT(DISTINCT higher id) "
+    "is exact). Pair generation happens ONCE at the lowest examined "
+    "threshold over the shared trained-codebook fragments; the sweep "
+    "itself is a 14-row broadcast theta-join over those pairs — "
+    "re-running the dedup per candidate threshold, the naive approach, "
+    "would cost 14x the cluster pass. Thresholds with zero pairs "
+    "appear as explicit zero rows (LEFT join from the threshold list), "
+    "the q161 zero-member discipline.",
+)
+def q192_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = fragment(
+        spark, sf_dir, "ivf_trained_cents", lambda: kmeans_centroids(spark, sf_dir)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    def _corpus() -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("centroid_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("d2", _d2_col(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("cv", "d2", "rn")
+        )
+
+    corpus = fragment(spark, sf_dir, "ivf_trained_corpus", _corpus)
+    a = corpus.select(
+        F.col("vec_id").alias("ua"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "centroid_id",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("ub"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("centroid_id").alias("cb"),
+    )
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    pairs = (
+        a.join(b, (F.col("cb") == F.col("centroid_id")) & (F.col("ua") < F.col("ub")))
+        .select("ub", sim.alias("cos"))
+        .filter(F.col("cos") >= SEM_CURVE_MIN_E2 / 100.0)
+    )
+    thr = spark.range(SEM_CURVE_MIN_E2, 100, 5).select(
+        F.col("id").cast("long").alias("thr_e2")
+    )
+    swept = pairs.join(
+        F.broadcast(thr), F.col("cos") >= F.col("thr_e2") / 100.0
+    )
+    agg = swept.groupBy("thr_e2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("ub").cast("long").alias("n_dropped"),
+    )
+    tot = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    return (
+        thr.join(agg, "thr_e2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "thr_e2",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            "n_corpus",
+            (
+                F.coalesce("n_dropped", F.lit(0)).cast("double")
+                / F.col("n_corpus")
+            ).alias("drop_frac"),
+        )
+        .orderBy("thr_e2")
+    )
