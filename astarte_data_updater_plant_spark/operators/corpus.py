@@ -2267,3 +2267,75 @@ def q186_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — deterministic epoch shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+#: epochs materialized by the shuffle plan (trainers regenerate per
+#: epoch in practice; two prove the per-epoch independence)
+SHUFFLE_EPOCHS = 2
+#: data-parallel workers the shuffled order is striped across
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "q193_epoch_shuffle",
+    f"""
+    WITH ep AS (
+      SELECT CAST(i AS BIGINT) AS epoch FROM UNNEST(range(0, {SHUFFLE_EPOCHS})) t(i)
+    ),
+    keys AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5('ep' || e.epoch || ':' || d.doc_id), 1, 8))::BIGINT
+               AS hk
+      FROM documents d CROSS JOIN ep e
+    ),
+    ranked AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hk, doc_id)
+               AS position
+      FROM keys
+    )
+    SELECT epoch, doc_id, CAST(position AS BIGINT) AS position,
+           CAST((position - 1) % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM ranked
+    ORDER BY epoch, position
+    """,
+    doc="Deterministic epoch shuffling for training-data loading — the "
+    "order a distributed data loader actually serves: each epoch "
+    "permutes the corpus by a seeded hash (md5 of epoch:doc_id — "
+    "replayable on retry, independent across epochs, no RNG state to "
+    "coordinate), the global position comes from the range-partitioned "
+    "two-phase rank (functions/ranks.py — a bare ORDER BY row_number "
+    "would serialize the corpus onto one task per epoch), and striping "
+    "position across N shards gives every data-parallel worker a "
+    "balanced (+-1) slice of every epoch. At 100 TB this is one keyed "
+    "shuffle per epoch and nothing driver-side but the rank helper's "
+    "bounded boundary sample; trainers resume mid-epoch by filtering "
+    "position > checkpoint, exactly because the order is a pure "
+    "function of (epoch, doc_id).",
+)
+def q193_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = []
+    for e in range(SHUFFLE_EPOCHS):
+        hk = shingle_h32(
+            F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))
+        )
+        ranked = with_global_order(
+            docs.select("doc_id", hk.alias("hk")),
+            ["hk", "doc_id"],
+            rank="position",
+        ).select(
+            F.lit(e).cast("long").alias("epoch"),
+            "doc_id",
+            "position",
+            ((F.col("position") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        )
+        epochs.append(ranked)
+    out = epochs[0]
+    for d in epochs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("epoch", "position")

@@ -2126,3 +2126,132 @@ def s94_stream_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# s95 — streaming decontamination gate (stream-static broadcast index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s95_stream_decontamination",
+    """
+    WITH shing AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shing
+      WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM shing s JOIN bench USING (shingle)
+      WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+    )
+    SELECT z.doc_id,
+           CAST(z.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) * 10 >= z.n_shingles AS contaminated
+    FROM sizes z LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Decontamination as an INGEST-TIME gate instead of a batch "
+    "sweep: crawl snapshots stream in (3 time-sliced micro-batches) "
+    "and every arriving document is scored against the evaluation "
+    "benchmark BEFORE it lands in the corpus — the shape a pipeline "
+    "needs when the corpus is append-only and re-sweeping 100 TB per "
+    "crawl is off the table. The eval index is compiled to a SINGLE "
+    "broadcast row holding the distinct benchmark shingle array (real "
+    "eval sets are a few MB), the stream side computes its shingle set "
+    "with higher-order functions, and the join is a stream-static "
+    "broadcast nested-loop cross join + array_intersect — per-row, "
+    "ZERO streaming state, append mode, so the operator works under "
+    "any watermark policy and never compacts a state store. The "
+    "contamination predicate is pure integer arithmetic (n_shared * "
+    "10 >= n_shingles, the q108 threshold of 0.1), bit-identical to "
+    "the batch oracle over the union of all snapshots.",
+)
+def s95_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ..functions.text import shingles_from_tokens
+    from ..operators.dedup import DECONTAM_BENCH_MOD
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", F.split("text", " ").alias("toks"))
+        return toked.select(
+            "doc_id",
+            F.array_distinct(shingles_from_tokens(F.col("toks"), 3)).alias("sh"),
+        )
+
+    # static side: the benchmark's distinct shingles as ONE array row
+    bench = (
+        doc_shingles(raw.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0))
+        .select(F.explode("sh").alias("shingle"))
+        .agg(F.collect_set("shingle").alias("bench_sh"))
+    )
+
+    # 3 crawl snapshots of the training docs, mtime-ordered so batch
+    # order is deterministic (the file stream source orders by mtime)
+    train = raw.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    src_dir = scratch_dir(prefix="s95_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        n_shared = F.size(F.array_intersect(F.col("sh"), F.col("bench_sh")))
+        gated = (
+            doc_shingles(stream)
+            .filter(F.size("sh") > 0)
+            .crossJoin(bench)
+            .select(
+                "doc_id",
+                F.size("sh").cast("long").alias("n_shingles"),
+                n_shared.cast("long").alias("n_shared"),
+                (n_shared * 10 >= F.size("sh")).alias("contaminated"),
+            )
+        )
+        qname = "s95_decontam"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            gated.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s95_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("doc_id")
