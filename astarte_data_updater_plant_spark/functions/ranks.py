@@ -69,12 +69,31 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_order", "global_ntile_expr"]
+__all__ = ["with_global_order", "global_ntile_expr", "clear_boundary_cache"]
 
 #: target sample keys per cut point (the same order of magnitude Spark's
 #: own range sampler uses); driver holds ~SAMPLES_PER_BUCKET * buckets
 #: key tuples regardless of table size
 SAMPLES_PER_BUCKET = 32
+
+#: memoized boundary lists, keyed (application, caller key, n_buckets).
+#: Correctness never depends on WHICH cut list is used — the bucket
+#: column is a pure per-row projection against whatever literals are
+#: baked into the plan, and phases 2-4 are exact for ANY bucketing —
+#: so a stale memo can only unbalance buckets, never corrupt a rank.
+#: That makes this a performance hint like the skew-probe memo
+#: (functions/skew._HOT_KEY_CACHE): callers with snapshot-stable
+#: inputs pass ``boundary_key`` and repeat plan builds skip the
+#: boundary-discovery Spark action entirely. On pinned-fragment
+#: inputs the probe is cheap (~50 ms), so the local win is small;
+#: the case that matters is an UNPINNED input at scale, where every
+#: rebuild would otherwise re-run the input's full lineage for the
+#: sample.
+_BOUNDARY_CACHE: dict = {}
+
+
+def clear_boundary_cache() -> None:
+    _BOUNDARY_CACHE.clear()
 
 
 def _normalize(sort_cols) -> list[Column]:
@@ -101,6 +120,7 @@ def with_global_order(
     ntile: tuple[int, str] | None = None,
     cumsums: Iterable[tuple[str, str, str]] = (),
     num_partitions: int | None = None,
+    boundary_key: str | None = None,
 ) -> DataFrame:
     """Attach exact global-order columns without a single-partition sort.
 
@@ -112,6 +132,10 @@ def with_global_order(
     cumsums: ``(value_col, out_col, kind)`` with kind ``"inclusive"`` or
             ``"exclusive"`` — exact running SUM(value) over the global
             order (exclusive = sum of strictly-preceding rows, 0 first)
+    boundary_key: opt-in memo key for the discovered cut list (see
+            ``_BOUNDARY_CACHE``) — pass a stable per-call-site string
+            (e.g. ``f"{sf_dir}:q126"``) when the input is a snapshot
+            dataset, so repeated plan builds skip the boundary probe.
     """
     cumsums = list(cumsums)
     if not (rank or total or ntile or cumsums):
@@ -125,30 +149,38 @@ def with_global_order(
     # --- phase 1: deterministic boundary discovery (ONE bounded action)
     keyed = df.select(*[c.alias(f"_gk{i}") for i, c in enumerate(sc)])
     key_fields = keyed.schema.fields
-    boundaries: list[tuple] = []
-    if n_buckets > 1:
-        # bottom-k by xxhash64(key): a deterministic uniform sample of
-        # exactly min(n_rows, 32*B) rows in a single TakeOrdered action
-        # (per-partition top-k + driver merge) — no separate count()
-        # pass sizing a stride. Ties on the hash break on the full key
-        # (a total order), so the sample is bit-stable across retries.
-        k_names = [f.name for f in key_fields]
-        sample = (
-            keyed.withColumn("_gh", F.xxhash64(*[F.col(n) for n in k_names]))
-            .orderBy("_gh", *k_names)
-            .limit(n_buckets * SAMPLES_PER_BUCKET)
-            .drop("_gh")
-            .collect()
-        )
-        sample.sort(key=lambda r: tuple(r))
-        if len(sample) > 1:
-            step = len(sample) / n_buckets
-            cuts = []
-            for i in range(1, n_buckets):
-                t = tuple(sample[min(int(i * step), len(sample) - 1)])
-                if not cuts or t != cuts[-1]:
-                    cuts.append(t)
-            boundaries = cuts
+    ck = None
+    if boundary_key is not None:
+        ck = (spark.sparkContext.applicationId, boundary_key, n_buckets)
+    boundaries: list[tuple] | None = _BOUNDARY_CACHE.get(ck) if ck else None
+    if boundaries is None:
+        boundaries = []
+        if n_buckets > 1:
+            # bottom-k by xxhash64(key): a deterministic uniform sample
+            # of exactly min(n_rows, 32*B) rows in a single TakeOrdered
+            # action (per-partition top-k + driver merge) — no separate
+            # count() pass sizing a stride. Ties on the hash break on
+            # the full key (a total order), so the sample is bit-stable
+            # across retries.
+            k_names = [f.name for f in key_fields]
+            sample = (
+                keyed.withColumn("_gh", F.xxhash64(*[F.col(n) for n in k_names]))
+                .orderBy("_gh", *k_names)
+                .limit(n_buckets * SAMPLES_PER_BUCKET)
+                .drop("_gh")
+                .collect()
+            )
+            sample.sort(key=lambda r: tuple(r))
+            if len(sample) > 1:
+                step = len(sample) / n_buckets
+                cuts = []
+                for i in range(1, n_buckets):
+                    t = tuple(sample[min(int(i * step), len(sample) - 1)])
+                    if not cuts or t != cuts[-1]:
+                        cuts.append(t)
+                boundaries = cuts
+        if ck is not None:
+            _BOUNDARY_CACHE[ck] = boundaries
 
     key_struct = F.struct(
         *[c.alias(f"_gk{i}") for i, c in enumerate(sc)]

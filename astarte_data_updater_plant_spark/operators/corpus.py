@@ -129,8 +129,8 @@ def q110_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase runner — stays parallel even when the group frame itself
     # is large (n_docs / PACK_GROUP rows at corpus scale)
     offsets = with_global_order(
-        totals, ["g"], cumsums=[("gt", "g_off", "exclusive")]
-    ).select("g", "g_off")
+        totals, ["g"], cumsums=[("gt", "g_off", "exclusive")],
+    boundary_key=sf_dir + ":q110").select("g", "g_off")
     c = t.join(F.broadcast(offsets), "g").select(
         "doc_id", "n", (F.col("g_off") + F.col("cum_in")).alias("cum_before")
     )
@@ -921,8 +921,8 @@ def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window.orderBy would serialize the whole vocabulary onto one task
     vocab = (
         with_global_order(
-            df, [(F.col("df"), "desc"), "tok"], rank="tid"
-        )
+            df, [(F.col("df"), "desc"), "tok"], rank="tid",
+        boundary_key=sf_dir + ":q121")
         .filter(F.col("tid") <= VOCAB_N)
         .select("tok", "tid")
     )
@@ -1078,7 +1078,7 @@ def q126_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["score", "doc_id"],
         ntile=(N_TIERS, "tier"),
-    )
+    boundary_key=sf_dir + ":q126")
     return (
         tiered.groupBy("tier")
         .agg(
@@ -1336,11 +1336,11 @@ def q135_zorder_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # express it as one (two-phase exact NTILE, functions/ranks.py), not a
     # single-partition window
     lin = with_global_order(
-        z, ["y", "x", "event_id"], ntile=(N_ZFILES, "tile")
-    ).select("x", "y", (F.col("tile") - 1).alias("file_id"))
+        z, ["y", "x", "event_id"], ntile=(N_ZFILES, "tile"),
+    boundary_key=sf_dir + ":q135a").select("x", "y", (F.col("tile") - 1).alias("file_id"))
     zo = with_global_order(
-        z, ["zkey", "event_id"], ntile=(N_ZFILES, "tile")
-    ).select("x", "y", (F.col("tile") - 1).alias("file_id"))
+        z, ["zkey", "event_id"], ntile=(N_ZFILES, "tile"),
+    boundary_key=sf_dir + ":q135b").select("x", "y", (F.col("tile") - 1).alias("file_id"))
 
     def stats(df, layout):
         return df.groupBy("file_id").agg(
@@ -1622,7 +1622,7 @@ def q147_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_tokens", "source"],
         rank="rk",
         cumsums=[("n_tokens", "cum", "inclusive")],
-    ).crossJoin(F.broadcast(tot))
+    boundary_key=sf_dir + ":q147").crossJoin(F.broadcast(tot))
     feasible = F.col("cum") + F.col("n_tokens") * (F.col("nsrc") - F.col("rk")) <= F.col("budget")
     scal = r.agg(
         F.coalesce(F.max(F.when(feasible, F.col("rk"))), F.lit(0)).alias("kstar"),
@@ -1877,8 +1877,8 @@ def q166_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact order statistic via the range-partitioned two-phase rank —
     # the calibration fold is corpus-sized, so no single-partition window
     ranked = with_global_order(
-        cal, ["nonconf_e6", "doc_id"], rank="rn", total="n_cal"
-    ).select("nonconf_e6", "rn", "n_cal")
+        cal, ["nonconf_e6", "doc_id"], rank="rn", total="n_cal",
+    boundary_key=sf_dir + ":q166").select("nonconf_e6", "rn", "n_cal")
     target_rn = F.least(
         F.ceil(
             (F.col("n_cal") + 1)
@@ -1971,7 +1971,7 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         [(F.col("n"), "desc"), "tok"],
         rank="tid",
-    ).select("tok", "tid")
+    boundary_key=sf_dir + ":q169").select("tok", "tid")
     ids = toks.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "tid")
     decoded = (
         ids.join(F.broadcast(vocab), "tid")
@@ -2066,7 +2066,7 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("f")),
     )
     # range-partitioned two-phase rank: the Zipf rank axis stays parallel
-    ranked = with_global_order(freq, [(F.col("f"), "desc"), "tok"], rank="r")
+    ranked = with_global_order(freq, [(F.col("f"), "desc"), "tok"], rank="r", boundary_key=sf_dir + ":q170")
     pts = ranked.select(
         F.floor(F.log("r") * 1000000).cast("long").alias("x"),
         F.floor(F.log("f") * 1000000).cast("long").alias("y"),
@@ -2150,8 +2150,8 @@ def q183_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("weight")
     )
     c = with_global_order(
-        w, ["doc_id"], cumsums=[("weight", "cum_before", "exclusive")]
-    )
+        w, ["doc_id"], cumsums=[("weight", "cum_before", "exclusive")],
+    boundary_key=sf_dir + ":q183")
     tot = w.agg(F.sum("weight").cast("decimal(38,0)").alias("wtot"))
     d38 = "decimal(38,0)"
     cum = F.col("cum_before").cast(d38)
@@ -2328,7 +2328,7 @@ def q193_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", hk.alias("hk")),
             ["hk", "doc_id"],
             rank="position",
-        ).select(
+        boundary_key=sf_dir + f":q193e{e}").select(
             F.lit(e).cast("long").alias("epoch"),
             "doc_id",
             "position",

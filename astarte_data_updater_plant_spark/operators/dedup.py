@@ -753,7 +753,7 @@ def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["nk", "doc_id"],
         rank="rn",
         total="n",
-    ).withColumn("succ", F.col("rn") % F.col("n") + 1)
+    boundary_key=sf_dir + ":q144").withColumn("succ", F.col("rn") % F.col("n") + 1)
     neg = ring.join(
         ring.select(F.col("rn").alias("succ"), F.col("doc_id").alias("neg_id")),
         "succ",

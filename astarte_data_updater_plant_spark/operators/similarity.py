@@ -424,7 +424,7 @@ def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is exactly RANK() and max(rn) the upper average-rank bound — with
     # no single-partition WindowExec (the w_ties window is keyed)
     w_ties = Window.partitionBy("score")
-    ranked = with_global_order(s, ["score"], rank="rn").select(
+    ranked = with_global_order(s, ["score"], rank="rn", boundary_key=sf_dir + ":q145").select(
         "label",
         F.min("rn").over(w_ties).alias("rank_min"),
         F.max("rn").over(w_ties).alias("rank_max"),
