@@ -293,8 +293,16 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: grams ride as 32-bit md5 hashes (the shared shingle_h32 family), not
+#: strings: the inverted index carries 8-byte longs instead of
+#: ~16-byte strings — ~3x less cached/shuffled bytes for the
+#: heaviest dedup stage (the R=10 scaling run spent its spread on this
+#: fragment's memory pressure). Parity is EXACT, not approximate: both
+#: engines hash with the same function, so a rare 32-bit collision
+#: merges the same two grams on both sides.
 _GRAMS_SQL = f"""
-  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_LEN}) AS gram
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substr(text, i, {NGRAM_LEN})), 1, 8))::BIGINT AS gram
   FROM (
     SELECT doc_id, text,
            unnest(range(1, len(text) - {NGRAM_LEN} + 2)) AS i
@@ -351,9 +359,12 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
-                        f" i -> substring(text, i, {NGRAM_LEN}))"
+                    F.transform(
+                        F.expr(
+                            f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
+                            f" i -> substring(text, i, {NGRAM_LEN}))"
+                        ),
+                        shingle_h32,
                     )
                 )
             ).alias("gram"),
