@@ -77,12 +77,18 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — the distinct 3-word shingle
-    SET per document, kept as an array column. Everything downstream
-    (MinHash, band keys, exact Jaccard) computes over the array with
+    """(doc_id, shingles: array<bigint>) — the distinct 3-word shingle
+    SET per document as 32-bit md5 hashes (the shared shingle_h32
+    family), kept as an array column. Everything downstream (MinHash,
+    band keys, exact Jaccard) computes over the array with
     higher-order functions, so signature generation is a pure map with
     ZERO shuffles — at 100 TB that removes a 50x-row explode and a
-    groupBy of the entire shingle stream."""
+    groupBy of the entire shingle stream. Shingles ride as 8-byte
+    longs, not ~24-byte strings: the pinned fragment, the verify-join
+    shuffles, and the q108 inverted index all carry ~3x fewer bytes.
+    Parity with the oracle is EXACT, not approximate — the oracle's
+    tok CTE (_SH_SQL) hashes with the same function, so a rare 32-bit
+    collision merges the same two shingles on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     # no row filter here: a deterministic filter on the computed array
@@ -92,7 +98,12 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer already treats as "no shingles".
     return toked.select(
         "doc_id",
-        F.array_distinct(shingles_from_tokens(F.col("toks"), 3)).alias("shingles"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), 3)),
+                shingle_h32,
+            )
+        ).alias("shingles"),
     )
 
 
@@ -139,14 +150,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h7): 8 min-wise hashes over the shingle set —
     array_min over a transform, per row, shuffle-free.
 
-    md5 runs ONCE per shingle (the h32 base hash, materialized as its
-    own projection so CollapseProject can't inline it 8x); each
-    coordinate is then an integer permutation (a*h+b) % P of that base
-    array — hashing cost is 1/8th of an md5-per-(seed, shingle)
-    family, with the same min-wise guarantees.
+    md5 runs ONCE per shingle (the h32 base hash lives inside
+    _shingle_sets' own projection, so CollapseProject can't inline it
+    8x); each coordinate is then an integer permutation (a*h+b) % P of
+    that base array — hashing cost is 1/8th of an md5-per-(seed,
+    shingle) family, with the same min-wise guarantees.
     """
     sa = _shingle_sets(spark, sf_dir)
-    hashed = sa.select("doc_id", F.transform("shingles", shingle_h32).alias("hs"))
+    hashed = sa.select("doc_id", F.col("shingles").alias("hs"))
     cols = [
         F.array_min(F.transform(F.col("hs"), minhash_perm(i))).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -162,11 +173,18 @@ _SHINGLE_LIST_SQL = (
     "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
     " || ' ' || string_split(text,' ')[i+2]))"
 )
-_SH_SQL = f"SELECT doc_id, unnest({_SHINGLE_LIST_SQL}) AS shingle FROM documents"
-_H32_SQL = (
-    "SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h32 "
-    f"FROM ({_SH_SQL})"
+#: oracle twin of _shingle_sets: DISTINCT 32-bit md5 hashes per doc —
+#: the same shingle_h32 family as the Spark side, so parity is exact
+#: even under a hash collision (both engines merge the same shingles).
+_SH_STR_SQL = (
+    f"SELECT doc_id, unnest({_SHINGLE_LIST_SQL}) AS shingle FROM documents"
 )
+_SH_SQL = (
+    "SELECT DISTINCT doc_id, "
+    "('0x' || substr(md5(shingle),1,8))::BIGINT AS shingle "
+    f"FROM ({_SH_STR_SQL})"
+)
+_H32_SQL = f"SELECT doc_id, shingle AS h32 FROM ({_SH_SQL})"
 _SIG_SQL = (
     "SELECT doc_id, "
     + ", ".join(

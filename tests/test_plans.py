@@ -258,12 +258,17 @@ PLAN_BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
 def test_headline_plan_budgets(spark, qs, name):
+    from astarte_data_updater_plant_spark.functions.ranks import clear_boundary_cache
     from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
 
     # budgets are for the COLD plan: a pinned fragment left by an
     # earlier test replaces subtrees with InMemoryTableScan and shifts
-    # the exchange/join counts
+    # the exchange/join counts. The boundary memo must go too — a warm
+    # memo skips the probe action, so a freshly re-pinned fragment is
+    # UNMATERIALIZED at plan time and its size stats can demote a
+    # broadcast join (observed on q126: 3 -> 2 broadcast joins)
     clear_fragments()
+    clear_boundary_cache()
     max_ex, min_bcast, max_shj, max_nl = PLAN_BUDGETS[name]
     s = plan_summary(qs[name](spark, SF_DIR))
     assert s["exchanges"] <= max_ex, f"{name}: exchanges {s['exchanges']} > {max_ex}"
