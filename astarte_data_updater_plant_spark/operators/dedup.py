@@ -369,25 +369,32 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= NGRAM_LEN
     )
-    grams = fragment(
+    # One row per DOC with the distinct gram-hash ARRAY, not one row
+    # per (doc, gram): verification below is array_intersect against
+    # this frame, so the pinned fragment is the array form and the
+    # exploded inverted index is derived from it. At the 10x scaling
+    # point the old explode-join-groupBy verify (candidates joined
+    # back to the full gram stream twice, then re-aggregated) was the
+    # single heaviest shuffle in the repo (~260s); two hash joins to
+    # doc-level arrays plus a per-row intersect replace it outright.
+    gram_sets = fragment(
         spark,
         sf_dir,
-        "char_ngrams",
+        "char_ngram_sets",
         lambda: docs.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.expr(
-                            f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
-                            f" i -> substring(text, i, {NGRAM_LEN}))"
-                        ),
-                        shingle_h32,
-                    )
+            F.array_distinct(
+                F.transform(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {NGRAM_LEN - 1}),"
+                        f" i -> substring(text, i, {NGRAM_LEN}))"
+                    ),
+                    shingle_h32,
                 )
-            ).alias("gram"),
-        ),
+            ).alias("grams"),
+        ).select("doc_id", "grams", F.size("grams").alias("n")),
     )
+    grams = gram_sets.select("doc_id", F.explode("grams").alias("gram"))
     df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     rare_grams = df.filter(
         (F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_MAX)
@@ -401,23 +408,21 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    shared = (
-        candidates.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    sets_a = gram_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("g_a"),
+        F.col("n").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_shared")
+    sets_b = gram_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("g_b"),
+        F.col("n").alias("nb"),
     )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .filter(jac >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
