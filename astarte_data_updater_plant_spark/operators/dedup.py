@@ -946,3 +946,167 @@ def q191_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — LSH banding S-curve audit (empirical P(detect) per Jaccard bin)
+# ---------------------------------------------------------------------------
+
+#: document-frequency window for the ground-truth pair generator: a
+#: shingle shared by 2..SCURVE_DF_MAX docs proposes its doc pairs. The
+#: cap bounds candidate generation at O(sum df^2) — the same
+#: stop-shingle bound as q44 — and is an AUDIT-SAMPLING choice, not a
+#: correctness one (pairs whose every shared shingle is boilerplate-hot
+#: are out of audit scope; the banding curve is measured on the rest).
+SCURVE_DF_MAX = 10
+
+
+@register(
+    "q195_lsh_scurve_audit",
+    f"""
+    WITH tok AS ({_SH_SQL}),
+    df AS (
+      SELECT shingle FROM tok GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {SCURVE_DF_MAX}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a
+      JOIN df USING (shingle)
+      JOIN tok b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
+    tok_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.doc_a
+      JOIN tok tb ON tb.doc_id = p.doc_b AND tb.shingle = ta.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sig AS ({_SIG_SQL}),
+    judged AS (
+      SELECT least(CAST(floor(
+               CAST(s.n_shared AS DOUBLE)
+               / (ca.n_sh + cb.n_sh - s.n_shared) * 10) AS BIGINT), 9)
+               AS jac_bin,
+             CASE WHEN (ga.h0 = gb.h0 AND ga.h1 = gb.h1)
+                    OR (ga.h2 = gb.h2 AND ga.h3 = gb.h3)
+                    OR (ga.h4 = gb.h4 AND ga.h5 = gb.h5)
+                    OR (ga.h6 = gb.h6 AND ga.h7 = gb.h7)
+                  THEN 1 ELSE 0 END AS detected
+      FROM shared s
+      JOIN tok_counts ca ON ca.doc_id = s.doc_a
+      JOIN tok_counts cb ON cb.doc_id = s.doc_b
+      JOIN sig ga ON ga.doc_id = s.doc_a
+      JOIN sig gb ON gb.doc_id = s.doc_b
+    )
+    SELECT b.jac_bin,
+           CAST(COALESCE(j.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(j.n_detected, 0) AS BIGINT) AS n_detected,
+           CAST(COALESCE(j.n_detected * 1000000 // j.n_pairs, 0) AS BIGINT)
+             AS detect_rate_e6
+    FROM (SELECT unnest(range(0, 10)) AS jac_bin) b
+    LEFT JOIN (
+      SELECT jac_bin, COUNT(*) AS n_pairs, SUM(detected) AS n_detected
+      FROM judged GROUP BY jac_bin
+    ) j USING (jac_bin)
+    ORDER BY jac_bin
+    """,
+    doc="Empirical S-curve of the MinHash banding scheme: ground-truth "
+    "pairs come from a df-capped shingle inverted index (shares >= 1 "
+    "shingle seen in 2..10 docs — O(sum df^2) candidate generation, "
+    "the q44 stop-shingle bound, INDEPENDENT of the banding under "
+    "audit), exact shingle-set Jaccard bins each pair into deciles, "
+    "and 'detected' = the pair collides in >= 1 of the 4 bands of the "
+    "production q42 scheme. The per-bin detection rate is the measured "
+    "1-(1-j^2)^4 curve — the calibration artifact that tells a corpus "
+    "team what recall the dedup ladder actually has at each similarity "
+    "level BEFORE trusting it on a new crawl (q128 audits the "
+    "estimator variance per pair; this audits the candidate-generation "
+    "recall per similarity bin, which q128 cannot see because verified "
+    "candidates are conditioned on detection). All joins are keyed "
+    "equi-joins on doc ids against the shared pinned shingle_sets / "
+    "signature fragments; the output is a fixed 10-row frame with "
+    "explicit zero rows for empty bins (the zero-class house rule).",
+)
+def q195_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    tok = sa.select("doc_id", F.explode("shingles").alias("shingle"))
+    df_ok = (
+        tok.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SCURVE_DF_MAX))
+        .select("shingle")
+    )
+    idx = tok.join(df_ok, "shingle")
+    pairs = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_a = sa.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    sets_b = sa.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    sig = minhash_signatures(spark, sf_dir)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    detected = (
+        ((F.col("a0") == F.col("b0")) & (F.col("a1") == F.col("b1")))
+        | ((F.col("a2") == F.col("b2")) & (F.col("a3") == F.col("b3")))
+        | ((F.col("a4") == F.col("b4")) & (F.col("a5") == F.col("b5")))
+        | ((F.col("a6") == F.col("b6")) & (F.col("a7") == F.col("b7")))
+    )
+    judged = (
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            F.least(F.floor(jac * 10).cast("long"), F.lit(9)).alias("jac_bin"),
+            detected.cast("int").alias("detected"),
+        )
+    )
+    agg = judged.groupBy("jac_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("detected").alias("n_detected"),
+    )
+    bins = spark.range(10).select(F.col("id").alias("jac_bin"))
+    return (
+        bins.join(agg, "jac_bin", "left")
+        .select(
+            "jac_bin",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_detected"), F.lit(0))
+            .cast("long")
+            .alias("n_detected"),
+            F.coalesce(
+                F.expr("CAST(n_detected * 1000000 DIV n_pairs AS BIGINT)"),
+                F.lit(0),
+            ).alias("detect_rate_e6"),
+        )
+        .orderBy("jac_bin")
+    )

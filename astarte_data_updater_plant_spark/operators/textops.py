@@ -1800,3 +1800,141 @@ def q189_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query", "doc_id", "rnk", "score_e6")
         .orderBy("query", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — DSIR-style importance weights (hashed n-gram distribution match)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature bucket count. 4096 buckets keeps BOTH smoothed
+#: unigram models broadcast-sized (two 4096-row count tables) at ANY
+#: corpus scale — the whole "model" is two bounded dimension tables.
+DSIR_BUCKETS = 4096
+
+#: the shared 32-bit md5 token hash, bucketed — oracle twin of
+#: shingle_h32(tok) % DSIR_BUCKETS (h32 is non-negative, so % == pmod).
+_DSIR_BUCKET_SQL = (
+    f"('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS}"
+)
+
+
+@register(
+    "q194_dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM toks
+    ),
+    tc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM feats
+      WHERE lang = 'en' GROUP BY b
+    ),
+    rc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM feats
+      WHERE lang <> 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_tot,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_tot
+      FROM feats
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(floor(ln(
+               (CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE)
+                * CAST(tot.r_tot + {DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(COALESCE(rc.rc, 0) + 1 AS DOUBLE)
+                  * CAST(tot.t_tot + {DSIR_BUCKETS} AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS term_e6
+      FROM feats f
+      LEFT JOIN tc ON tc.b = f.b
+      LEFT JOIN rc ON rc.b = f.b
+      CROSS JOIN tot
+      WHERE f.lang <> 'en'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(term_e6) AS BIGINT) AS logw_e6,
+           CAST(CASE WHEN SUM(term_e6) >= 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS keep
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed unigram "
+    "features estimate a target distribution p (here the lang='en' "
+    "slice standing in for the curated corpus) and a raw distribution "
+    "q (everything else); each raw document's importance weight is "
+    "sum over token occurrences of ln(p(b)/q(b)) with add-one "
+    "smoothing over the 4096 hashed buckets. The entire 'model' is "
+    "two 4096-row count tables — BROADCAST joins however big the "
+    "corpus — so scoring is one token explode, two broadcast lookups, "
+    "and one keyed per-doc aggregate: a single shuffle on doc_id at "
+    "100 TB. Every ln term is the log of a ratio of exact integers "
+    "(identical doubles on both engines), floored to 1e-6 fixed "
+    "point, so the per-document sum is exact integer arithmetic under "
+    "any aggregation order; keep = (sum >= 0) is the geometric-mean "
+    "importance >= 1 selection rule, sidestepping negative integer "
+    "division (Spark DIV truncates, DuckDB // floors).",
+)
+def q194_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (shingle_h32(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+    )
+    tc = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rc = (
+        feats.filter(F.col("lang") != "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    tot = feats.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("t_tot"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("r_tot"),
+    )
+    num = (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") * (
+        F.col("r_tot") + F.lit(DSIR_BUCKETS)
+    ).cast("double")
+    den = (F.coalesce(F.col("rc"), F.lit(0)) + 1).cast("double") * (
+        F.col("t_tot") + F.lit(DSIR_BUCKETS)
+    ).cast("double")
+    scored = (
+        feats.filter(F.col("lang") != "en")
+        .join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(rc), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(F.log(num / den) * 1000000).cast("long").alias("term_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("term_e6").cast("long").alias("logw_e6"),
+            F.when(F.sum("term_e6") >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
