@@ -868,6 +868,27 @@ VOCAB_N = 24
 UNK_ID = 0
 
 
+def _df_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, tid): the df-ranked top-VOCAB_N vocabulary shared by q121
+    (encoding) and q196 (fertility report). The df aggregate is a
+    pinned fragment; the rank is the range-partitioned two-phase
+    runner (functions/ranks.py) — a bare Window.orderBy would
+    serialize the whole vocabulary onto one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    df = fragment(
+        spark, sf_dir, "q121_tok_df",
+        lambda: toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")),
+    )
+    return (
+        with_global_order(
+            df, [(F.col("df"), "desc"), "tok"], rank="tid",
+        boundary_key=sf_dir + ":q121")
+        .filter(F.col("tid") <= VOCAB_N)
+        .select("tok", "tid")
+    )
+
+
 @register(
     "q121_vocab_encode",
     f"""
@@ -913,19 +934,7 @@ def q121_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
-    df = fragment(
-        spark, sf_dir, "q121_tok_df",
-        lambda: toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")),
-    )
-    # range-partitioned two-phase rank (functions/ranks.py): a bare
-    # Window.orderBy would serialize the whole vocabulary onto one task
-    vocab = (
-        with_global_order(
-            df, [(F.col("df"), "desc"), "tok"], rank="tid",
-        boundary_key=sf_dir + ":q121")
-        .filter(F.col("tid") <= VOCAB_N)
-        .select("tok", "tid")
-    )
+    vocab = _df_vocab(spark, sf_dir)
     ids = toks.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id", "pos",
         F.coalesce("tid", F.lit(UNK_ID)).alias("tid"),
@@ -2339,3 +2348,92 @@ def q193_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in epochs[1:]:
         out = out.unionByName(d)
     return out.orderBy("epoch", "position")
+
+
+# ---------------------------------------------------------------------------
+# q196 — tokenizer fertility / compression report per (source, lang)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q196_tokenizer_fertility",
+    f"""
+    WITH toks AS (
+      SELECT d.source, d.lang, d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+      FROM documents d
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS tid
+        FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok) d
+      ) r WHERE tid <= {VOCAB_N}
+    ),
+    agg AS (
+      SELECT t.source, t.lang,
+             CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_terms,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.source, t.lang
+    ),
+    chars AS (
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source, lang
+    )
+    SELECT a.source, a.lang, a.n_docs, a.n_tokens, a.n_terms, a.n_oov,
+           c.n_chars,
+           CAST(a.n_tokens * 1000 // c.n_chars AS BIGINT) AS fertility_e3,
+           CAST(a.n_oov * 1000 // a.n_tokens AS BIGINT) AS oov_pm
+    FROM agg a JOIN chars c ON c.source = a.source AND c.lang = a.lang
+    ORDER BY a.source, a.lang
+    """,
+    doc="Tokenizer fertility report per (source, language) slice: "
+    "tokens emitted per 1000 characters (the fertility metric "
+    "tokenizer teams track per language — a slice whose fertility is "
+    "2x the corpus mean pays 2x the compute per byte of text) plus "
+    "OOV per-mille against the df-ranked q121 vocabulary and the "
+    "distinct-term count. One token explode, one BROADCAST lookup "
+    "against the bounded vocabulary, and one aggregate keyed by the "
+    "(source, lang) pair — the output is bounded by the slice count "
+    "however big the corpus, and every rate is an exact positive "
+    "integer quotient (identical truncating division both engines). "
+    "Shares the pinned q121_tok_df fragment, so running encode and "
+    "report together scans the corpus once.",
+)
+def q196_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "lang", "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = _df_vocab(spark, sf_dir).select("tok")
+    agg = (
+        toks.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("tok").cast("long").alias("n_terms"),
+            F.sum((F.col("in_vocab").isNull()).cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    chars = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("n_chars")
+    )
+    return (
+        agg.join(chars, ["source", "lang"])
+        .select(
+            "source", "lang", "n_docs", "n_tokens", "n_terms", "n_oov",
+            "n_chars",
+            F.expr("CAST(n_tokens * 1000 DIV n_chars AS BIGINT)").alias(
+                "fertility_e3"
+            ),
+            F.expr("CAST(n_oov * 1000 DIV n_tokens AS BIGINT)").alias("oov_pm"),
+        )
+        .orderBy("source", "lang")
+    )

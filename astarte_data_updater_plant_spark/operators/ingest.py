@@ -2255,3 +2255,299 @@ def s95_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("doc_id")
+
+
+# -- s96: streaming incremental near-dup dedup against a growing index -------
+
+def _s96_oracle() -> str:
+    """Unrolled 3-batch replay of the streaming dedup gate: batch k
+    (doc_id % 3 = k, arrival order 0,1,2) is checked against the index
+    of KEPT docs from strictly earlier batches — exact md5 first, then
+    LSH band collision verified by exact shingle Jaccard >= 0.5 (the
+    q111 verdict ladder) — and only its keepers join the index. The
+    recursion over batches is unrolled into per-k CTEs (kept{k} feeds
+    idx{k+1}), which is exactly what the streaming side's versioned
+    index store does one micro-batch at a time."""
+    from .dedup import _SH_SQL, _SIG_SQL
+
+    parts = [
+        f"WITH sig AS ({_SIG_SQL})",
+        """banded AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, 0 AS band, h0 || ':' || h1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, h2 || ':' || h3 FROM sig
+        UNION ALL SELECT doc_id, 2, h4 || ':' || h5 FROM sig
+        UNION ALL SELECT doc_id, 3, h6 || ':' || h7 FROM sig
+      ) u
+    )""",
+        "exh AS (SELECT doc_id, md5(text) AS h FROM documents)",
+        f"tok AS ({_SH_SQL})",
+        "tokc AS (SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id)",
+        "kept0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)",
+    ]
+    for k in (1, 2):
+        idx = "SELECT doc_id FROM kept0" if k == 1 else (
+            "SELECT doc_id FROM kept0 UNION ALL SELECT doc_id FROM kept1"
+        )
+        parts += [
+            f"idx{k} AS ({idx})",
+            f"""ex{k} AS (
+      SELECT bb.doc_id, MIN(ib.doc_id) AS corp_doc
+      FROM exh bb
+      JOIN exh ib ON ib.h = bb.h
+      JOIN idx{k} ix ON ix.doc_id = ib.doc_id
+      WHERE bb.doc_id % 3 = {k}
+      GROUP BY bb.doc_id
+    )""",
+            f"""cand{k} AS (
+      SELECT DISTINCT nb.doc_id AS bdoc, cb.doc_id AS cdoc
+      FROM banded nb
+      JOIN banded cb ON cb.band = nb.band AND cb.bkey = nb.bkey
+      JOIN idx{k} ix ON ix.doc_id = cb.doc_id
+      WHERE nb.doc_id % 3 = {k}
+    )""",
+            f"""near{k} AS (
+      SELECT s.bdoc, s.cdoc,
+             round(CAST(s.n_shared AS DOUBLE)
+                   / (ca.n_sh + cb2.n_sh - s.n_shared), 6) AS jaccard
+      FROM (
+        SELECT c.bdoc, c.cdoc, COUNT(*) AS n_shared
+        FROM cand{k} c
+        JOIN tok ta ON ta.doc_id = c.bdoc
+        JOIN tok tb ON tb.doc_id = c.cdoc AND tb.shingle = ta.shingle
+        GROUP BY c.bdoc, c.cdoc
+      ) s
+      JOIN tokc ca ON ca.doc_id = s.bdoc
+      JOIN tokc cb2 ON cb2.doc_id = s.cdoc
+      WHERE CAST(s.n_shared AS DOUBLE) / (ca.n_sh + cb2.n_sh - s.n_shared)
+            >= 0.5
+    )""",
+            f"""best{k} AS (
+      SELECT bdoc, cdoc, jaccard FROM (
+        SELECT bdoc, cdoc, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY bdoc
+                 ORDER BY jaccard DESC, cdoc) AS rn
+        FROM near{k}
+      ) r WHERE rn = 1
+    )""",
+            f"""verd{k} AS (
+      SELECT d.doc_id,
+             CASE WHEN e.corp_doc IS NOT NULL THEN 'drop_exact'
+                  WHEN n.cdoc IS NOT NULL THEN 'drop_near'
+                  ELSE 'keep' END AS verdict,
+             CASE WHEN e.corp_doc IS NOT NULL THEN e.corp_doc
+                  ELSE n.cdoc END AS match_doc,
+             CASE WHEN e.corp_doc IS NOT NULL THEN 1.0
+                  ELSE n.jaccard END AS jaccard
+      FROM documents d
+      LEFT JOIN ex{k} e ON e.doc_id = d.doc_id
+      LEFT JOIN best{k} n ON n.bdoc = d.doc_id
+      WHERE d.doc_id % 3 = {k}
+    )""",
+            f"kept{k} AS (SELECT doc_id FROM verd{k} WHERE verdict = 'keep')",
+        ]
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT doc_id, 'keep' AS verdict,
+           CAST(NULL AS BIGINT) AS match_doc, CAST(NULL AS DOUBLE) AS jaccard
+    FROM kept0
+    UNION ALL SELECT doc_id, verdict, match_doc, jaccard FROM verd1
+    UNION ALL SELECT doc_id, verdict, match_doc, jaccard FROM verd2
+    ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "s96_stream_incremental_dedup",
+    _s96_oracle(),
+    doc="The q111 incremental-dedup topology run as a LIVE STREAM: "
+    "crawl batches arrive as three mtime-ordered micro-batches, and "
+    "each foreachBatch checks every arriving doc against a GROWING "
+    "signature index holding only previously KEPT docs — exact md5 "
+    "first, then MinHash band collision verified by exact shingle "
+    "Jaccard >= 0.5 — then appends the batch's keepers' signatures to "
+    "a batch_id-versioned index store with pointer-swap commit (the "
+    "s87 idempotence contract: a replayed batch rewrites its own "
+    "version, never double-inserts). Verdicts land in per-batch "
+    "version dirs the same way. Docs dropped earlier never pollute "
+    "the index, so a near-dup of a DROPPED doc is still kept unless "
+    "it also matches a keeper — the append-only-corpus semantic a "
+    "batch sweep cannot give you. Per micro-batch the index side is "
+    "keyed equi-joins against the store (batch small, index probed, "
+    "nothing compares batch docs to each other), signature compute "
+    "is the shared zero-shuffle higher-order-function family, and "
+    "the oracle replays the whole ladder as unrolled per-batch CTEs.",
+)
+def s96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ..functions.text import minhash_perm, shingle_h32, shingles_from_tokens
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sigs(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            F.split("text", " ").alias("toks"),
+        )
+        sh = F.array_distinct(
+            F.transform(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), 3)),
+                shingle_h32,
+            )
+        )
+        s = toked.select("doc_id", "h", sh.alias("sh"))
+        for i in range(8):
+            s = s.withColumn(
+                f"h{i}", F.array_min(F.transform("sh", minhash_perm(i)))
+            )
+        return s.select(
+            "doc_id", "h", "sh",
+            *[
+                F.concat_ws(
+                    ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                ).alias(f"bk{b}")
+                for b in range(4)
+            ],
+        )
+
+    def banded(df: DataFrame) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"bk{b}").alias("bkey")
+                )
+                for b in range(4)
+            ]
+        )
+        return df.select("doc_id", F.explode(structs).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+
+    src_dir = scratch_dir(prefix="s96_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        raw.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    idx_root = scratch_dir(prefix="s96_idx_")
+    out_root = scratch_dir(prefix="s96_out_")
+    current = {"path": None}
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bs = sigs(batch_df)
+        if current["path"] is None:
+            verd = bs.select(
+                "doc_id",
+                F.lit("keep").alias("verdict"),
+                F.lit(None).cast("long").alias("match_doc"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+            kept = bs
+        else:
+            idx = sess.read.parquet(current["path"])
+            exact = (
+                bs.select("doc_id", "h")
+                .join(
+                    idx.groupBy("h").agg(F.min("doc_id").alias("corp_doc")),
+                    "h",
+                )
+                .select("doc_id", "corp_doc")
+            )
+            cand = (
+                banded(bs)
+                .withColumnRenamed("doc_id", "bdoc")
+                .join(
+                    banded(idx).withColumnRenamed("doc_id", "cdoc"),
+                    ["band", "bkey"],
+                )
+                .select("bdoc", "cdoc")
+                .distinct()
+            )
+            sets_b = bs.select(F.col("doc_id").alias("bdoc"), F.col("sh").alias("sh_b"))
+            sets_c = idx.select(F.col("doc_id").alias("cdoc"), F.col("sh").alias("sh_c"))
+            inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+            union = F.size("sh_b") + F.size("sh_c") - inter
+            jac = inter.cast("double") / union
+            near = (
+                cand.join(sets_b, "bdoc")
+                .join(sets_c, "cdoc")
+                .filter(jac >= 0.5)
+                .select("bdoc", "cdoc", F.round(jac, 6).alias("jaccard"))
+            )
+            w = Window.partitionBy("bdoc").orderBy(F.col("jaccard").desc(), "cdoc")
+            best = (
+                near.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("bdoc").alias("doc_id"), "cdoc", "jaccard")
+            )
+            verd = (
+                bs.select("doc_id")
+                .join(exact, "doc_id", "left")
+                .join(best, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("corp_doc").isNotNull(), F.lit("drop_exact"))
+                    .when(F.col("cdoc").isNotNull(), F.lit("drop_near"))
+                    .otherwise(F.lit("keep"))
+                    .alias("verdict"),
+                    F.when(F.col("corp_doc").isNotNull(), F.col("corp_doc"))
+                    .otherwise(F.col("cdoc"))
+                    .cast("long")
+                    .alias("match_doc"),
+                    F.when(F.col("corp_doc").isNotNull(), F.lit(1.0))
+                    .otherwise(F.col("jaccard"))
+                    .cast("double")
+                    .alias("jaccard"),
+                )
+            )
+            kept = bs.join(
+                verd.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+            )
+        # batch_id-versioned dirs: a streaming retry overwrites the SAME
+        # version (idempotent); the pointer flip is the commit
+        verd_dir = os.path.join(out_root, f"v{batch_id}")
+        verd.write.mode("overwrite").parquet(verd_dir)
+        new_idx = kept if current["path"] is None else (
+            sess.read.parquet(current["path"]).unionByName(kept)
+        )
+        idx_dir = os.path.join(idx_root, f"v{batch_id}")
+        new_idx.write.mode("overwrite").parquet(idx_dir)
+        current["path"] = idx_dir
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", scratch_dir(prefix="s96_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    verdicts = spark.read.parquet(*sorted(glob.glob(os.path.join(out_root, "v*"))))
+    return verdicts.orderBy("doc_id")
