@@ -2437,3 +2437,121 @@ def q196_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — reciprocal-rank-fusion quality ensemble
+# ---------------------------------------------------------------------------
+
+#: the standard RRF damping constant (Cormack et al. 2009)
+RRF_K = 60
+
+from ..functions.text import STOPWORDS as _RRF_STOPWORDS  # noqa: E402
+
+_RRF_STOP_SQL = ", ".join(f"'{w}'" for w in _RRF_STOPWORDS)
+
+
+@register(
+    "q197_rank_fusion",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_RRF_STOP_SQL}))) AS n_stop
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id,
+             n_distinct * 1000000 // n_tokens AS ttr_e6,
+             n_stop * 1000000 // n_tokens AS stop_e6
+      FROM feat
+    ),
+    clf AS (SELECT doc_id, score FROM ({_Q114_SQL})),
+    ranks AS (
+      SELECT k.doc_id, k.ttr_e6, k.stop_e6,
+             ROW_NUMBER() OVER (ORDER BY k.ttr_e6 DESC, k.doc_id) AS r_ttr,
+             ROW_NUMBER() OVER (ORDER BY c.score DESC, k.doc_id) AS r_clf,
+             ROW_NUMBER() OVER (ORDER BY k.stop_e6 ASC, k.doc_id) AS r_stop
+      FROM keys k JOIN clf c USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(r_ttr AS BIGINT) AS r_ttr,
+           CAST(r_clf AS BIGINT) AS r_clf,
+           CAST(r_stop AS BIGINT) AS r_stop,
+           CAST(1000000 // ({RRF_K} + r_ttr)
+                + 1000000 // ({RRF_K} + r_clf)
+                + 1000000 // ({RRF_K} + r_stop) AS BIGINT) AS rrf_e6
+    FROM ranks
+    ORDER BY doc_id
+    """,
+    doc="Reciprocal-rank-fusion corpus prioritization: three "
+    "heterogeneous quality rankers — type-token ratio (desc), the "
+    "q114 hashed linear classifier score (desc), and stopword ratio "
+    "(asc) — are fused per document as sum of 1e6 // (60 + rank), "
+    "the Cormack et al. RRF formula in exact integer arithmetic. "
+    "Rank keys are exact fixed-point quotients (ttr and stopword "
+    "rates as n*1e6 DIV n_tokens) or the integer-backed classifier "
+    "double, with doc_id tie-breaks, so all three global orders are "
+    "bit-deterministic; each global rank is the range-partitioned "
+    "two-phase runner over a projection of ONE pinned feature "
+    "fragment (never a single-partition window), and the fusion is "
+    "two keyed joins on doc_id. The fused ranking is how curation "
+    "pipelines combine incomparable quality signals without score "
+    "calibration — only ranks cross the signal boundary.",
+)
+def q197_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = fragment(
+        spark,
+        sf_dir,
+        "q197_rank_keys",
+        lambda: docs.select(
+            "doc_id",
+            F.expr(
+                "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+                " DIV size(split(text, ' ')) AS BIGINT)"
+            ).alias("ttr_e6"),
+            F.expr(
+                f"CAST(size(filter(split(text, ' '),"
+                f" x -> x IN ({_RRF_STOP_SQL})))"
+                " * 1000000 DIV size(split(text, ' ')) AS BIGINT)"
+            ).alias("stop_e6"),
+        ).join(
+            q114_quality_classifier(spark, sf_dir).select("doc_id", "score"),
+            "doc_id",
+        ),
+    )
+    r_ttr = with_global_order(
+        base.select("doc_id", "ttr_e6"),
+        [("ttr_e6", "desc"), "doc_id"],
+        rank="r_ttr",
+        boundary_key=sf_dir + ":q197t",
+    ).select("doc_id", "r_ttr")
+    r_clf = with_global_order(
+        base.select("doc_id", "score"),
+        [(F.col("score"), "desc"), "doc_id"],
+        rank="r_clf",
+        boundary_key=sf_dir + ":q197c",
+    ).select("doc_id", "r_clf")
+    r_stop = with_global_order(
+        base.select("doc_id", "stop_e6"),
+        ["stop_e6", "doc_id"],
+        rank="r_stop",
+        boundary_key=sf_dir + ":q197s",
+    ).select("doc_id", "r_stop")
+    rrf = (
+        F.expr(f"CAST(1000000 DIV ({RRF_K} + r_ttr) AS BIGINT)")
+        + F.expr(f"CAST(1000000 DIV ({RRF_K} + r_clf) AS BIGINT)")
+        + F.expr(f"CAST(1000000 DIV ({RRF_K} + r_stop) AS BIGINT)")
+    )
+    return (
+        r_ttr.join(r_clf, "doc_id")
+        .join(r_stop, "doc_id")
+        .select(
+            "doc_id", "r_ttr", "r_clf", "r_stop",
+            rrf.cast("long").alias("rrf_e6"),
+        )
+        .orderBy("doc_id")
+    )
