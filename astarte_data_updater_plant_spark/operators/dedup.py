@@ -1110,3 +1110,143 @@ def q195_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — dedup funnel report (docs/tokens surviving each ladder rung)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_dedup_funnel",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL},
+    tokc AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          PARTITION BY component_id ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM lab
+      ) r WHERE rn = 1
+    ),
+    shing AS ({_SH_SQL}),
+    bench AS (
+      SELECT DISTINCT shingle FROM shing
+      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM shing s JOIN bench USING (shingle)
+      WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+      GROUP BY s.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shing GROUP BY doc_id),
+    contam AS (
+      SELECT h.doc_id FROM hits h JOIN sizes z USING (doc_id)
+      WHERE CAST(h.n_shared AS DOUBLE) / z.n_shingles >= {DECONTAM_FRAC}
+    ),
+    s1 AS (SELECT doc_id FROM ex),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN canon USING (doc_id)),
+    s3 AS (
+      SELECT doc_id FROM s2
+      WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    raw AS (SELECT COUNT(*) AS rd, SUM(n_tokens) AS rt FROM tokc),
+    stages AS (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM tokc
+      UNION ALL
+      SELECT 1, 'exact_canonical', COUNT(*), SUM(t.n_tokens)
+      FROM s1 JOIN tokc t USING (doc_id)
+      UNION ALL
+      SELECT 2, 'near_canonical', COUNT(*), SUM(t.n_tokens)
+      FROM s2 JOIN tokc t USING (doc_id)
+      UNION ALL
+      SELECT 3, 'decontaminated', COUNT(*), SUM(t.n_tokens)
+      FROM s3 JOIN tokc t USING (doc_id)
+    )
+    SELECT s.stage, s.stage_name,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_docs * 10000 // r.rd AS BIGINT) AS docs_pct_e4,
+           CAST(s.n_tokens * 10000 // r.rt AS BIGINT) AS tokens_pct_e4
+    FROM stages s CROSS JOIN raw r
+    ORDER BY s.stage
+    """,
+    doc="The dedup ladder's funnel report: documents and tokens "
+    "surviving each rung — raw corpus, exact-canonical (the q40 "
+    "min-doc-per-content-hash election), near-dup canonical (ALSO "
+    "elected by the q47 component-wide vote), and decontaminated "
+    "(minus the q108 eval-overlap flags and the eval docs "
+    "themselves). This is the one-page artifact a curation run "
+    "reports ('exact dedup removed X%, near-dup Y more, "
+    "decontamination Z') — four bounded aggregates over the SAME "
+    "pinned fragments the ladder already materializes (shingle sets, "
+    "bands, components), so the report costs four keyed joins on top "
+    "of work the pipeline has done anyway, and every percentage is "
+    "an exact integer basis-point quotient.",
+)
+def q198_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import n_tokens as _ntok
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = docs.select("doc_id", _ntok(F.col("text")).cast("long").alias("n_tokens"))
+    s1 = q40_exact_dedup(spark, sf_dir).select(
+        F.col("canonical_doc").alias("doc_id")
+    )
+    canon = (
+        q47_dedup_keep_best(spark, sf_dir)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    s2 = s1.join(canon, "doc_id")
+    contam = (
+        q108_decontamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    s3 = s2.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0).join(
+        contam, "doc_id", "left_anti"
+    )
+
+    def measure(stage: int, name: str, ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(tokc, "doc_id")
+            .agg(
+                F.lit(stage).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+
+    raw = tokc.agg(
+        F.count(F.lit(1)).alias("rd"), F.sum("n_tokens").alias("rt")
+    )
+    stages = (
+        measure(0, "raw", tokc.select("doc_id"))
+        .unionByName(measure(1, "exact_canonical", s1))
+        .unionByName(measure(2, "near_canonical", s2))
+        .unionByName(measure(3, "decontaminated", s3))
+    )
+    return (
+        stages.crossJoin(F.broadcast(raw))
+        .select(
+            "stage", "stage_name", "n_docs", "n_tokens",
+            F.expr("CAST(n_docs * 10000 DIV rd AS BIGINT)").alias("docs_pct_e4"),
+            F.expr("CAST(n_tokens * 10000 DIV rt AS BIGINT)").alias(
+                "tokens_pct_e4"
+            ),
+        )
+        .orderBy("stage")
+    )
