@@ -1650,3 +1650,119 @@ def q182_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (q202)
+# ---------------------------------------------------------------------------
+
+#: sketch size: the K smallest hash values are kept per group
+KMV_K = 64
+#: salt fan-out for the partial-sketch tree level
+KMV_SALTS = 32
+#: hash domain size: shingle_h32 values are uniform in [0, 2^32)
+KMV_DOMAIN = 4294967296.0
+
+
+@register(
+    "q202_kmv_distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k, MAX(h) AS kth_hash
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    ),
+    est AS (
+      SELECT e.event_type, e.exact_distinct, t.k, t.kth_hash,
+             CASE WHEN t.k < {KMV_K} THEN CAST(t.k AS DOUBLE)
+                  ELSE round((t.k - 1) * {KMV_DOMAIN} / t.kth_hash, 6)
+             END AS est_distinct
+      FROM ex e JOIN kth t USING (event_type)
+    )
+    SELECT event_type, exact_distinct, k, kth_hash, est_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 6)
+             AS rel_err
+    FROM est
+    ORDER BY event_type
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch per event type, "
+    "estimate (k-1) * domain / kth_smallest_hash (Bar-Yossef et al. "
+    "2002 / the theta-sketch family) — the MERGEABLE distinct sketch "
+    "whose state is exactly K hashes, built here as Spark would build "
+    "it at 100 TB: a two-level tree (per-(group, salt) top-K via a "
+    "keyed window over {KMV_SALTS} salt buckets, then a merge of the "
+    "bounded K x {KMV_SALTS} survivors) so no single task ever ranks "
+    "a whole group's distinct stream and union-merge across "
+    "partitions/days is the same top-K-of-union operation. Unlike "
+    "HLL (q56's bounds contract) the KMV state is deterministic given "
+    "the hash function, so the shared md5-h32 family makes the "
+    "estimate EXACTLY reproducible on both engines — the oracle "
+    "hash-matches estimate, kth hash, and relative error, and the "
+    "two-level Spark tree provably equals the oracle's flat rank "
+    "(each salt bucket keeps a superset of its global-top-K members).",
+)
+def q202_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", shingle_h32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    # level 1: top-K per (group, salt) — bounded keyed windows, no
+    # group-wide rank of the full distinct stream
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    partial = (
+        h.withColumn("salt", F.pmod("h", F.lit(KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    # level 2: top-K of the <= K * SALTS survivors per group
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("k") < KMV_K, F.col("k").cast("double")
+    ).otherwise(
+        F.round((F.col("k") - 1) * F.lit(KMV_DOMAIN) / F.col("kth_hash"), 6)
+    )
+    return (
+        exact.join(sketch, "event_type")
+        .withColumn("est_distinct", est)
+        .select(
+            "event_type",
+            "exact_distinct",
+            "k",
+            "kth_hash",
+            "est_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

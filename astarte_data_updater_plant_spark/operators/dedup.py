@@ -1250,3 +1250,111 @@ def q198_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (q199)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold for the prefix-filtered join — higher than q42's
+#: LSH cut so the two candidate generators are exercised at different
+#: operating points
+PREFIX_JACCARD_MIN = 0.6
+
+
+@register(
+    "q199_prefix_filter_jaccard",
+    f"""
+    WITH sh AS ({_SH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared)
+          >= {PREFIX_JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXACT set-similarity join via prefix filtering (the "
+    "AllPairs/PPJoin scale path, Bayardo et al. WWW'07 / Xiao et al. "
+    "WWW'08): each document indexes only the FIRST "
+    "n - ceil(t*n) + 1 of its shingles under a global "
+    "rarest-first order (ascending document frequency, hash "
+    "tie-break); two sets with Jaccard >= t must share a prefix "
+    "element under any common total order, so the equi-join on "
+    "prefix shingles is a LOSSLESS candidate generator — unlike "
+    "LSH banding (q42) there is no recall loss to audit, and "
+    "unlike the full inverted index (q44's oracle shape) the "
+    "index carries only the (1-t) rarest fraction of each "
+    "posting list, which is also the SMALL-df fraction, so "
+    "candidate volume collapses super-linearly with t. The "
+    "oracle states the same result via the naive "
+    "all-sharing-pairs join — affordable at test scale only, "
+    "which is the point: equality of the two IS the lossless- "
+    "ness proof, run at every parity gate. Every Spark stage "
+    "is a keyed shuffle (df count, per-doc sort, prefix "
+    "explode, skew-guarded self-join, array-intersect verify "
+    "on candidates only); the per-doc rarest-first sort rides "
+    "array_sort over a collected struct array — per-document "
+    "state, never a global order.",
+)
+def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    flat = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    dfreq = flat.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle list in GLOBAL rarest-first order: (df, sh)
+    # struct sort is per-document work after one keyed join — the
+    # global order is defined by the pair, not by a global sort
+    ordered = (
+        flat.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("os")
+        )
+    )
+    n = F.size("os")
+    plen = (n - F.ceil(F.lit(PREFIX_JACCARD_MIN) * n) + 1).cast("int")
+
+    def _prefixes() -> DataFrame:
+        return ordered.select(
+            "doc_id",
+            F.explode(
+                F.slice(F.transform("os", lambda s: s["sh"]), F.lit(1), plen)
+            ).alias("psh"),
+        )
+
+    # pinned: the skew probe and both sides of the self-join read it
+    pref = fragment(spark, sf_dir, "prefix_shingles", _prefixes)
+    candidates = guarded_self_pairs(
+        pref, ["psh"], "doc_id", probe_key=f"{sf_dir}:prefix_shingles"
+    )
+    sets_a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(jac >= PREFIX_JACCARD_MIN)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

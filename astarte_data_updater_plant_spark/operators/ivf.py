@@ -1066,3 +1066,236 @@ def q192_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("thr_e2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) with asymmetric distance (q200/q201)
+# ---------------------------------------------------------------------------
+
+#: SQ8 levels: codes 0..255, one byte per dimension — 8x smaller than
+#: a float64 corpus, 4x smaller than float32 (the FAISS SQ8 rung
+#: between full vectors and PQ's sub-byte codes)
+SQ_LEVELS = 255
+
+#: the SQ8 derivation as oracle CTEs, shared by q200 (top-k) and q201
+#: (recall vs exact L2)
+_SQ_CTES_SQL = f"""
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sqdims AS (
+      SELECT t.i AS dim, MIN(v[t.i]) AS mn, MAX(v[t.i]) AS mx
+      FROM base, UNNEST(range(1, len(v) + 1)) AS t(i)
+      GROUP BY t.i
+    ),
+    sqstats AS (
+      SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      FROM sqdims
+    ),
+    sqcoded AS (
+      SELECT vec_id, v,
+             list_transform(range(1, len(v) + 1), i ->
+               mns[i] + (CASE WHEN mxs[i] - mns[i] > 0
+                 THEN least({SQ_LEVELS}.0, greatest(0.0,
+                      floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * {SQ_LEVELS})))
+                 ELSE 0.0 END) * (mxs[i] - mns[i]) / {SQ_LEVELS}) AS vq
+      FROM base CROSS JOIN sqstats
+    ),
+    sq_topk AS (
+      SELECT query_id, neighbor_id, approx_d2 FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, q.v)
+                     - 2 * list_dot_product(q.v, n.vq)
+                     + list_dot_product(n.vq, n.vq), 6) AS approx_d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, q.v)
+                               - 2 * list_dot_product(q.v, n.vq)
+                               + list_dot_product(n.vq, n.vq), 6) ASC,
+                          n.vec_id
+               ) AS rn
+        FROM base q JOIN sqcoded n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+      ) t WHERE rn <= {TOP_K}
+    )"""
+
+
+def _sq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, vq): every vector plus its SQ8 DEQUANTIZED twin.
+
+    Training is one pass: per-dimension global [min, max] — a 2x64-
+    double "codebook" carried as a single broadcast row, compared to
+    PQ's K x M table. Encoding and asymmetric reconstruction are a
+    pure map over the corpus (transform over an index sequence), so
+    the whole quantizer adds ZERO shuffles beyond the 64-row stats
+    aggregate. vq holds the dequantized values mn + code*step so the
+    ADC arithmetic below is plain double dot products on both engines;
+    on a real deployment the stored column is the uint8 code array
+    (1/8th the bytes) and vq is reconstructed in the scan projection.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    stats_row = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .select(F.struct("pos", "mn", "mx").alias("s"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.transform("ss", lambda s: s["mn"]).alias("mns"),
+            F.transform("ss", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+
+    def dequant(i):
+        vi = F.element_at(F.col("v"), i)
+        mi = F.element_at(F.col("mns"), i)
+        xi = F.element_at(F.col("mxs"), i)
+        code = F.when(
+            xi - mi > 0,
+            F.least(
+                F.lit(float(SQ_LEVELS)),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((vi - mi) / (xi - mi) * SQ_LEVELS).cast("double"),
+                ),
+            ),
+        ).otherwise(F.lit(0.0))
+        return mi + code * (xi - mi) / SQ_LEVELS
+
+    return (
+        emb.crossJoin(F.broadcast(stats_row))
+        .select(
+            "vec_id",
+            "v",
+            F.transform(F.sequence(F.lit(1), F.size("v")), dequant).alias("vq"),
+        )
+    )
+
+
+@register(
+    "q200_sq8_adc_topk",
+    f"""
+    WITH {_SQ_CTES_SQL}
+    SELECT query_id, neighbor_id, approx_d2 FROM sq_topk
+    ORDER BY query_id, approx_d2, neighbor_id
+    """,
+    doc="Scalar-quantization (SQ8) ANN with asymmetric distance — the "
+    "middle rung of the compression ladder (exact q50 -> SQ8 here -> "
+    "PQ q118): each dimension is affinely coded to 8 bits against "
+    "global per-dimension [min, max], queries stay full-precision and "
+    "score against DEQUANTIZED corpus vectors (ADC). The codebook is "
+    "2 x dim doubles — one broadcast row, vs PQ's K x M table — and "
+    "encode/reconstruct is a shuffle-free map, so at 100 TB the scan "
+    "reads 1-byte codes (8x less IO than float64) and the only "
+    "shuffle anywhere is the 64-row stats aggregate plus the top-k "
+    "window. Distances are rounded to 6 digits with vec_id tie-break "
+    "so the cutoff is engine-exact.",
+)
+def q200_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coded = fragment(
+        spark, sf_dir, "sq8_coded", lambda: _sq_coded(spark, sf_dir)
+    )
+    corpus = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vq").alias("nv"),
+        dot(F.col("vq"), F.col("vq")).alias("nn"),
+    )
+    qs = coded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        dot(F.col("v"), F.col("v")).alias("qq"),
+    )
+    d2 = F.round(
+        F.col("qq") - 2 * dot(F.col("qv"), F.col("nv")) + F.col("nn"), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), "neighbor_id"
+    )
+    return (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("approx_d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_d2")
+        .orderBy("query_id", "approx_d2", "neighbor_id")
+    )
+
+
+@register(
+    "q201_sq8_recall",
+    f"""
+    WITH {_SQ_CTES_SQL},
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, q.v)
+                               - 2 * list_dot_product(q.v, n.v)
+                               + list_dot_product(n.v, n.v), 6) ASC,
+                          n.vec_id
+               ) AS rn
+        FROM base q JOIN base n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+      ) t WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(s.neighbor_id) / {TOP_K}.0 AS recall
+    FROM exact_topk e
+    LEFT JOIN sq_topk s
+      ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    doc="recall@k of SQ8 asymmetric-distance search (q200) against "
+    "the exact L2 top-k on the same queries — quantization loss made "
+    "measurable, completing the ladder's audit set (q107 IVF recall, "
+    "q119 PQ recall, here SQ8). SQ8 recall should dominate PQ's at "
+    "equal corpus bytes per the usual trade; having all three as "
+    "queries makes that an executable claim rather than a doc note.",
+)
+def q201_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq = q200_sq8_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("sq_query"), F.col("neighbor_id").alias("sq_neighbor")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    d2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("nv"))
+        + dot(F.col("nv"), F.col("nv")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neighbor_id")
+    exact = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        sq,
+        (F.col("sq_query") == F.col("query_id"))
+        & (F.col("sq_neighbor") == F.col("neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("sq_neighbor").cast("long").alias("n_hits"))
+        .select(
+            "query_id", "n_hits", (F.col("n_hits") / float(TOP_K)).alias("recall")
+        )
+        .orderBy("query_id")
+    )
