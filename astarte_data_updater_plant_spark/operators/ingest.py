@@ -2551,3 +2551,167 @@ def s96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     verdicts = spark.read.parquet(*sorted(glob.glob(os.path.join(out_root, "v*"))))
     return verdicts.orderBy("doc_id")
+
+
+# -- s97: streaming KMV distinct-count sketch --------------------------------
+
+
+@register(
+    "s97_stream_kmv_distinct",
+    """
+    WITH s AS (
+      SELECT event_type, user_id,
+             NTILE(3) OVER (ORDER BY ts, event_id) AS slice
+      FROM events
+    ),
+    h AS (
+      SELECT DISTINCT event_type, slice,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM s
+    ),
+    pres AS (SELECT DISTINCT event_type, slice FROM s),
+    seqd AS (
+      SELECT event_type, slice,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slice) AS seq
+      FROM pres
+    ),
+    dh AS (
+      SELECT DISTINCT q.event_type, q.seq, hh.h
+      FROM seqd q
+      JOIN h hh ON hh.event_type = q.event_type AND hh.slice <= q.slice
+    ),
+    ranked AS (
+      SELECT event_type, seq, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type, seq ORDER BY h) AS rn
+      FROM dh
+    ),
+    kth AS (
+      SELECT event_type, seq,
+             CAST(COUNT(*) AS BIGINT) AS k, MAX(h) AS kth_hash
+      FROM ranked WHERE rn <= 64 GROUP BY event_type, seq
+    )
+    SELECT event_type, seq, k, kth_hash,
+           CASE WHEN k < 64 THEN CAST(k AS DOUBLE)
+                ELSE round((k - 1) * 4294967296.0 / kth_hash, 6)
+           END AS est_distinct
+    FROM kth
+    ORDER BY event_type, seq
+    """,
+    doc="The q202 KMV distinct sketch run as LIVE STREAMING STATE: a "
+    "per-event-type GroupState (applyInPandasWithState) carries the K "
+    "smallest user-id hashes across micro-batch boundaries, and after "
+    "every batch in which a key receives data it emits the running "
+    "(k, kth_hash, estimate) row — the 'distinct devices so far' "
+    "gauge a live dashboard reads, impossible with exact COUNT( "
+    "DISTINCT) in a stream without unbounded state. The state is "
+    "EXACTLY 64 longs per key regardless of stream length (vs the "
+    "exact answer's unbounded user set) and merging a batch is "
+    "top-K-of-union — the sketch's mergeability is precisely what "
+    "makes it a valid streaming fold. Hashes are computed JVM-side "
+    "with the shared md5-h32 family before the stateful stage, so "
+    "the Python fold only set-merges bounded ints, and the estimate "
+    "is computed AFTER the memory sink in Spark SQL so rounding "
+    "stays half-up on both engines. The oracle replays each "
+    "micro-batch prefix via the same NTILE(3) time-slicing the "
+    "stream writer uses (the s88 two-phase-rank discipline), so "
+    "every per-batch emission is pinned, not just the final one.",
+)
+def s97_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from ..functions.text import shingle_h32
+    from .analytics import KMV_DOMAIN, KMV_K
+
+    k_cap = int(KMV_K)
+
+    def kmv_fold(key, pdf_iter, state):
+        hs = set()
+        for pdf in pdf_iter:
+            hs.update(int(x) for x in pdf["h"])
+        if state.exists:
+            seq, prev = state.get
+            seq = int(seq) + 1
+            hs.update(int(x) for x in prev)
+        else:
+            seq = 1
+        merged = sorted(hs)[:k_cap]
+        state.update((seq, merged))
+        yield pd.DataFrame(
+            {
+                "event_type": [str(key[0])],
+                "seq": [seq],
+                "k": [len(merged)],
+                "kth_hash": [max(merged)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        shingle_h32(F.col("user_id").cast("string")).alias("h"),
+    )
+    sliced = (
+        with_global_order(ev, ["ts", "event_id"], ntile=(3, "tile"))
+        .withColumn("slice", F.col("tile") - 1)
+        .select("event_type", "h", "slice")
+    )
+    src_dir = scratch_dir(prefix="s97_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(sliced.drop("slice").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            kmv_fold,
+            outputStructType="event_type STRING, seq BIGINT, k BIGINT, kth_hash BIGINT",
+            stateStructType="seq BIGINT, hs ARRAY<BIGINT>",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s97_kmv"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s97_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    est = F.when(
+        F.col("k") < k_cap, F.col("k").cast("double")
+    ).otherwise(
+        F.round((F.col("k") - 1) * F.lit(KMV_DOMAIN) / F.col("kth_hash"), 6)
+    )
+    return (
+        spark.table(qname)
+        .withColumn("est_distinct", est)
+        .select("event_type", "seq", "k", "kth_hash", "est_distinct")
+        .orderBy("event_type", "seq")
+    )
