@@ -1358,3 +1358,241 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (q204) — asymmetric quote/inclusion detection
+# ---------------------------------------------------------------------------
+
+#: containment threshold: >= this fraction of the contained doc's
+#: shingles appear in the container
+CONTAIN_MIN = 0.8
+#: ignore tiny shingle sets (trivially contained)
+CONTAIN_MIN_SH = 8
+
+
+@register(
+    "q204_containment_pairs",
+    f"""
+    WITH sh AS ({_SH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dir AS (
+      SELECT p.da AS contained_doc, p.db AS container_doc,
+             p.inter, za.n AS n_contained
+      FROM pairs p JOIN sizes za ON za.doc_id = p.da
+      UNION ALL
+      SELECT p.db, p.da, p.inter, zb.n
+      FROM pairs p JOIN sizes zb ON zb.doc_id = p.db
+    )
+    SELECT contained_doc, container_doc,
+           CAST(inter AS DOUBLE) / n_contained AS containment
+    FROM dir
+    WHERE n_contained >= {CONTAIN_MIN_SH}
+      AND CAST(inter AS DOUBLE) / n_contained >= {CONTAIN_MIN}
+    ORDER BY contained_doc, container_doc
+    """,
+    doc="ASYMMETRIC near-dup: shingle-set containment "
+    "|A intersect B| / |A| — the quote/inclusion detector that "
+    "Jaccard misses by construction (a paragraph fully embedded in a "
+    "10x longer page has tiny Jaccard but containment 1.0; dedup "
+    "pipelines drop the contained copy, search pipelines keep the "
+    "container). Every unordered candidate pair is scored in BOTH "
+    "directions, so the output names (contained_doc, container_doc) "
+    "explicitly. Candidates come from the skew-guarded inverted-"
+    "index self-join on the shared pinned shingle fragment (the "
+    "boilerplate-shingle hot buckets get the salted split); the "
+    "verify is one array_intersect over the two pinned sets. "
+    "Min-set-size floor keeps trivially-contained stubs out.",
+)
+def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    flat = fragment(
+        spark, sf_dir, "doc_shingles_flat", lambda: _doc_shingles(spark, sf_dir)
+    )
+    pairs = guarded_self_pairs(
+        flat, ["shingle"], "doc_id", probe_key=f"{sf_dir}:doc_shingles_flat"
+    )
+    sets_a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    scored = (
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    dirs = scored.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        "inter",
+        F.col("na").alias("n_contained"),
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("contained_doc"),
+            F.col("doc_a").alias("container_doc"),
+            "inter",
+            F.col("nb").alias("n_contained"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.col("n_contained")
+    return (
+        dirs.filter(
+            (F.col("n_contained") >= CONTAIN_MIN_SH) & (cont >= CONTAIN_MIN)
+        )
+        .select("contained_doc", "container_doc", cont.alias("containment"))
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (q205)
+# ---------------------------------------------------------------------------
+
+#: split fan: hash % 10 -> 0-7 train, 8 val, 9 test
+SPLIT_MOD = 10
+SPLIT_VAL = 8
+SPLIT_TEST = 9
+
+
+_SPLIT_CASE = (
+    "CASE WHEN {h} % 10 <= 7 THEN 'train' "
+    "WHEN {h} % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+_H_OF = "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "q205_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL},
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    assign AS (
+      SELECT doc_id, component_id,
+             {_SPLIT_CASE.format(h=_H_OF.format(x="component_id"))} AS comp_split,
+             {_SPLIT_CASE.format(h=_H_OF.format(x="doc_id"))} AS naive_split
+      FROM lab
+    ),
+    schemes AS (
+      SELECT 'component' AS scheme, doc_id, component_id, comp_split AS split
+      FROM assign
+      UNION ALL
+      SELECT 'doc_naive', doc_id, component_id, naive_split FROM assign
+    ),
+    spans AS (
+      SELECT scheme, component_id,
+             COUNT(DISTINCT split) AS n_splits
+      FROM schemes GROUP BY scheme, component_id
+    )
+    SELECT s.scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.component_id) AS BIGINT) AS n_components,
+           CAST(SUM(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN s.split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(SUM(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM spans p
+            WHERE p.scheme = s.scheme AND p.n_splits > 1)
+             AS n_leaky_components
+    FROM schemes s
+    GROUP BY s.scheme
+    ORDER BY s.scheme
+    """,
+    doc="Leakage-safe corpus splitting: train/val/test assignment by "
+    "hash of the NEAR-DUP COMPONENT id (q45's connected components; "
+    "singletons label themselves), contrasted against the naive "
+    "per-document hash split on the same corpus. A component split "
+    "has zero components spanning splits BY CONSTRUCTION (all near-"
+    "duplicates of a test doc land in test, so the model can't "
+    "memorize a train-side twin of an eval doc — the classic "
+    "contamination bug in web-corpus evals); the naive row "
+    "quantifies exactly how many duplicate groups the per-doc hash "
+    "tears across splits. Both schemes use the deterministic md5-h32 "
+    "split hash, so the assignment is reproducible shard-by-shard "
+    "with no global state — the property that lets a 100 TB corpus "
+    "be split embarrassingly parallel.",
+)
+def q205_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q45_near_dup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", "doc_id")
+    )
+
+    def split_of(col: str):
+        h = shingle_h32(F.col(col).cast("string")) % SPLIT_MOD
+        return (
+            F.when(h <= 7, F.lit("train"))
+            .when(h == SPLIT_VAL, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assign = lab.select(
+        "doc_id",
+        "component_id",
+        split_of("component_id").alias("comp_split"),
+        split_of("doc_id").alias("naive_split"),
+    )
+    schemes = assign.select(
+        F.lit("component").alias("scheme"),
+        "doc_id",
+        "component_id",
+        F.col("comp_split").alias("split"),
+    ).unionByName(
+        assign.select(
+            F.lit("doc_naive").alias("scheme"),
+            "doc_id",
+            "component_id",
+            F.col("naive_split").alias("split"),
+        )
+    )
+    leaky = (
+        schemes.groupBy("scheme", "component_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_components"))
+    )
+    summary = schemes.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component_id").cast("long").alias("n_components"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    return (
+        summary.join(leaky, "scheme", "left")
+        .withColumn(
+            "n_leaky_components",
+            F.coalesce("n_leaky_components", F.lit(0)).cast("long"),
+        )
+        .orderBy("scheme")
+    )

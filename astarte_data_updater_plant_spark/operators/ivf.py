@@ -1299,3 +1299,134 @@ def q201_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding (Matryoshka-style) recall audit (q206)
+# ---------------------------------------------------------------------------
+
+#: truncation depths audited against the full-dimension exact top-k
+TRUNC_DIMS = (16, 32)
+
+
+def _trunc_l2_sql(a: str, b: str, d: int | None) -> str:
+    sa = a if d is None else f"{a}[1:{d}]"
+    sb = b if d is None else f"{b}[1:{d}]"
+    return (
+        f"round(list_dot_product({sa}, {sa})"
+        f" - 2 * list_dot_product({sa}, {sb})"
+        f" + list_dot_product({sb}, {sb}), 6)"
+    )
+
+
+def _topk_cte_sql(name: str, d: int | None) -> str:
+    return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_trunc_l2_sql("q.v", "n.v", d)} ASC, n.vec_id
+               ) AS rn
+        FROM base q JOIN base n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+      ) t WHERE rn <= {TOP_K}
+    )"""
+
+
+@register(
+    "q206_matryoshka_recall",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_topk_cte_sql("topk_full", None)},
+    {_topk_cte_sql("topk_16", 16)},
+    {_topk_cte_sql("topk_32", 32)},
+    r16 AS (
+      SELECT f.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits_d16
+      FROM topk_full f
+      LEFT JOIN topk_16 t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY f.query_id
+    ),
+    r32 AS (
+      SELECT f.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits_d32
+      FROM topk_full f
+      LEFT JOIN topk_32 t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY f.query_id
+    )
+    SELECT query_id,
+           n_hits_d16, n_hits_d16 / {TOP_K}.0 AS recall_d16,
+           n_hits_d32, n_hits_d32 / {TOP_K}.0 AS recall_d32
+    FROM r16 JOIN r32 USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="Matryoshka-style truncation audit: recall@k of exact search "
+    "over the FIRST 16 and 32 dimensions against the full-dimension "
+    "exact top-k — the measurement that decides whether a "
+    "prefix-truncated index (the MRL deployment trick: store 64 "
+    "dims, search the first 16, re-rank survivors at full width) is "
+    "safe for a given embedding family. Truncation is a zero-cost "
+    "slice in the scan projection — at 100 TB searching d/4 "
+    "prefixes cuts both the scanned bytes and the dot-product FLOPs "
+    "4x before any ANN structure is even applied, and this query "
+    "reports exactly what that buys per query. Same bounded-query "
+    "broadcast brute-force pattern as the other recall audits "
+    "(q107/q119/q201); distances rounded to 6 digits, id tie-break.",
+)
+def q206_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+
+    def topk(d: int | None) -> DataFrame:
+        nv = F.col("v") if d is None else F.slice("v", 1, d)
+        corpus = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            nv.alias("nv"),
+        ).withColumn("nn", dot(F.col("nv"), F.col("nv")))
+        qs = (
+            emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+            .select(F.col("vec_id").alias("query_id"), nv.alias("qv"))
+            .withColumn("qq", dot(F.col("qv"), F.col("qv")))
+        )
+        d2 = F.round(
+            F.col("qq") - 2 * dot(F.col("qv"), F.col("nv")) + F.col("nn"), 6
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neighbor_id")
+        return (
+            corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(None)
+
+    def recall_of(d: int) -> DataFrame:
+        t = topk(d).select(
+            F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+        )
+        return (
+            full.join(
+                t,
+                (F.col("tq") == F.col("query_id"))
+                & (F.col("tn") == F.col("neighbor_id")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("tn").cast("long").alias(f"n_hits_d{d}"))
+        )
+
+    out = recall_of(16).join(recall_of(32), "query_id")
+    return out.select(
+        "query_id",
+        "n_hits_d16",
+        (F.col("n_hits_d16") / float(TOP_K)).alias("recall_d16"),
+        "n_hits_d32",
+        (F.col("n_hits_d32") / float(TOP_K)).alias("recall_d32"),
+    ).orderBy("query_id")

@@ -1213,3 +1213,105 @@ def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — seasonal-naive backtest (hour-of-day profile + holdout MAE)
+# ---------------------------------------------------------------------------
+
+#: fixed-point snap for values in the backtest (1e-3)
+SEAS_SNAP = 1000
+#: holdout: the trailing N epoch-days are the test window
+SEAS_HOLDOUT_DAYS = 2
+
+
+@register(
+    "q203_seasonal_backtest",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+             CAST(ROUND(value * {SEAS_SNAP}) AS BIGINT) AS y
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS maxd FROM s),
+    train AS (
+      SELECT s.* FROM s, mx WHERE day <= maxd - {SEAS_HOLDOUT_DAYS}
+    ),
+    test AS (
+      SELECT s.* FROM s, mx WHERE day > maxd - {SEAS_HOLDOUT_DAYS}
+    ),
+    prof AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS c,
+             SUM(CAST(y AS HUGEINT)) AS sy
+      FROM train GROUP BY event_type, hod
+    ),
+    err AS (
+      SELECT t.event_type, t.hod, p.c, p.sy,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             SUM(abs(CAST(t.y AS HUGEINT) * p.c - p.sy)) AS num
+      FROM test t
+      JOIN prof p ON p.event_type = t.event_type AND p.hod = t.hod
+      GROUP BY t.event_type, t.hod, p.c, p.sy
+    )
+    SELECT event_type, hod, c AS n_train,
+           CAST(sy AS DOUBLE) / c / {SEAS_SNAP} AS forecast,
+           n_test,
+           CAST(num AS DECIMAL(38,0)) AS abs_err_num,
+           CAST(num AS DOUBLE) / c / n_test / {SEAS_SNAP} AS mae
+    FROM err
+    ORDER BY event_type, hod
+    """,
+    doc="Seasonal-naive forecast backtest — the baseline every "
+    "anomaly/forecast system must beat: the per-(event_type, "
+    "hour-of-day) training mean is the forecast, scored by MAE on a "
+    "trailing-days holdout. The arithmetic follows the q162 exact "
+    "discipline: values snap to 1e-3 longs, the per-row absolute "
+    "error is |y*c - sum| — an exact HUGEINT/DECIMAL(38,0) since "
+    "every test row in a (type, hour) cell shares the SAME profile "
+    "denominator — and the only doubles are two final fixed-formula "
+    "division chains, so the backtest reproduces bit-for-bit on "
+    "replay (a float-accumulated MAE would drift with partition "
+    "order). Plan shape: one global-max broadcast for the cutoff, "
+    "one keyed aggregate per split, one keyed equi-join — every "
+    "stage partitions on (type, hour), nothing global.",
+)
+def q203_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(ts_micros("ts") / 86400000000).cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * SEAS_SNAP).cast("long").alias("y"),
+    )
+    mx = s.agg(F.max("day").alias("maxd"))
+    s2 = s.crossJoin(F.broadcast(mx))
+    train = s2.filter(F.col("day") <= F.col("maxd") - SEAS_HOLDOUT_DAYS)
+    test = s2.filter(F.col("day") > F.col("maxd") - SEAS_HOLDOUT_DAYS)
+    prof = train.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("decimal(38,0)").alias("sy"),
+    )
+    yd = F.col("y").cast("decimal(18,0)")
+    err = (
+        test.join(prof, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "c", "sy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.abs(yd * F.col("c") - F.col("sy")))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    return err.select(
+        "event_type",
+        "hod",
+        F.col("c").alias("n_train"),
+        (F.col("sy").cast("double") / F.col("c") / SEAS_SNAP).alias("forecast"),
+        "n_test",
+        F.col("num").alias("abs_err_num"),
+        (
+            F.col("num").cast("double") / F.col("c") / F.col("n_test") / SEAS_SNAP
+        ).alias("mae"),
+    ).orderBy("event_type", "hod")
