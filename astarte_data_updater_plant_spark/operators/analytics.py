@@ -1766,3 +1766,121 @@ def q202_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — exact weighted median, bucketed two-phase (no fat group window)
+# ---------------------------------------------------------------------------
+
+#: price bucket width in cents for the weighted-median pre-aggregation
+#: (l_extendedprice < ~$110k -> a few hundred buckets per group)
+WMED_BUCKET_C = 100_000
+
+_WMED_ORACLE = f"""
+    WITH s AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT grp, price_c, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY price_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(w) OVER (PARTITION BY grp) AS tw
+      FROM s
+    )
+    SELECT grp AS l_returnflag,
+           MAX(tw) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) AS DOUBLE) / 100.0
+             AS weighted_median
+    FROM cum
+    GROUP BY grp
+    ORDER BY l_returnflag
+    """
+
+
+@register(
+    "q209_weighted_median",
+    _WMED_ORACLE,
+    doc="EXACT weighted median (lower weighted median: the smallest "
+    "value whose inclusive cumulative weight reaches half the total) "
+    "of extended price weighted by quantity, per return flag — the "
+    "robust 'typical order value' that a plain median misses when "
+    "line sizes vary. Scale shape: a handful of groups would make "
+    "the naive per-group cumulative window a few giant single-task "
+    "sorts, so the plan is BUCKETED TWO-PHASE: (1) weights "
+    "pre-aggregate onto (group, $1000 price bucket) — a bounded "
+    "frame, hundreds of rows — whose running sums locate each "
+    "group's median BUCKET and the exact weight carried into it; "
+    "(2) only rows of that one bucket per group are revisited, "
+    "pre-aggregated by distinct price, and the crossing point is an "
+    "exact integer comparison 2*(carry + cum) >= total. Ties need no "
+    "tie-break: whatever order equal prices accumulate in, the "
+    "crossing value is the same. All weights are BIGINT sums — "
+    "bit-deterministic under any partitioning; the oracle states the "
+    "same median via the naive per-group window, affordable at test "
+    "scale, so equality proves the two-phase refinement lossless.",
+)
+def q209_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    b = s.withColumn("bucket", (F.col("price_c") / WMED_BUCKET_C).cast("long"))
+    # phase 1: bounded (grp, bucket) weight frame -> median bucket +
+    # carried-in weight, all on a few hundred rows
+    bw = b.groupBy("grp", "bucket").agg(F.sum("w").alias("bw"))
+    lo = bw.select(
+        F.col("grp").alias("lo_g"), F.col("bucket").alias("lo_b"),
+        F.col("bw").alias("lo_w"),
+    )
+    cumb = (
+        bw.join(F.broadcast(lo), (F.col("lo_g") == F.col("grp")))
+        .groupBy("grp", "bucket", "bw")
+        .agg(
+            F.sum(F.when(F.col("lo_b") < F.col("bucket"), F.col("lo_w"))
+                  .otherwise(0)).alias("carry"),
+            F.sum("lo_w").alias("tw"),
+        )
+    )
+    med_bucket = (
+        cumb.filter(2 * (F.col("carry") + F.col("bw")) >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min_by(F.struct("bucket", "carry", "tw"), "bucket").alias("mb")
+        )
+        .select(
+            "grp", F.col("mb.bucket").alias("bucket"),
+            F.col("mb.carry").alias("carry"), F.col("mb.tw").alias("tw"),
+        )
+    )
+    # phase 2: revisit ONLY the median bucket's rows, pre-aggregated by
+    # distinct price; keyed window over (grp, bucket) — one bounded
+    # partition per group, never the whole group
+    inb = (
+        b.join(F.broadcast(med_bucket), ["grp", "bucket"])
+        .groupBy("grp", "bucket", "carry", "tw", "price_c")
+        .agg(F.sum("w").alias("pw"))
+    )
+    wcum = Window.partitionBy("grp", "bucket").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit = inb.withColumn("cum", F.sum("pw").over(wcum)).filter(
+        2 * (F.col("carry") + F.col("cum")) >= F.col("tw")
+    )
+    return (
+        hit.groupBy("grp")
+        .agg(
+            F.max("tw").alias("total_weight"),
+            (F.min("price_c").cast("double") / 100.0).alias("weighted_median"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"), "total_weight",
+            "weighted_median",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -121,8 +121,17 @@ def _banded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                # concat (NOT concat_ws): a <3-token doc has null
+                # minhashes, and concat_ws would SKIP the nulls and
+                # give every such doc the same "" band key — all empty
+                # docs become mutual candidates and the exact-Jaccard
+                # verify divides by their 0-size union. concat
+                # null-propagates, matching the oracle's `h || ':' || h`
+                # exactly: null band keys never equi-join.
+                F.concat(
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.lit(":"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
                 ).alias("bkey"),
             )
             for b in range(N_BANDS)
@@ -211,10 +220,20 @@ _SIG_SQL = (
     "zero shuffles.",
 )
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    # <3-token docs have no shingles and hence no signature — the
+    # oracle's sig CTE aggregates the shingle stream so such docs
+    # produce no row at all; drop the all-null rows to match
+    sig = minhash_signatures(spark, sf_dir).filter(F.col("h0").isNotNull())
     for b in range(N_BANDS):
         sig = sig.withColumn(
-            f"band{b}", F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+            f"band{b}",
+            # null-propagating concat — see _banded_frame: concat_ws
+            # would diverge from the oracle's `||` on <3-token docs
+            F.concat(
+                F.col(f"h{2 * b}").cast("string"),
+                F.lit(":"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            ),
         )
     return sig.orderBy("doc_id")
 
@@ -473,53 +492,61 @@ _COMPONENT_CTES_SQL = """
     "point of the distributed formulation.",
 )
 def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=False)
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(32):  # safety bound far above log2(corpus)
-        # propagate: every vertex takes the min label over itself and
-        # its neighbors — one keyed equi-join + partial/final min agg
-        nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    def _labels() -> DataFrame:
+        pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.union(pairs.select("doc_b", "doc_a"))
+            .toDF("src", "dst")
+            .localCheckpoint(eager=False)
         )
-        prop = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # pointer-jump: label := label(label), doubling the hop reach
-        parent = prop.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        jumped = (
-            prop.join(parent, prop.label == parent.p_id)
-            .select("doc_id", F.col("p_label").alias("label"))
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
+        for _ in range(32):  # safety bound far above log2(corpus)
+            # propagate: every vertex takes the min label over itself and
+            # its neighbors — one keyed equi-join + partial/final min agg
+            nbr = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            prop = (
+                labels.join(nbr, labels.doc_id == nbr.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # pointer-jump: label := label(label), doubling the hop reach
+            parent = prop.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            jumped = (
+                prop.join(parent, prop.label == parent.p_id)
+                .select("doc_id", F.col("p_label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        return labels
+
+    # pinned: the iterative loop runs ACTIONS at build time, and four
+    # consumers re-derive it per session (q45 itself, q47's election,
+    # q198's funnel, q205's split) — one converged label table serves
+    # them all
+    labels = fragment(spark, sf_dir, "near_dup_component_labels", _labels)
     w = Window.partitionBy("component_id")
     return (
         labels.select("doc_id", F.col("label").alias("component_id"))
@@ -1262,6 +1289,28 @@ def q198_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_JACCARD_MIN = 0.6
 
 
+def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, os: array<struct<df, sh>>, n): every document's shingle
+    set in GLOBAL rarest-first order (ascending document frequency,
+    hash tie-break). The (df, sh) struct sort is per-document work
+    after one keyed join — the global order is defined by the PAIR,
+    never by a global sort. Shared (as the ``ordered_shingles``
+    fragment) by every prefix-filter consumer: q199's Jaccard prefixes
+    and q204's containment prefixes slice different lengths off the
+    same ordered array."""
+    sets = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    flat = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    dfreq = flat.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        flat.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("os"))
+        .select("doc_id", "os", F.size("os").alias("n"))
+    )
+
+
 @register(
     "q199_prefix_filter_jaccard",
     f"""
@@ -1314,19 +1363,10 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = fragment(
         spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
     )
-    flat = sets.select("doc_id", F.explode("shingles").alias("sh"))
-    dfreq = flat.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc shingle list in GLOBAL rarest-first order: (df, sh)
-    # struct sort is per-document work after one keyed join — the
-    # global order is defined by the pair, not by a global sort
-    ordered = (
-        flat.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("os")
-        )
+    ordered = fragment(
+        spark, sf_dir, "ordered_shingles", lambda: _ordered_shingles(spark, sf_dir)
     )
-    n = F.size("os")
+    n = F.col("n")
     plen = (n - F.ceil(F.lit(PREFIX_JACCARD_MIN) * n) + 1).cast("int")
 
     def _prefixes() -> DataFrame:
@@ -1401,13 +1441,25 @@ CONTAIN_MIN_SH = 8
     "Jaccard misses by construction (a paragraph fully embedded in a "
     "10x longer page has tiny Jaccard but containment 1.0; dedup "
     "pipelines drop the contained copy, search pipelines keep the "
-    "container). Every unordered candidate pair is scored in BOTH "
-    "directions, so the output names (contained_doc, container_doc) "
-    "explicitly. Candidates come from the skew-guarded inverted-"
-    "index self-join on the shared pinned shingle fragment (the "
-    "boilerplate-shingle hot buckets get the salted split); the "
-    "verify is one array_intersect over the two pinned sets. "
-    "Min-set-size floor keeps trivially-contained stubs out.",
+    "container). Candidate generation is the CONTAINMENT prefix "
+    "filter: only the contained side's first n - ceil(t*n) + 1 "
+    "rarest shingles probe the full inverted index (pigeonhole: if "
+    "none of A's prefix hits B, the shared count is at most "
+    "ceil(t*|A|) - 1 < t*|A|) — lossless, with NO prefix on the "
+    "index side, so each ordered (contained, container) pair is "
+    "generated directly and scored once. The first cut of this "
+    "operator joined the FULL inverted index against itself "
+    "(every sharing pair materialized); the r6 scaling bench "
+    "OOM'd it at the 10x point — the probe-side prefix is what "
+    "makes the operator viable at corpus scale, since prefix "
+    "shingles are by construction the small-df fraction of each "
+    "posting list (AQE skew-join covers the boilerplate-doc case "
+    "where a prefix still lands on a hot shingle). Verify is one "
+    "array_intersect over the two pinned sets; the min-set-size "
+    "floor is applied on the probe side BEFORE the join. The "
+    "oracle states the same result via the naive all-sharing-"
+    "pairs join scored in both directions — equality IS the "
+    "losslessness proof.",
 )
 def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = fragment(
@@ -1416,44 +1468,43 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = fragment(
         spark, sf_dir, "doc_shingles_flat", lambda: _doc_shingles(spark, sf_dir)
     )
-    pairs = guarded_self_pairs(
-        flat, ["shingle"], "doc_id", probe_key=f"{sf_dir}:doc_shingles_flat"
+    ordered = fragment(
+        spark, sf_dir, "ordered_shingles", lambda: _ordered_shingles(spark, sf_dir)
+    )
+    n = F.col("n")
+    plen = (n - F.ceil(F.lit(CONTAIN_MIN) * n) + 1).cast("int")
+    probe = (
+        ordered.filter(n >= CONTAIN_MIN_SH)
+        .select(
+            F.col("doc_id").alias("contained_doc"),
+            F.explode(
+                F.slice(F.transform("os", lambda s: s["sh"]), F.lit(1), plen)
+            ).alias("shingle"),
+        )
+    )
+    candidates = (
+        probe.join(
+            flat.select(F.col("doc_id").alias("container_doc"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .select("contained_doc", "container_doc")
+        .distinct()
     )
     sets_a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("contained_doc"),
+        F.col("shingles").alias("sh_a"),
     )
     sets_b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("container_doc"),
+        F.col("shingles").alias("sh_b"),
     )
-    scored = (
-        pairs.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter"),
-            F.size("sh_a").alias("na"),
-            F.size("sh_b").alias("nb"),
-        )
-    )
-    dirs = scored.select(
-        F.col("doc_a").alias("contained_doc"),
-        F.col("doc_b").alias("container_doc"),
-        "inter",
-        F.col("na").alias("n_contained"),
-    ).unionByName(
-        scored.select(
-            F.col("doc_b").alias("contained_doc"),
-            F.col("doc_a").alias("container_doc"),
-            "inter",
-            F.col("nb").alias("n_contained"),
-        )
-    )
-    cont = F.col("inter").cast("double") / F.col("n_contained")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = inter.cast("double") / F.size("sh_a")
     return (
-        dirs.filter(
-            (F.col("n_contained") >= CONTAIN_MIN_SH) & (cont >= CONTAIN_MIN)
-        )
+        candidates.join(sets_a, "contained_doc")
+        .join(sets_b, "container_doc")
+        .filter(cont >= CONTAIN_MIN)
         .select("contained_doc", "container_doc", cont.alias("containment"))
         .orderBy("contained_doc", "container_doc")
     )

@@ -2715,3 +2715,153 @@ def s97_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "seq", "k", "kth_hash", "est_distinct")
         .orderBy("event_type", "seq")
     )
+
+
+# -- s98: streaming CUSUM drift alerting (exact integer state) ---------------
+
+#: fixed reference target, allowance and alarm threshold in snapped
+#: 1e-3 value units. A FIXED target (not the batch mean) is what makes
+#: CUSUM streamable: the recursion needs no lookahead, so the fold's
+#: state is just the two one-sided cumulative excursions.
+_S98_SNAP = 1_000
+_S98_TARGET = 500_000
+_S98_K = 5_000
+_S98_H = 500_000
+
+
+@register(
+    "s98_stream_cusum_alerts",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * {_S98_SNAP}) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, ts,
+             SUM(x - {_S98_TARGET + _S98_K}) OVER w AS ru,
+             SUM({_S98_TARGET - _S98_K} - x) OVER w AS rd
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT user_id, event_id,
+             ru - LEAST(0, MIN(ru) OVER w) AS su,
+             rd - LEAST(0, MIN(rd) OVER w) AS sd
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(su AS BIGINT) AS s_up,
+           CAST(sd AS BIGINT) AS s_down,
+           CAST(CASE WHEN su > {_S98_H} THEN 1 ELSE 0 END AS BIGINT)
+             AS up_alert,
+           CAST(CASE WHEN sd > {_S98_H} THEN 1 ELSE 0 END AS BIGINT)
+             AS down_alert
+    FROM c ORDER BY event_id
+    """,
+    doc="Streaming CUSUM drift alerting: per-device GroupState carries "
+    "the two one-sided cumulative excursions S+ / S- as exact snapped "
+    "integers, each arriving value folds "
+    "S = max(0, S + (x - target -/+ allowance)) and emits the running "
+    "excursion plus alarm flags — sequential drift detection (many "
+    "small shifts the q133/s89 point-sigma gate never sees) as a "
+    "bounded 2-long keyed state. The fixed reference target is what "
+    "makes the fold streamable with zero lookahead; because the "
+    "recursion has the closed form S_i = R_i - min(0, min prefix R), "
+    "the batch oracle replays every per-event emission with two plain "
+    "window passes — the stream's whole alert SEQUENCE is pinned "
+    "bit-for-bit, not just the final state. Batch complement: q207 "
+    "(per-device mean-centered CUSUM).",
+)
+def s98_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sliced = with_global_order(
+        ev, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
+    src_dir = scratch_dir(prefix="s98_src_")
+    base = time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    def cusum_fold(key, pdf_iter, state):
+        df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        su, sd = state.get if state.exists else (0, 0)
+        rows = {"event_id": [], "s_up": [], "s_down": [], "up": [], "down": []}
+        for eid, val in zip(df["event_id"], df["value"]):
+            x = int(val * _S98_SNAP + 0.5)  # ROUND half-up, positive values
+            su = max(0, su + x - (_S98_TARGET + _S98_K))
+            sd = max(0, sd + (_S98_TARGET - _S98_K) - x)
+            rows["event_id"].append(int(eid))
+            rows["s_up"].append(su)
+            rows["s_down"].append(sd)
+            rows["up"].append(int(su > _S98_H))
+            rows["down"].append(int(sd > _S98_H))
+        state.update((su, sd))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(rows["event_id"]),
+                "event_id": rows["event_id"],
+                "s_up": rows["s_up"],
+                "s_down": rows["s_down"],
+                "up_alert": rows["up"],
+                "down_alert": rows["down"],
+            }
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            cusum_fold,
+            outputStructType=(
+                "user_id BIGINT, event_id BIGINT, s_up BIGINT, s_down BIGINT, "
+                "up_alert BIGINT, down_alert BIGINT"
+            ),
+            stateStructType="su BIGINT, sd BIGINT",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s98_cusum"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s98_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_id")

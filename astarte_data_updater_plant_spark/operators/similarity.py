@@ -704,3 +704,114 @@ def q168_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — quantile normalization across embedding dimensions
+# ---------------------------------------------------------------------------
+
+#: fixed-point snap for embedding coordinates (1e-6 resolution)
+QNORM_SNAP = 1_000_000
+
+_QNORM_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {QNORM_SNAP})
+                  AS BIGINT) AS vfp
+      FROM embeddings
+    ),
+    rk AS (
+      SELECT dim, vec_id, vfp,
+             ROW_NUMBER() OVER (PARTITION BY dim ORDER BY vfp, vec_id) AS r
+      FROM ex
+    ),
+    prof AS (
+      SELECT r, CAST(SUM(vfp) AS BIGINT) AS pnum,
+             CAST(COUNT(*) AS BIGINT) AS pden
+      FROM rk GROUP BY r
+    )
+    SELECT rk.dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(CAST(prof.pden * rk.vfp - prof.pnum AS DECIMAL(38,0))))
+                AS DECIMAL(38,0)) AS shift_num,
+           CAST(SUM(ABS(CAST(prof.pden * rk.vfp - prof.pnum AS DECIMAL(38,0))))
+                AS DOUBLE)
+             / (CAST(MAX(prof.pden) AS DOUBLE) * {QNORM_SNAP} * COUNT(*))
+             AS mean_abs_shift
+    FROM rk JOIN prof USING (r)
+    GROUP BY rk.dim
+    ORDER BY rk.dim
+    """
+
+
+@register(
+    "q210_quantile_normalize",
+    _QNORM_ORACLE,
+    doc="Quantile normalization across embedding dimensions — the "
+    "feature-pipeline transform that forces every dimension onto the "
+    "SHARED average order-statistic profile (rank r's normalized "
+    "value is the cross-dimension mean of each dimension's r-th "
+    "smallest value), reported per dimension as the exact mean "
+    "absolute shift the transform applies — the audit that flags "
+    "which dimensions deviate most from the family profile. Exact "
+    "arithmetic: coordinates snap to 1e-6 fixed point, per-dimension "
+    "ranks come from ONE two-phase global order over (dim, value, "
+    "vec_id) (with_global_order rank minus per-dim start offsets "
+    "from a 64-row broadcast theta-join — never a fat per-dim window "
+    "partition), the profile is an integer SUM per rank, and each "
+    "row's shift rides the exact numerator |pden*v - pnum| in "
+    "DECIMAL(38,0) so the per-dim totals are bit-deterministic; the "
+    "only doubles are final fixed-formula divisions.",
+)
+def q210_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranks import with_global_order
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v").cast("double") * QNORM_SNAP).cast("long").alias("vfp"),
+    )
+    ordered = with_global_order(
+        ex,
+        ["dim", "vfp", "vec_id"],
+        rank="grank",
+        boundary_key=f"{sf_dir}:q210_qnorm",
+    )
+    nd = ex.groupBy("dim").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    lo = nd.select(F.col("dim").alias("lo_d"), F.col("n_d").alias("lo_n"))
+    offs = (
+        nd.crossJoin(F.broadcast(lo))
+        .filter(F.col("lo_d") < F.col("dim"))
+        .groupBy("dim")
+        .agg(F.sum("lo_n").alias("off"))
+    )
+    rk = (
+        ordered.join(F.broadcast(offs), "dim", "left")
+        .select(
+            "dim", "vfp",
+            (F.col("grank") - F.coalesce(F.col("off"), F.lit(0))).alias("r"),
+        )
+    )
+    prof = rk.groupBy("r").agg(
+        F.sum("vfp").cast("long").alias("pnum"),
+        F.count(F.lit(1)).cast("long").alias("pden"),
+    )
+    shift = F.abs(
+        (F.col("pden") * F.col("vfp") - F.col("pnum")).cast("decimal(38,0)")
+    )
+    return (
+        rk.join(prof, "r")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(shift).cast("decimal(38,0)").alias("shift_num"),
+            (
+                F.sum(shift).cast("double")
+                / (F.max("pden").cast("double") * QNORM_SNAP * F.count(F.lit(1)))
+            ).alias("mean_abs_shift"),
+        )
+        .orderBy("dim")
+    )

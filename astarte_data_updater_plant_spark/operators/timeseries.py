@@ -1315,3 +1315,292 @@ def q203_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("c") / F.col("n_test") / SEAS_SNAP
         ).alias("mae"),
     ).orderBy("event_type", "hod")
+
+
+# ---------------------------------------------------------------------------
+# q207 — CUSUM changepoint detection (exact, closed-form recursion)
+# ---------------------------------------------------------------------------
+
+#: CUSUM allowance (slack) and alarm threshold, in snapped 1e-3 value
+#: units: drift smaller than 0.5 is absorbed, a one-sided cumulative
+#: excursion past 3.0 alarms. Fixed constants (not sigma-derived) keep
+#: every quantity an exact integer — a sqrt-based allowance would put
+#: a float inside the recursion and make alarm counts partition-order
+#: dependent.
+CUSUM_SNAP = 1_000
+CUSUM_K = 500
+CUSUM_H = 3_000
+
+_CUSUM_ORACLE = f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * {CUSUM_SNAP}) AS BIGINT) AS x
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM s GROUP BY user_id
+    ),
+    y AS (
+      SELECT s.user_id, s.event_id, s.ts, a.n,
+             CAST(a.n * s.x - a.sx - a.n * {CUSUM_K} AS DECIMAL(38,0)) AS yu,
+             CAST(a.sx - a.n * s.x - a.n * {CUSUM_K} AS DECIMAL(38,0)) AS yd
+      FROM s JOIN agg a USING (user_id)
+    ),
+    r AS (
+      SELECT user_id, event_id, ts, n,
+             SUM(yu) OVER w AS ru, SUM(yd) OVER w AS rd
+      FROM y
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cu AS (
+      SELECT user_id, event_id, n,
+             ru - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(ru) OVER w) AS su,
+             rd - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(rd) OVER w) AS sd
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS device_id,
+           MAX(n) AS n,
+           CAST(SUM(CASE WHEN su > n * {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up_alarms,
+           CAST(SUM(CASE WHEN sd > n * {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down_alarms,
+           MIN(CASE WHEN su > n * {CUSUM_H} THEN event_id END) AS first_up_id,
+           MIN(CASE WHEN sd > n * {CUSUM_H} THEN event_id END) AS first_down_id,
+           CAST(MAX(su) AS DOUBLE) / (MAX(n) * {CUSUM_SNAP}.0) AS max_drift_up,
+           CAST(MAX(sd) AS DOUBLE) / (MAX(n) * {CUSUM_SNAP}.0) AS max_drift_down
+    FROM cu
+    GROUP BY user_id
+    ORDER BY device_id
+    """
+
+
+@register(
+    "q207_cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="Per-device CUSUM changepoint/drift detection with EXACT "
+    "arithmetic: the one-sided CUSUM recursion "
+    "S_i = max(0, S_{i-1} + (x_i - mean - k)) is a nonlinear fold — "
+    "inexpressible as a plain window — but has the closed form "
+    "S_i = R_i - min(0, min_{j<=i} R_j) over the plain cumulative sum "
+    "R, so it compiles to TWO keyed window passes (cumsum + running "
+    "min) on the (device, event-time) order: one hash shuffle on the "
+    "device key, fully parallel across the fleet, no sequential scan. "
+    "All quantities ride n-scaled 1e-3 fixed point (x*n - sx stays an "
+    "integer — no mean division inside the recursion) as "
+    "DECIMAL(38,0), so alarm counts and first-alarm ids are "
+    "bit-deterministic under any partitioning; the mirrored downward "
+    "side catches negative drift. The sigma-free allowance/threshold "
+    "constants are what keep the fold exact — this is the "
+    "drift-detection complement to q133's 3-sigma point-outlier gate "
+    "(reference alarm semantics: device health triggers, "
+    "simple_triggers.ex value thresholds generalized to sequential "
+    "drift).",
+)
+def q207_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * CUSUM_SNAP).cast("long").alias("x"),
+    )
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    y = s.join(agg, "user_id").select(
+        "user_id", "event_id", "ts", "n",
+        (F.col("n") * F.col("x") - F.col("sx") - F.col("n") * CUSUM_K)
+        .cast("decimal(38,0)").alias("yu"),
+        (F.col("sx") - F.col("n") * F.col("x") - F.col("n") * CUSUM_K)
+        .cast("decimal(38,0)").alias("yd"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = y.select(
+        "user_id", "event_id", "ts", "n",
+        F.sum("yu").over(w).alias("ru"),
+        F.sum("yd").over(w).alias("rd"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    cu = r.select(
+        "user_id", "event_id", "n",
+        (F.col("ru") - F.least(zero, F.min("ru").over(w))).alias("su"),
+        (F.col("rd") - F.least(zero, F.min("rd").over(w))).alias("sd"),
+    )
+    up = F.col("su") > F.col("n") * CUSUM_H
+    dn = F.col("sd") > F.col("n") * CUSUM_H
+    return (
+        cu.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(up, 1).otherwise(0)).cast("long").alias("n_up_alarms"),
+            F.sum(F.when(dn, 1).otherwise(0)).cast("long").alias("n_down_alarms"),
+            F.min(F.when(up, F.col("event_id"))).alias("first_up_id"),
+            F.min(F.when(dn, F.col("event_id"))).alias("first_down_id"),
+            (
+                F.max("su").cast("double") / (F.max("n") * float(CUSUM_SNAP))
+            ).alias("max_drift_up"),
+            (
+                F.max("sd").cast("double") / (F.max("n") * float(CUSUM_SNAP))
+            ).alias("max_drift_down"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            "n", "n_up_alarms", "n_down_alarms", "first_up_id",
+            "first_down_id", "max_drift_up", "max_drift_down",
+        )
+        .orderBy("device_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — exact two-sample Kolmogorov-Smirnov drift per event type
+# ---------------------------------------------------------------------------
+
+#: KS compares each event type's value distribution between the first
+#: and second half of its observed TIME RANGE (midpoint split — a pure
+#: min/max aggregate, no rank pass to assign halves).
+KS_SNAP = 1_000
+
+_KS_ORACLE = f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(ROUND(value * {KS_SNAP}) AS BIGINT) AS x,
+             epoch_us(ts) AS tu
+      FROM events
+    ),
+    rng AS (
+      SELECT event_type,
+             (MIN(tu) + MAX(tu)) // 2 AS mid
+      FROM b GROUP BY event_type
+    ),
+    s AS (
+      SELECT b.event_type, b.x,
+             CASE WHEN b.tu <= r.mid THEN 1 ELSE 2 END AS h
+      FROM b JOIN rng r USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, x,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY event_type, x
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2
+      FROM g GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type,
+             SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.event_type, t.n1, t.n2,
+           CAST(MAX(ABS(CAST(c.cum1 AS DECIMAL(38,0)) * t.n2
+                        - CAST(c.cum2 AS DECIMAL(38,0)) * t.n1))
+                AS DECIMAL(38,0)) AS ks_num,
+           CAST(MAX(ABS(CAST(c.cum1 AS DECIMAL(38,0)) * t.n2
+                        - CAST(c.cum2 AS DECIMAL(38,0)) * t.n1))
+                AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2) AS ks_d
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type, t.n1, t.n2
+    ORDER BY event_type
+    """
+
+
+@register(
+    "q208_ks_drift",
+    _KS_ORACLE,
+    doc="EXACT two-sample Kolmogorov-Smirnov drift statistic per event "
+    "type, early-vs-late time-range halves: D = max_x |F1(x) - F2(x)| "
+    "computed as the pure-integer max |cum1*n2 - cum2*n1| over "
+    "distinct snapped values, so the supremum is bit-deterministic "
+    "(the float-CDF form would make the argmax partition-order "
+    "dependent near ties) — the distribution-shift gate behind "
+    "retraining triggers, complementing q157's binned PSI with the "
+    "bin-free sup-norm. Scale shape: the half assignment is a "
+    "min/max-midpoint broadcast (NO rank pass), the value CDF rides "
+    "the two-phase global order (with_global_order cumsums over "
+    "(type, x)) with per-type start offsets from a bounded broadcast "
+    "theta-join — no single-partition window, no per-type fat "
+    "partition; products ride DECIMAL(38,0) so n1*cum terms cannot "
+    "overflow at fleet scale.",
+)
+def q208_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranks import with_global_order
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.round(F.col("value") * KS_SNAP).cast("long").alias("x"),
+        ts_micros("ts").alias("tu"),
+    )
+    # integer floor division on BOTH engines (CAST(x/2 AS BIGINT)
+    # would round in DuckDB but truncate in Spark)
+    rng = b.groupBy("event_type").agg(
+        F.expr("(min(tu) + max(tu)) div 2").alias("mid")
+    )
+    s = b.join(F.broadcast(rng), "event_type").select(
+        "event_type", "x",
+        F.when(F.col("tu") <= F.col("mid"), 1).otherwise(2).alias("h"),
+    )
+    g = s.groupBy("event_type", "x").agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    # global running counts over (type, x) — two-phase, never a fat
+    # per-type window partition
+    ordered = with_global_order(
+        g,
+        ["event_type", "x"],
+        cumsums=[("c1", "gcum1", "inclusive"), ("c2", "gcum2", "inclusive")],
+        boundary_key=f"{sf_dir}:q208_ks",
+    )
+    # per-type exclusive start offsets: bounded theta-join over the
+    # per-type totals (a handful of rows), broadcast both ways
+    lo = t.select(
+        F.col("event_type").alias("lo_t"),
+        F.col("n1").alias("lo1"), F.col("n2").alias("lo2"),
+    )
+    offs = (
+        t.crossJoin(F.broadcast(lo))
+        .filter(F.col("lo_t") < F.col("event_type"))
+        .groupBy("event_type")
+        .agg(F.sum("lo1").alias("off1"), F.sum("lo2").alias("off2"))
+    )
+    withoff = (
+        ordered.join(F.broadcast(t), "event_type")
+        .join(F.broadcast(offs), "event_type", "left")
+        .select(
+            "event_type", "n1", "n2",
+            (F.col("gcum1") - F.coalesce(F.col("off1"), F.lit(0)))
+            .cast("decimal(38,0)").alias("cum1"),
+            (F.col("gcum2") - F.coalesce(F.col("off2"), F.lit(0)))
+            .cast("decimal(38,0)").alias("cum2"),
+        )
+    )
+    num = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        withoff.groupBy("event_type", "n1", "n2")
+        .agg(F.max(num).cast("decimal(38,0)").alias("ks_num"))
+        .select(
+            "event_type", "n1", "n2", "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )

@@ -39,6 +39,18 @@ def get_spark(app_name: str = "astarte_data_updater_plant_spark") -> SparkSessio
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only coalesce DOWN from the initial partition count,
+        # never split a too-big shuffle: with initialPartitionNum left
+        # at shuffle.partitions (=cpus), a 10x-data shuffle gets
+        # 10x-sized partitions and SPILLS (measured: q199's r10 point
+        # ran 19.6x its r1 time on 10x data purely from sort spill).
+        # A high initial count + AQE coalescing is the scale-correct
+        # posture: small shuffles still collapse to ~cpus partitions
+        # via the 64 MB advisory size; big shuffles keep parallelism.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(cpus * 8),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -89,9 +89,16 @@ SCALE_QUERIES = (
     "q47_dedup_keep_best",
     "q53_lsh_ann_topk",
     "q105_ivf_trained_topk",
+    "q199_prefix_filter_jaccard",
+    "q200_sq8_adc_topk",
+    "q204_containment_pairs",
     "q126_curriculum_tiers",
     "q145_roc_auc",
     "q170_zipf_fit",
+    # r6 additions: keyed-window fold (CUSUM) and the heaviest
+    # two-phase-global-order consumer (64x-row explode + rank)
+    "q207_cusum_changepoint",
+    "q210_quantile_normalize",
 )
 
 #: key-shift columns per table (offset = per-copy stride = max+1 of the

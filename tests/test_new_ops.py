@@ -1,0 +1,169 @@
+"""Adversarial-shape pins for the round-6 additions (q199-q206, s97).
+
+The shared-corpus parity gate runs these queries on the synthetic
+corpus, which never exercises their edge branches: degenerate
+documents (empty / one-token / two-token texts produce EMPTY shingle
+sets), full-containment pairs, and KMV groups SMALLER than the sketch
+(k < K -> the estimate must equal k exactly, not the (k-1)*D/h_k
+formula). Each test builds a corpus where the branch must fire and
+pins it the same way the driver does: oracle parity, plus a direct
+assertion that the interesting row actually exists (so a filter bug
+that drops the edge case on BOTH engines can't hide behind parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from astarte_data_updater_plant_spark.plans.registry import QUERIES, queries_map
+
+queries_map()  # QUERIES fills lazily on operator-module import
+
+from .oracle_utils import compare
+from .test_zero_class import _docs_table, _mkdir_with
+
+
+@pytest.fixture(scope="module")
+def degen_docs_dir(tmp_path_factory):
+    """Empty/one-token/two-token docs (empty shingle sets), an exact
+    duplicate pair, and a full-containment pair."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    a = (base * 3).strip()
+    rows = [
+        (1, "", "en", "web"),
+        (2, "one", "en", "web"),
+        (3, "two words", "en", "web"),
+        (4, a, "en", "web"),
+        (5, a, "en", "crawl"),
+        (6, a + " extra tail tokens appended here now", "en", "web"),
+        (7, ("ships harbors docks sailors ropes anchors tides " * 4).strip(),
+         "en", "web"),
+    ]
+    return _mkdir_with(
+        str(tmp_path_factory.mktemp("degen")), {"documents": _docs_table(rows)}
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q199_prefix_filter_jaccard",
+        "q204_containment_pairs",
+        "q205_leakage_safe_split",
+        # the LSH ladder itself: <3-token docs have NULL minhashes, and
+        # the band-key build must null-propagate (concat, not
+        # concat_ws) or every degenerate doc pairs with every other
+        # via the "" key and the Jaccard verify divides by zero
+        "q41_minhash_signatures",
+        "q42_lsh_near_dup_pairs",
+        "q45_near_dup_components",
+    ],
+)
+def test_dedup_additions_degenerate_parity(spark, name, degen_docs_dir):
+    spec = QUERIES[name]
+    ok, msg = compare(spec.fn(spark, degen_docs_dir), spec.oracle, degen_docs_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
+    rows = queries_map()["q199_prefix_filter_jaccard"](
+        spark, degen_docs_dir
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # the exact duplicate is the one pair the lossless filter may
+    # never miss; the degenerate docs must produce nothing
+    assert pairs[(4, 5)] == 1.0
+    flat = {d for p in pairs for d in p}
+    assert flat.isdisjoint({1, 2, 3})
+
+
+def test_q204_full_containment_both_roles(spark, degen_docs_dir):
+    rows = queries_map()["q204_containment_pairs"](
+        spark, degen_docs_dir
+    ).collect()
+    d = {(r["contained_doc"], r["container_doc"]): r["containment"] for r in rows}
+    # doc 4's shingles are all inside its superset doc 6 -> 1.0 in
+    # exactly that direction; the reverse direction is partial and
+    # must NOT appear at the 0.8 cut
+    assert d[(4, 6)] == 1.0
+    assert (6, 4) not in d
+
+
+def test_q205_component_split_never_leaks(spark, degen_docs_dir):
+    rows = {
+        r["scheme"]: r
+        for r in queries_map()["q205_leakage_safe_split"](
+            spark, degen_docs_dir
+        ).collect()
+    }
+    assert rows["component"]["n_leaky_components"] == 0
+    comp = rows["component"]
+    assert comp["n_train"] + comp["n_val"] + comp["n_test"] == comp["n_docs"]
+
+
+def _events_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def kmv_events_dir(tmp_path_factory):
+    """One event type with 5 distinct users (k < K: the sketch must
+    report exactly k), one with 200 (k == K: the estimator formula
+    path), spread over 5 epoch-days so q203 has a train/test split."""
+    rows = []
+    eid = 0
+    day_us = 86_400_000_000
+    for i in range(40):
+        eid += 1
+        rows.append((eid, (i % 5) * day_us + i * 3_600_000_000 % day_us,
+                     i % 5, "rare", 1.0 + i))
+    for i in range(400):
+        eid += 1
+        rows.append((eid, (i % 5) * day_us + i * 1_800_000_000 % day_us,
+                     1000 + i % 200, "big", 2.0 + i))
+    return _mkdir_with(
+        str(tmp_path_factory.mktemp("kmv")), {"events": _events_table(rows)}
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q202_kmv_distinct_sketch",
+        "q203_seasonal_backtest",
+        "s97_stream_kmv_distinct",
+    ],
+)
+def test_sketch_and_backtest_small_group_parity(spark, name, kmv_events_dir):
+    spec = QUERIES[name]
+    ok, msg = compare(spec.fn(spark, kmv_events_dir), spec.oracle, kmv_events_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_q202_small_group_is_exact(spark, kmv_events_dir):
+    rows = {
+        r["event_type"]: r
+        for r in queries_map()["q202_kmv_distinct_sketch"](
+            spark, kmv_events_dir
+        ).collect()
+    }
+    rare, big = rows["rare"], rows["big"]
+    # below the sketch size the estimate IS the count of distinct
+    # hashes — exact unless two of 5 user ids collide in 32 bits
+    assert rare["k"] < 64
+    assert rare["est_distinct"] == rare["k"] == rare["exact_distinct"]
+    # at k == K the formula path engages and lands within the KMV
+    # error envelope (rsd ~ 1/sqrt(K-2) ~ 13%; assert a loose 3x)
+    assert big["k"] == 64
+    assert big["rel_err"] < 0.4
