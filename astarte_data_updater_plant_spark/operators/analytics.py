@@ -1884,3 +1884,187 @@ def q209_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — theta-sketch cross-source shingle overlap (KMV set operations)
+# ---------------------------------------------------------------------------
+
+
+def _q213_oracle() -> str:
+    from .dedup import _SH_SQL
+
+    return f"""
+    WITH sh AS ({_SH_SQL}),
+    sh2 AS (
+      SELECT DISTINCT d.source, s.shingle AS h
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM sh2
+    ),
+    sk AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+    stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k_n, MAX(h) AS kth
+      FROM sk GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.k_n AS k_a, b.k_n AS k_b,
+             LEAST(a.kth, b.kth) AS theta
+      FROM stats a JOIN stats b ON a.source < b.source
+    ),
+    ca AS (
+      SELECT p.source_a, p.source_b, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM pairs p JOIN sk s ON s.source = p.source_a AND s.h <= p.theta
+      GROUP BY p.source_a, p.source_b
+    ),
+    cb AS (
+      SELECT p.source_a, p.source_b, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM pairs p JOIN sk s ON s.source = p.source_b AND s.h <= p.theta
+      GROUP BY p.source_a, p.source_b
+    ),
+    cm AS (
+      SELECT p.source_a, p.source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN sk x ON x.source = p.source_a AND x.h <= p.theta
+      JOIN sk y ON y.source = p.source_b AND y.h = x.h
+      GROUP BY p.source_a, p.source_b
+    )
+    SELECT p.source_a, p.source_b, p.k_a, p.k_b, p.theta,
+           COALESCE(ca.n_a, 0) + COALESCE(cb.n_b, 0)
+             - COALESCE(cm.n_common, 0) AS n_union,
+           COALESCE(cm.n_common, 0) AS n_common,
+           CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (COALESCE(ca.n_a, 0) + COALESCE(cb.n_b, 0)
+                - COALESCE(cm.n_common, 0)) AS jaccard_est,
+           round(COALESCE(cm.n_common, 0) * {KMV_DOMAIN} / p.theta, 6)
+             AS est_intersection
+    FROM pairs p
+    LEFT JOIN ca USING (source_a, source_b)
+    LEFT JOIN cb USING (source_a, source_b)
+    LEFT JOIN cm USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "q213_theta_sketch_overlap",
+    _q213_oracle(),
+    doc="Theta-sketch SET OPERATIONS over per-source KMV sketches: "
+    "every source keeps only its K smallest distinct word-shingle "
+    "hashes (the q202 sketch, one corpus pass), and every source "
+    "PAIR's shared-vocabulary size and Jaccard are then estimated "
+    "from sketches alone — restrict both sketches to h <= theta = "
+    "min(kth_a, kth_b) (below theta each sketch is a FULL record of "
+    "its set's hashes, so intersection/union counts there are exact "
+    "samples at rate theta/domain), then est_intersection = n_common "
+    "* domain / theta and jaccard = n_common / n_union. This is the "
+    "cross-source overlap matrix WITHOUT the q191 pair ladder: at "
+    "100 TB the corpus is read ONCE to build #sources x K longs of "
+    "state, and the quadratic part runs on sketches (bounded by "
+    "sources^2 x K, independent of corpus bytes) — the standard "
+    "Theta-sketch workflow (Dasgupta et al., 'Theta-Sketch "
+    "Framework'). Deterministic md5-h32 hashing makes every estimate "
+    "bit-reproducible on both engines; pairs with zero sketch "
+    "overlap emit explicit zero rows (LEFT joins, the q161 "
+    "zero-class rule). Spark's per-source top-K is the q202 "
+    "two-level salt tree — no group-wide rank of a full distinct "
+    "stream; the pair stage broadcasts the bounded sketch frame.",
+)
+def q213_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.fragments import fragment
+    from .dedup import _shingle_sets
+
+    sh = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh2 = (
+        sh.select("doc_id", F.explode("shingles").alias("h"))
+        .join(src, "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    partial = (
+        sh2.withColumn("salt", F.pmod("h", F.lit(KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    stats = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k_n"), F.max("h").alias("kth")
+    )
+    a = stats.select(
+        F.col("source").alias("source_a"),
+        F.col("k_n").alias("k_a"),
+        F.col("kth").alias("kth_a"),
+    )
+    b = stats.select(
+        F.col("source").alias("source_b"),
+        F.col("k_n").alias("k_b"),
+        F.col("kth").alias("kth_b"),
+    )
+    pairs = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b", "k_a", "k_b",
+            F.least("kth_a", "kth_b").alias("theta"),
+        )
+    )
+    sk_a = sk.select(F.col("source").alias("source_a"), "h")
+    sk_b = sk.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    bp = F.broadcast(pairs)
+    ca = (
+        bp.join(sk_a, "source_a")
+        .filter(F.col("h") <= F.col("theta"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    cb = (
+        bp.join(
+            sk_b.withColumnRenamed("hb", "h"), "source_b"
+        )
+        .filter(F.col("h") <= F.col("theta"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    # common hashes: restrict A-side to <= theta, equi-join B's sketch on h
+    cm = (
+        bp.join(sk_a, "source_a")
+        .filter(F.col("h") <= F.col("theta"))
+        .join(
+            sk.select(F.col("source").alias("source_b"), "h"),
+            ["source_b", "h"],
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    n_a = F.coalesce("n_a", F.lit(0))
+    n_b = F.coalesce("n_b", F.lit(0))
+    n_common = F.coalesce("n_common", F.lit(0))
+    n_union = n_a + n_b - n_common
+    return (
+        pairs.join(ca, ["source_a", "source_b"], "left")
+        .join(cb, ["source_a", "source_b"], "left")
+        .join(cm, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "k_a", "k_b", "theta",
+            n_union.alias("n_union"),
+            n_common.alias("n_common"),
+            (n_common.cast("double") / n_union).alias("jaccard_est"),
+            F.round(n_common * F.lit(KMV_DOMAIN) / F.col("theta"), 6).alias(
+                "est_intersection"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

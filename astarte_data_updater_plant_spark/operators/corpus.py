@@ -2555,3 +2555,70 @@ def q197_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — Good-Turing unseen-mass estimate per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q212_good_turing",
+    """
+    WITH tok AS (
+      SELECT d.source, t.tok
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ),
+    fof AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, f1, f2, f3,
+           CAST(f1 AS DOUBLE) / n_tokens AS p_unseen,
+           CAST(2 * f2 AS DOUBLE) / nullif(f1, 0) AS r1_star
+    FROM fof ORDER BY source
+    """,
+    doc="Good-Turing vocabulary-coverage estimate per source: the "
+    "frequency-of-frequencies table (how many terms occur exactly "
+    "once, twice, three times) and the two classic derived numbers — "
+    "unseen probability mass P(new word) = f1/N and the adjusted "
+    "count of a singleton r1* = 2*f2/f1 (Good 1953). This is the "
+    "measurement that tells a tokenizer/corpus team whether a source "
+    "is lexically saturated (tiny f1/N: more data repeats the same "
+    "vocabulary) or still growing (large f1/N: every shard brings "
+    "new types) — the decision input for how much of a source to "
+    "keep in the mix. Both floats are single divisions of exact "
+    "BIGINT counts. Plan: explode tokens once, two keyed aggregates "
+    "(term-frequency, then frequency-of-frequency) with map-side "
+    "combine — two bounded shuffles, no Python, no windows; the "
+    "second aggregate's input is already one row per distinct term.",
+)
+def q212_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    fof = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+        F.sum((F.col("c") == 3).cast("int")).cast("long").alias("f3"),
+    )
+    return fof.select(
+        "source", "n_tokens", "vocab", "f1", "f2", "f3",
+        (F.col("f1").cast("double") / F.col("n_tokens")).alias("p_unseen"),
+        ((2 * F.col("f2")).cast("double") / F.nullif(F.col("f1"), F.lit(0))).alias(
+            "r1_star"
+        ),
+    ).orderBy("source")

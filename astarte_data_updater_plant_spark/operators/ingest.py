@@ -2865,3 +2865,217 @@ def s98_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
+
+
+# -- s99: streaming Misra-Gries heavy hitters (mergeable summary) -------------
+
+#: Misra-Gries counter budget per event type: the summary never holds
+#: more than MG_M (user, count) pairs, and any user with true frequency
+#: > stream_len / (MG_M + 1) is guaranteed present
+MG_M = 4
+
+_MG_STAGE_SQL = """
+    m{b} AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(a.c, 0) + COALESCE(b.c, 0) AS c
+      FROM a{prev} a
+      FULL JOIN (SELECT event_type, user_id, c FROM cb WHERE slice = {b}) b
+        ON a.event_type = b.event_type AND a.user_id = b.user_id
+    ),
+    d{b} AS (
+      SELECT event_type, COALESCE(MAX(CASE WHEN rn = {mp1} THEN c END), 0) AS d
+      FROM (SELECT event_type, c,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC)
+                     AS rn
+            FROM m{b})
+      GROUP BY event_type
+    ),
+    a{b} AS (
+      SELECT m.event_type, m.user_id, m.c - d.d AS c
+      FROM m{b} m JOIN d{b} d USING (event_type)
+      WHERE m.c - d.d > 0
+    ),
+    e{b} AS (
+      SELECT d.event_type, COALESCE(e.err, 0) + d.d AS err
+      FROM d{b} d LEFT JOIN e{prev} e USING (event_type)
+    )
+"""
+
+
+def _mg_oracle() -> str:
+    stages = ",\n".join(
+        _MG_STAGE_SQL.format(b=b, prev=b - 1, mp1=MG_M + 1) for b in (2, 3)
+    )
+    emits = "\n      UNION ALL\n".join(
+        f"""
+      SELECT a.event_type, q.seq, a.user_id, a.c AS mg_count, e.err AS err_bound
+      FROM a{b} a
+      JOIN e{b} e USING (event_type)
+      JOIN seqd q ON q.event_type = a.event_type AND q.slice = {b}
+        """
+        for b in (1, 2, 3)
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type, user_id,
+             NTILE(3) OVER (ORDER BY ts, event_id) AS slice
+      FROM events
+    ),
+    cb AS (
+      SELECT event_type, slice, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY event_type, slice, user_id
+    ),
+    pres AS (SELECT DISTINCT event_type, slice FROM s),
+    seqd AS (
+      SELECT event_type, slice,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slice) AS seq
+      FROM pres
+    ),
+    m1 AS (SELECT event_type, user_id, c FROM cb WHERE slice = 1),
+    d1 AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN rn = {MG_M + 1} THEN c END), 0) AS d
+      FROM (SELECT event_type, c,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC)
+                     AS rn
+            FROM m1)
+      GROUP BY event_type
+    ),
+    a1 AS (
+      SELECT m.event_type, m.user_id, m.c - d.d AS c
+      FROM m1 m JOIN d1 d USING (event_type)
+      WHERE m.c - d.d > 0
+    ),
+    e1 AS (SELECT event_type, d AS err FROM d1),
+    {stages}
+    SELECT * FROM ({emits})
+    ORDER BY event_type, seq, user_id
+    """
+
+
+@register(
+    "s99_stream_mg_heavy_hitters",
+    _mg_oracle(),
+    doc="Streaming heavy hitters as a MERGEABLE Misra-Gries summary: "
+    "per-event-type GroupState carries at most MG_M (user, count) "
+    "counters plus the cumulative decrement, and every micro-batch "
+    "folds in via the Agarwal et al. (PODS'12) mergeable-summaries "
+    "rule — add the batch's exact counts to the carried counters, "
+    "then subtract the (M+1)th largest value and keep strictly "
+    "positive residuals. The fold is ORDER-FREE (unlike textbook "
+    "per-arrival space-saving, whose state depends on arrival order "
+    "within a batch — unreproducible after a shuffle), which is what "
+    "makes it BOTH a valid streaming fold and the exact shape of a "
+    "100 TB batch rollup: per-partition summaries merge pairwise to "
+    "one global summary with the same guarantee, true_count - "
+    "mg_count <= err_bound, emitted with every row. Per batch each "
+    "updated key emits its full summary (seq, user, residual count, "
+    "error bound) — the live 'top talkers' panel with a proven "
+    "deficit bound. The oracle replays all three NTILE-sliced "
+    "micro-batches as unrolled merge stages; every per-batch "
+    "emission is pinned, not just the final state. Counts are exact "
+    "BIGINTs throughout; ties at the (M+1)th rank need no tie-break "
+    "because survival compares each count to the rank VALUE, which "
+    "is multiset-deterministic.",
+)
+def s99_stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    m_cap = int(MG_M)
+
+    def mg_fold(key, pdf_iter, state):
+        batch: dict[int, int] = {}
+        for pdf in pdf_iter:
+            for u in pdf["user_id"]:
+                u = int(u)
+                batch[u] = batch.get(u, 0) + 1
+        if state.exists:
+            seq, users, counts, err = state.get
+            seq, err = int(seq) + 1, int(err)
+            for u, c in zip(users, counts):
+                batch[int(u)] = batch.get(int(u), 0) + int(c)
+        else:
+            seq, err = 1, 0
+        if len(batch) > m_cap:
+            d = sorted(batch.values(), reverse=True)[m_cap]
+            batch = {u: c - d for u, c in batch.items() if c - d > 0}
+            err += d
+        users = sorted(batch)
+        counts = [batch[u] for u in users]
+        state.update((seq, users, counts, err))
+        yield pd.DataFrame(
+            {
+                "event_type": [str(key[0])] * len(users),
+                "seq": [seq] * len(users),
+                "user_id": users,
+                "mg_count": counts,
+                "err_bound": [err] * len(users),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    sliced = (
+        with_global_order(ev, ["ts", "event_id"], ntile=(3, "tile"))
+        .withColumn("slice", F.col("tile") - 1)
+        .select("event_type", "user_id", "slice")
+    )
+    src_dir = scratch_dir(prefix="s99_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(sliced.drop("slice").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            mg_fold,
+            outputStructType=(
+                "event_type STRING, seq BIGINT, user_id BIGINT,"
+                " mg_count BIGINT, err_bound BIGINT"
+            ),
+            stateStructType=(
+                "seq BIGINT, users ARRAY<BIGINT>, counts ARRAY<BIGINT>,"
+                " err BIGINT"
+            ),
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s99_mg"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s99_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_type", "seq", "user_id")

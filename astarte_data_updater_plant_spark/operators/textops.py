@@ -1938,3 +1938,86 @@ def q194_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — annotator agreement (Cohen's kappa) between quality filters
+# ---------------------------------------------------------------------------
+
+from . import corpus as _corpus  # registers q114 (corpus never imports textops
+#                                  at module level, so no cycle)
+
+_Q114_SQL_K = _REG["q114_quality_classifier"].oracle
+_Q109_SQL_K = _REG["q109_gopher_rules"].oracle
+
+
+@register(
+    "q211_annotator_kappa",
+    f"""
+    WITH pair AS (
+      SELECT d.source, a.keep AS keep_a, b.keep AS keep_b
+      FROM documents d
+      JOIN ({_Q114_SQL_K}) a USING (doc_id)
+      JOIN ({_Q109_SQL_K}) b USING (doc_id)
+    ),
+    conf AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM pair GROUP BY source
+    )
+    SELECT source, n11, n10, n01, n00,
+           n11 + n10 + n01 + n00 AS n,
+           CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS agree_frac,
+           CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+             / nullif((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                      - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)), 0)
+             AS kappa
+    FROM conf ORDER BY source
+    """,
+    doc="Cohen's kappa between the repo's two independent keep/drop "
+    "annotators — the q114 hashed linear classifier and the q109 "
+    "Gopher ruleset — per source: the agreement-beyond-chance number "
+    "a curation team reads before trusting a cheap filter as a "
+    "stand-in for an expensive one (raw agreement is inflated "
+    "whenever both annotators mostly say keep). kappa = (N*agree - "
+    "pe_num) / (N^2 - pe_num) with pe_num = keepA*keepB + "
+    "dropA*dropB: every term is an exact BIGINT count, so the two "
+    "float outputs are each a SINGLE division of exact integers — "
+    "bit-deterministic on any engine or partitioning. Plan: the two "
+    "annotator scans (both zero-shuffle column expressions over the "
+    "same table) hash-join on doc_id and fold into one per-source "
+    "aggregate — the only exchanges are the doc_id joins and one "
+    "bounded per-source shuffle.",
+)
+def q211_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _corpus.q114_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    b = q109_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = src.join(a, "doc_id").join(b, "doc_id")
+    conf = j.groupBy("source").agg(
+        F.sum((F.col("keep_a") & F.col("keep_b")).cast("int")).cast("long").alias("n11"),
+        F.sum((F.col("keep_a") & ~F.col("keep_b")).cast("int")).cast("long").alias("n10"),
+        F.sum((~F.col("keep_a") & F.col("keep_b")).cast("int")).cast("long").alias("n01"),
+        F.sum((~F.col("keep_a") & ~F.col("keep_b")).cast("int")).cast("long").alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    agree = F.col("n11") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n00") + F.col("n01")
+    ) * (F.col("n00") + F.col("n10"))
+    return conf.select(
+        "source", "n11", "n10", "n01", "n00",
+        n.alias("n"),
+        (agree.cast("double") / n).alias("agree_frac"),
+        ((n * agree - pe_num).cast("double") / F.nullif(n * n - pe_num, F.lit(0))).alias(
+            "kappa"
+        ),
+    ).orderBy("source")
