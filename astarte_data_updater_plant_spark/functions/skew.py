@@ -88,8 +88,17 @@ def guarded_self_pairs(
     probe_key: str | None = None,
     probe_bands: DataFrame | None = None,
     probe_scale: int = 1,
+    pair_cond: Column | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs sharing a bucket key, skew-guarded.
+
+    ``pair_cond`` (over the ``a.``/``b.`` aliases, e.g. the AllPairs
+    length filter ``2 * a.n >= b.n``) is AND'd into the join condition
+    itself, so disqualified pairs are dropped inside the join instead
+    of being materialized, deduped, and shipped to a verify stage —
+    the columns it references must be carried on ``bands``. Callers
+    must only pass LOSSLESS predicates (ones implied by the final
+    similarity threshold): the oracle stays the plain self-join.
 
     The LSH candidate generators self-join on bucket keys; a healthy
     banding bounds bucket sizes by construction, but one pathological
@@ -121,6 +130,8 @@ def guarded_self_pairs(
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         for k in key_cols + extra_key:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        if pair_cond is not None:
+            cond = cond & pair_cond
         return a.join(b, cond).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
@@ -178,6 +189,8 @@ def guarded_self_pairs(
     )
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    if pair_cond is not None:
+        cond = cond & pair_cond
     hot_pairs = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),

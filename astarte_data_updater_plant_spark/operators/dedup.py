@@ -138,20 +138,24 @@ def _banded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        sig.select("doc_id", "n_sh", F.explode(band_structs).alias("bb"))
         .select(
             "doc_id",
             F.col("bb.band").alias("band"),
             F.col("bb.bkey").alias("bkey"),
+            "n_sh",
         )
     )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle) view, for consumers that need the
-    inverted-index form."""
+    """Exploded (doc_id, shingle, n_sh) view, for consumers that need
+    the inverted-index form; n_sh (the doc's set size) rides along for
+    size-compatibility filters inside candidate joins."""
     return _shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id",
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_sh"),
     )
 
 
@@ -172,8 +176,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_HASHES)
     ]
     # a doc with <3 tokens would yield a null signature; null band
-    # keys never equi-join, so such docs simply produce no candidates
-    return hashed.select("doc_id", *cols)
+    # keys never equi-join, so such docs simply produce no candidates.
+    # n_sh (the shingle-set size) rides along for the AllPairs length
+    # filter in the band self-join — free here, where the set array is
+    # already in hand.
+    return hashed.select("doc_id", *cols, F.size("hs").alias("n_sh"))
 
 
 _SHINGLE_LIST_SQL = (
@@ -211,19 +218,22 @@ _SIG_SQL = (
     SELECT doc_id, {", ".join(f"h{s}" for s in range(N_HASHES))},
            h0 || ':' || h1 AS band0, h2 || ':' || h3 AS band1,
            h4 || ':' || h5 AS band2, h6 || ':' || h7 AS band3
-    FROM sig
+    FROM documents LEFT JOIN sig USING (doc_id)
     ORDER BY doc_id
     """,
     doc="MinHash signature + LSH band keys per document: one md5 base "
     "hash per distinct 3-word shingle, 8 integer-permutation min-wise "
-    "coordinates, banded 4x2. Signature generation is a pure map — "
-    "zero shuffles.",
+    "coordinates, banded 4x2. A <3-token doc keeps its row with a NULL "
+    "signature and NULL band keys (nulls never equi-join, so it can "
+    "never become a candidate downstream) — stated via LEFT JOIN in "
+    "the oracle rather than a Spark-side h0 IS NOT NULL filter, "
+    "because a filter on the computed signature gets pushed below "
+    "load_table's parallelizing repartition and re-evaluates the "
+    "whole MinHash expression serially on the raw scan (measured 20x "
+    "at sf0.1). Signature generation is a pure map — zero shuffles.",
 )
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # <3-token docs have no shingles and hence no signature — the
-    # oracle's sig CTE aggregates the shingle stream so such docs
-    # produce no row at all; drop the all-null rows to match
-    sig = minhash_signatures(spark, sf_dir).filter(F.col("h0").isNotNull())
+    sig = minhash_signatures(spark, sf_dir)
     for b in range(N_BANDS):
         sig = sig.withColumn(
             f"band{b}",
@@ -235,7 +245,11 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"h{2 * b + 1}").cast("string"),
             ),
         )
-    return sig.orderBy("doc_id")
+    return sig.select(
+        "doc_id",
+        *[f"h{i}" for i in range(N_HASHES)],
+        *[f"band{b}" for b in range(N_BANDS)],
+    ).orderBy("doc_id")
 
 
 # The full LSH near-dup pair derivation as oracle SQL CTEs, shared by
@@ -308,9 +322,18 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job pays anyway (a 1/8-sample rebuild was measured SLOWER cold:
     # the fragment gets materialized regardless, so sampling only adds
     # compute).
+    # AllPairs length filter INSIDE the band self-join (Bayardo et al.
+    # WWW'07): J(A,B) >= 0.5 forces 2*min(|A|,|B|) >= max(|A|,|B|), so
+    # size-incompatible collisions (a tweet sharing one band with a
+    # page) are dropped before the pair ever materializes — measured
+    # ~12.7M -> far fewer candidates at the 10x scale point, which is
+    # shed directly off the array-carrying verify shuffle. Lossless,
+    # so the oracle's plain self-join is unchanged.
     candidates = guarded_self_pairs(
         banded, ["band", "bkey"], "doc_id",
         probe_key=f"{sf_dir}:lsh_banded",
+        pair_cond=(2 * F.col("a.n_sh") >= F.col("b.n_sh"))
+        & (2 * F.col("b.n_sh") >= F.col("a.n_sh")),
     )
     # exact verify: fetch the two shingle SETS per candidate pair and
     # intersect them as arrays — candidate count is tiny relative to
@@ -1372,15 +1395,34 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _prefixes() -> DataFrame:
         return ordered.select(
             "doc_id",
-            F.explode(
+            "n",
+            F.posexplode(
                 F.slice(F.transform("os", lambda s: s["sh"]), F.lit(1), plen)
-            ).alias("psh"),
+            ).alias("pos", "psh"),
         )
 
     # pinned: the skew probe and both sides of the self-join read it
     pref = fragment(spark, sf_dir, "prefix_shingles", _prefixes)
+    # Two LOSSLESS in-join filters from the PPJoin family (Xiao et al.
+    # WWW'08), both exact integer cross-multiplications at t = 0.6 =
+    # 3/5, dropped into the join condition so disqualified collisions
+    # never materialize as pairs:
+    # - length filter: J >= t forces 5*min(|A|,|B|) >= 3*max(|A|,|B|);
+    # - positional filter: at the FIRST common element (0-based
+    #   positions pa/pb in the shared rarest-first order) everything
+    #   earlier is disjoint, so overlap <= 1 + min(n_a-1-pa, n_b-1-pb),
+    #   and J >= t needs overlap >= t/(1+t)*(n_a+n_b) = 3/8*(n_a+n_b).
+    #   A pair whose true Jaccard passes always survives via its first
+    #   common element; later collisions of the same pair may prune,
+    #   which only sheds duplicate candidate rows.
+    ub = 1 + F.least(
+        F.col("a.n") - 1 - F.col("a.pos"), F.col("b.n") - 1 - F.col("b.pos")
+    )
     candidates = guarded_self_pairs(
-        pref, ["psh"], "doc_id", probe_key=f"{sf_dir}:prefix_shingles"
+        pref, ["psh"], "doc_id", probe_key=f"{sf_dir}:prefix_shingles",
+        pair_cond=(5 * F.col("a.n") >= 3 * F.col("b.n"))
+        & (5 * F.col("b.n") >= 3 * F.col("a.n"))
+        & (8 * ub >= 3 * (F.col("a.n") + F.col("b.n"))),
     )
     sets_a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -1477,17 +1519,29 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.filter(n >= CONTAIN_MIN_SH)
         .select(
             F.col("doc_id").alias("contained_doc"),
+            F.col("n").alias("n_a"),
             F.explode(
                 F.slice(F.transform("os", lambda s: s["sh"]), F.lit(1), plen)
             ).alias("shingle"),
         )
     )
+    # size filter inside the probe join: containment >= 0.8 = 4/5
+    # forces |B| >= |A cap B| >= 0.8*|A|, i.e. 5*|B| >= 4*|A| in exact
+    # integers — a short doc can never be 80%-contained in a shorter
+    # one, so those index hits are dropped before the pair exists
     candidates = (
         probe.join(
-            flat.select(F.col("doc_id").alias("container_doc"), "shingle"),
+            flat.select(
+                F.col("doc_id").alias("container_doc"),
+                "shingle",
+                F.col("n_sh").alias("n_b"),
+            ),
             "shingle",
         )
-        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .filter(
+            (F.col("contained_doc") != F.col("container_doc"))
+            & (5 * F.col("n_b") >= 4 * F.col("n_a"))
+        )
         .select("contained_doc", "container_doc")
         .distinct()
     )

@@ -167,3 +167,153 @@ def test_q202_small_group_is_exact(spark, kmv_events_dir):
     # error envelope (rsd ~ 1/sqrt(K-2) ~ 13%; assert a loose 3x)
     assert big["k"] == 64
     assert big["rel_err"] < 0.4
+
+
+# -- q211/q212: agreement + Good-Turing edge classes --------------------------
+
+
+@pytest.fixture(scope="module")
+def agreement_docs_dir(tmp_path_factory):
+    """One source where BOTH annotators are constant (identical
+    ultra-short docs: Gopher fails min-words, the classifier sees the
+    same sign everywhere) -> kappa's chance-correction denominator is
+    zero and the output must be NULL, not a crash or a 0/0 artifact.
+    One source of all-unique tokens (every term a singleton: f1 =
+    vocab = N, unseen mass 1.0) and one with every term repeated
+    (f1 = 0 -> r1* is NULL)."""
+    uniq = " ".join(f"tok{i:03d}" for i in range(60))
+    rep = " ".join(f"rep{i:02d} rep{i:02d}" for i in range(30))
+    rows = [
+        (1, "same tiny", "en", "const"),
+        (2, "same tiny", "en", "const"),
+        (3, "same tiny", "en", "const"),
+        (4, uniq, "en", "uniq"),
+        (5, rep, "en", "rep"),
+    ]
+    return _mkdir_with(
+        str(tmp_path_factory.mktemp("agree")), {"documents": _docs_table(rows)}
+    )
+
+
+@pytest.mark.parametrize("name", ["q211_annotator_kappa", "q212_good_turing"])
+def test_agreement_edge_parity(spark, name, agreement_docs_dir):
+    spec = QUERIES[name]
+    ok, msg = compare(spec.fn(spark, agreement_docs_dir), spec.oracle,
+                      agreement_docs_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_q211_constant_annotators_yield_null_kappa(spark, agreement_docs_dir):
+    rows = {
+        r["source"]: r
+        for r in queries_map()["q211_annotator_kappa"](
+            spark, agreement_docs_dir
+        ).collect()
+    }
+    const = rows["const"]
+    # both annotators constant over the source: agreement is total or
+    # zero by construction and chance-corrected agreement is undefined
+    assert const["kappa"] is None
+    assert const["agree_frac"] in (0.0, 1.0)
+
+
+def test_q212_saturation_extremes(spark, agreement_docs_dir):
+    rows = {
+        r["source"]: r
+        for r in queries_map()["q212_good_turing"](
+            spark, agreement_docs_dir
+        ).collect()
+    }
+    uniq, rep = rows["uniq"], rows["rep"]
+    assert uniq["f1"] == uniq["vocab"] == uniq["n_tokens"]
+    assert uniq["p_unseen"] == 1.0
+    assert rep["f1"] == 0 and rep["p_unseen"] == 0.0
+    assert rep["r1_star"] is None
+
+
+# -- q213: theta-sketch set ops below the sketch size --------------------------
+
+
+@pytest.fixture(scope="module")
+def overlap_docs_dir(tmp_path_factory):
+    """Three small sources (every shingle set smaller than KMV_K=64, so
+    each sketch IS its full set and the estimates are checkable against
+    ground truth): a/b share a known half, c is disjoint from both."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta "
+    only_a = "apple banana cherry damson elder fig grape "
+    only_b = "iron copper nickel zinc cobalt silver gold "
+    only_c = "ships harbors docks sailors ropes anchors tides quays "
+    rows = [
+        (1, (shared + only_a).strip(), "en", "a"),
+        (2, (shared + only_b).strip(), "en", "b"),
+        (3, (only_c * 2).strip(), "en", "c"),
+    ]
+    return _mkdir_with(
+        str(tmp_path_factory.mktemp("overlap")), {"documents": _docs_table(rows)}
+    )
+
+
+def test_q213_small_sketch_parity_and_zero_row(spark, overlap_docs_dir):
+    spec = QUERIES["q213_theta_sketch_overlap"]
+    ok, msg = compare(spec.fn(spark, overlap_docs_dir), spec.oracle,
+                      overlap_docs_dir)
+    assert ok, f"q213: {msg}"
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in spec.fn(spark, overlap_docs_dir).collect()
+    }
+    ab = rows[("a", "b")]
+    # both sketches are complete sets, so below theta the counts are
+    # ground truth: a and b genuinely share shingles
+    assert ab["k_a"] < 64 and ab["k_b"] < 64
+    assert ab["n_common"] > 0
+    # a disjoint pair must still emit its row, with explicit zeros
+    for p in (("a", "c"), ("b", "c")):
+        assert rows[p]["n_common"] == 0
+        assert rows[p]["jaccard_est"] == 0.0
+        assert rows[p]["est_intersection"] == 0.0
+
+
+# -- s99: Misra-Gries guarantee on an adversarial stream ----------------------
+
+
+@pytest.fixture(scope="module")
+def mg_events_dir(tmp_path_factory):
+    """'tiny' has fewer distinct users than MG_M (no decrement may ever
+    fire: exact counts, zero error bound); 'hot' has one user at ~50%
+    of a 40-user stream (the summary must keep it and the deficit
+    guarantee must hold at every emission)."""
+    rows = []
+    eid = 0
+    for i in range(30):
+        eid += 1
+        rows.append((eid, i * 1_000_000, i % 3, "tiny", 1.0))
+    for i in range(200):
+        eid += 1
+        uid = 7 if i % 2 == 0 else 100 + (i % 20)
+        rows.append((eid, i * 1_000_000, uid, "hot", 2.0))
+    return _mkdir_with(
+        str(tmp_path_factory.mktemp("mg")), {"events": _events_table(rows)}
+    )
+
+
+def test_s99_mg_parity_and_guarantees(spark, mg_events_dir):
+    spec = QUERIES["s99_stream_mg_heavy_hitters"]
+    ok, msg = compare(spec.fn(spark, mg_events_dir), spec.oracle, mg_events_dir)
+    assert ok, f"s99: {msg}"
+    rows = spec.fn(spark, mg_events_dir).collect()
+    tiny = [r for r in rows if r["event_type"] == "tiny"]
+    assert tiny and all(r["err_bound"] == 0 for r in tiny)
+    # exact counts when no decrement ever fired: per-user totals at the
+    # final seq equal true frequencies
+    final_seq = max(r["seq"] for r in tiny)
+    finals = {r["user_id"]: r["mg_count"] for r in tiny if r["seq"] == final_seq}
+    assert finals == {0: 10, 1: 10, 2: 10}
+    # the hot user survives every emission with the deficit bound
+    hot = [r for r in rows if r["event_type"] == "hot"]
+    hot_final = max(r["seq"] for r in hot)
+    hot_rows = {r["user_id"]: r for r in hot if r["seq"] == hot_final}
+    assert 7 in hot_rows
+    r7 = hot_rows[7]
+    true_7 = 100  # 200 events, every even index
+    assert r7["mg_count"] <= true_7 <= r7["mg_count"] + r7["err_bound"]
