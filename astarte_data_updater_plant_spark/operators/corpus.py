@@ -275,26 +275,18 @@ def q111_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = batch.join(corp, "h").select("doc_id", "corp_doc")
 
-    # near-dup: probe the banded LSH index (shared pinned fragment with
-    # q42) batch-side vs corpus-side only
-    def _banded() -> DataFrame:
-        sig = minhash_signatures(spark, sf_dir)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(":", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
-                        "bkey"
-                    ),
-                )
-                for b in range(4)
-            ]
-        )
-        return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-        )
+    # near-dup: probe the banded LSH index — the SHARED dedup
+    # _banded_frame under the shared "lsh_banded" fragment name. A
+    # local concat_ws twin used to live here; whichever query ran
+    # first pinned its shape for everyone (found when the AllPairs
+    # n_sh column appeared only in the dedup version), and concat_ws
+    # also diverged from this query's own oracle (`||`
+    # null-propagates) on <3-token docs. One definition, one fragment.
+    from .dedup import _banded_frame
 
-    banded = fragment(spark, sf_dir, "lsh_banded", _banded)
+    banded = fragment(
+        spark, sf_dir, "lsh_banded", lambda: _banded_frame(spark, sf_dir)
+    )
     nb = banded.filter(F.col("doc_id") % 10 >= BATCH_MOD).alias("nb")
     cb = banded.filter(F.col("doc_id") % 10 < BATCH_MOD).alias("cb")
     cand = (
