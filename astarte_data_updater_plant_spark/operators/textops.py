@@ -2021,3 +2021,114 @@ def q211_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q214 — corpus n-gram diversity per source (the self-BLEU proxy)
+# ---------------------------------------------------------------------------
+
+
+def _q214_gram_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k)).replace(
+        "toks[i+0]", "toks[i]"
+    )
+    return f"""
+      SELECT doc_id, source, {k} AS n,
+             ('0x' || substr(md5({parts if k > 1 else "toks[i]"}), 1, 8))::BIGINT
+               AS h
+      FROM (
+        SELECT doc_id, source, string_split(text, ' ') AS toks,
+               unnest(range(1, greatest(len(string_split(text, ' ')) - {k - 1},
+                                        0) + 1)) AS i
+        FROM documents
+      )
+    """
+
+
+@register(
+    "q214_ngram_diversity",
+    f"""
+    WITH grams AS (
+      {" UNION ALL ".join(_q214_gram_sql(k) for k in (1, 2, 3))}
+    ),
+    per AS (
+      SELECT source, n, h,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+      FROM grams GROUP BY source, n, h
+    )
+    SELECT source, n,
+           CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+           CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_doc_ngrams,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS diversity,
+           CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS cross_doc_frac
+    FROM per GROUP BY source, n
+    ORDER BY source, n
+    """,
+    doc="Corpus-level n-gram diversity per source at n = 1, 2, 3: "
+    "distinct/total n-gram ratio (the distinct-n-grams diversity "
+    "metric behind self-BLEU-style generation audits, Zhu et al. "
+    "2018) plus the fraction of distinct n-grams appearing in 2+ "
+    "documents of the source — template/boilerplate mass as a "
+    "cross-document signal. Unlike q95 (per-document repetition) or "
+    "q30 (per-document token stats) this is a SOURCE-level novelty "
+    "measure: a mirror-heavy or form-letter source shows high "
+    "cross_doc_frac and low diversity long before any dedup pass "
+    "runs, which is why curation teams read it when deciding how "
+    "hard to dedup a source. All floats are single divisions of "
+    "exact BIGINT counts over the shared md5-h32 gram family. Plan: "
+    "three gram explodes union into one stream, then two keyed "
+    "aggregates with map-side combine ((source, n, hash) then "
+    "(source, n)) — two bounded shuffles, no windows, no Python; at "
+    "100 TB the first aggregate's key space is the distinct-gram "
+    "set, sharded uniformly by hash.",
+)
+def q214_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32, shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    frames = [
+        docs.select(
+            "doc_id",
+            "source",
+            F.lit(k).alias("n"),
+            F.explode(
+                F.transform(
+                    shingles_from_tokens(F.col("toks"), k), shingle_h32
+                )
+            ).alias("h"),
+        )
+        for k in (1, 2, 3)
+    ]
+    grams = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    per = grams.groupBy("source", "n", "h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("doc_id").alias("d"),
+    )
+    return (
+        per.groupBy("source", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+            F.sum((F.col("d") >= 2).cast("int")).cast("long").alias(
+                "cross_doc_ngrams"
+            ),
+        )
+        .select(
+            "source", "n", "total_ngrams", "distinct_ngrams",
+            "cross_doc_ngrams",
+            (F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")).alias(
+                "diversity"
+            ),
+            (
+                F.col("cross_doc_ngrams").cast("double")
+                / F.col("distinct_ngrams")
+            ).alias("cross_doc_frac"),
+        )
+        .orderBy("source", "n")
+    )

@@ -50,6 +50,9 @@ def degen_docs_dir(tmp_path_factory):
         "q199_prefix_filter_jaccard",
         "q204_containment_pairs",
         "q205_leakage_safe_split",
+        # corpus diversity on empty/one-token docs: the n=2/3 gram
+        # builders must yield empty arrays, not crash or emit "" grams
+        "q214_ngram_diversity",
         # the LSH ladder itself: <3-token docs have NULL minhashes, and
         # the band-key build must null-propagate (concat, not
         # concat_ws) or every degenerate doc pairs with every other
