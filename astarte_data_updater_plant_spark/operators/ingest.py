@@ -3079,3 +3079,212 @@ def s99_stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq", "user_id")
+
+
+# -- s100: streaming Bloom-filter dedup gate (bounded state) ------------------
+
+#: Bloom geometry: m bits, k hash seeds. At m=1024, k=4 the gate holds
+#: ~100 keys per event type before FPR climbs past ~1% — sized to the
+#: fixture; the STATE SIZE is m bits regardless of stream length,
+#: which is the entire point vs exact dropDuplicates state
+BLOOM_M = 1024
+BLOOM_K = 4
+
+
+@register(
+    "s100_stream_bloom_gate",
+    f"""
+    WITH s AS (
+      SELECT event_type, event_id, user_id,
+             NTILE(3) OVER (ORDER BY ts, event_id) AS slice
+      FROM events
+    ),
+    bits AS (
+      SELECT event_type, slice, event_id, t.j,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                 || CAST(t.j AS VARCHAR)), 1, 8))::BIGINT
+               % {BLOOM_M} AS p
+      FROM s, UNNEST([0, 1, 2, 3]) AS t(j)
+    ),
+    fp AS (
+      SELECT event_type, p, MIN(slice) AS first_slice
+      FROM bits GROUP BY event_type, p
+    ),
+    ev AS (
+      SELECT b.event_type, b.slice, b.event_id,
+             SUM(CASE WHEN f.first_slice < b.slice THEN 1 ELSE 0 END)
+               AS covered
+      FROM bits b
+      JOIN fp f ON f.event_type = b.event_type AND f.p = b.p
+      GROUP BY b.event_type, b.slice, b.event_id
+    ),
+    arr AS (
+      SELECT event_type, slice,
+             CAST(COUNT(*) AS BIGINT) AS n_arrived,
+             CAST(SUM(CASE WHEN covered = {BLOOM_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_flagged
+      FROM ev GROUP BY event_type, slice
+    ),
+    newb AS (
+      SELECT event_type, first_slice AS slice,
+             CAST(COUNT(*) AS BIGINT) AS n_new_bits
+      FROM fp GROUP BY event_type, first_slice
+    ),
+    tot AS (
+      SELECT s2.event_type, s2.slice,
+             CAST(COALESCE(n.n_new_bits, 0) AS BIGINT) AS n_new_bits,
+             CAST(SUM(COALESCE(n.n_new_bits, 0)) OVER (
+               PARTITION BY s2.event_type ORDER BY s2.slice) AS BIGINT)
+               AS n_bits_total
+      FROM (SELECT DISTINCT event_type, slice FROM s) s2
+      LEFT JOIN newb n
+        ON n.event_type = s2.event_type AND n.slice = s2.slice
+    ),
+    seqd AS (
+      SELECT event_type, slice,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slice) AS seq
+      FROM (SELECT DISTINCT event_type, slice FROM s)
+    )
+    SELECT a.event_type, q.seq, a.n_arrived, a.n_dup_flagged,
+           t.n_new_bits, t.n_bits_total
+    FROM arr a
+    JOIN seqd q ON q.event_type = a.event_type AND q.slice = a.slice
+    JOIN tot t ON t.event_type = a.event_type AND t.slice = a.slice
+    ORDER BY a.event_type, q.seq
+    """,
+    doc=f"Streaming dedup gate as a BLOOM FILTER in GroupState: per "
+    f"event type the state is an m={BLOOM_M}-bit filter (stored as "
+    f"its set-bit positions), every arriving user-key is flagged "
+    f"duplicate iff all k={BLOOM_K} of its bit positions were set by "
+    f"PRIOR batches, and the batch's bits are then OR'd in — the "
+    f"bounded-state alternative to s74/s80's exact "
+    f"dropDuplicates-with-watermark, whose key set grows with the "
+    f"stream. At 100 TB this is the only dedup gate that survives "
+    f"an unbounded key domain: state is m bits per key-group "
+    f"FOREVER, the price is a quantified false-positive rate (q165 "
+    f"pins the FPR math batch-side; a flagged event may be new, a "
+    f"passed event is definitely new). The fold is ORDER-FREE "
+    f"(check-against-prior-then-OR: intra-batch duplicates "
+    f"deliberately pass, the s85 snapshot-dedup contract), bit "
+    f"positions are computed JVM-side from the shared md5-h32 "
+    f"family, and the Python fold only set-merges bounded ints. The "
+    f"oracle replays all three NTILE micro-batches via the "
+    f"first-slice-per-bit rewrite (a bit is 'prior' to slice b iff "
+    f"its first setter is in a strictly earlier slice), so every "
+    f"per-batch emission — arrivals, dup flags, new bits, filter "
+    f"occupancy — is pinned exactly.",
+)
+def s100_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from ..functions.text import shingle_h32
+
+    m_bits, k_seeds = int(BLOOM_M), int(BLOOM_K)
+
+    def bloom_fold(key, pdf_iter, state):
+        arrived = 0
+        dup = 0
+        batch_bits: set[int] = set()
+        if state.exists:
+            seq, prior_list = state.get
+            seq, prior = int(seq) + 1, set(int(x) for x in prior_list)
+        else:
+            seq, prior = 1, set()
+        for pdf in pdf_iter:
+            for pos in pdf["pos"]:
+                ps = [int(x) for x in pos]
+                arrived += 1
+                if all(p in prior for p in ps):
+                    dup += 1
+                batch_bits.update(ps)
+        new_bits = batch_bits - prior
+        total = prior | batch_bits
+        state.update((seq, sorted(total)))
+        yield pd.DataFrame(
+            {
+                "event_type": [str(key[0])],
+                "seq": [seq],
+                "n_arrived": [arrived],
+                "n_dup_flagged": [dup],
+                "n_new_bits": [len(new_bits)],
+                "n_bits_total": [len(total)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.array(
+        *[
+            F.pmod(
+                shingle_h32(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit(f":{j}")
+                    )
+                ),
+                F.lit(m_bits),
+            ).cast("int")
+            for j in range(k_seeds)
+        ]
+    )
+    sliced = (
+        with_global_order(
+            ev.select("event_type", "ts", "event_id", pos.alias("pos")),
+            ["ts", "event_id"],
+            ntile=(3, "tile"),
+        )
+        .withColumn("slice", F.col("tile") - 1)
+        .select("event_type", "pos", "slice")
+    )
+    src_dir = scratch_dir(prefix="s100_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(sliced.drop("slice").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            bloom_fold,
+            outputStructType=(
+                "event_type STRING, seq BIGINT, n_arrived BIGINT,"
+                " n_dup_flagged BIGINT, n_new_bits BIGINT, n_bits_total BIGINT"
+            ),
+            stateStructType="seq BIGINT, bits ARRAY<INT>",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s100_bloom"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s100_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_type", "seq")

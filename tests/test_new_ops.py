@@ -288,9 +288,11 @@ def mg_events_dir(tmp_path_factory):
     guarantee must hold at every emission)."""
     rows = []
     eid = 0
+    # tiny spans the whole global time range (the stream slices by a
+    # global NTILE over ts), so it receives data in every micro-batch
     for i in range(30):
         eid += 1
-        rows.append((eid, i * 1_000_000, i % 3, "tiny", 1.0))
+        rows.append((eid, i * 7_000_000, i % 3, "tiny", 1.0))
     for i in range(200):
         eid += 1
         uid = 7 if i % 2 == 0 else 100 + (i % 20)
@@ -320,3 +322,26 @@ def test_s99_mg_parity_and_guarantees(spark, mg_events_dir):
     r7 = hot_rows[7]
     true_7 = 100  # 200 events, every even index
     assert r7["mg_count"] <= true_7 <= r7["mg_count"] + r7["err_bound"]
+
+
+def test_s100_bloom_gate_low_occupancy(spark, mg_events_dir):
+    spec = QUERIES["s100_stream_bloom_gate"]
+    ok, msg = compare(spec.fn(spark, mg_events_dir), spec.oracle, mg_events_dir)
+    assert ok, f"s100: {msg}"
+    rows = spec.fn(spark, mg_events_dir).collect()
+    by = {(r["event_type"], r["seq"]): r for r in rows}
+    # batch 1 of a fresh filter can never flag anything
+    for (et, seq), r in by.items():
+        if seq == 1:
+            assert r["n_dup_flagged"] == 0
+    # 'tiny' has 3 users, all seen in its first batch; with 12 of 1024
+    # bits set, later batches flag exactly their (all-repeat) arrivals
+    tiny_first = by[("tiny", 1)]
+    assert tiny_first["n_bits_total"] <= 3 * 4
+    later = [r for (et, s), r in by.items() if et == "tiny" and s > 1]
+    assert later and all(r["n_dup_flagged"] == r["n_arrived"] for r in later)
+    # occupancy is monotone and bounded by m
+    for et in {et for et, _ in by}:
+        seqs = sorted(s for e, s in by if e == et)
+        tots = [by[(et, s)]["n_bits_total"] for s in seqs]
+        assert tots == sorted(tots) and tots[-1] <= 1024
