@@ -2068,3 +2068,173 @@ def q213_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — winsorized robust stats per event type
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "q216_winsorized_stats",
+    f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(c.lo, 6) AS p05,
+           round(c.hi, 6) AS p95,
+           round(AVG(e.value), 6) AS mean_raw,
+           round(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+             AS mean_winsor,
+           CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.lo, c.hi
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized feature statistics per event type: exact "
+    "interpolated p05/p95 cut points (the q29 percentile contract — "
+    "both engines sort-and-interpolate, values hash-match after "
+    "round 6), values clamped into [p05, p95], and the raw vs "
+    "winsorized mean side by side with clip counts — the standard "
+    "feature-engineering guard against heavy-tailed telemetry "
+    "before normalization or model training (one fat-fingered "
+    "sensor reading no longer drags the feature mean). Plan: one "
+    "sort-based percentile aggregate over the bounded event-type "
+    "key space, the tiny (type, lo, hi) cut table broadcast back "
+    "onto the scan, one partial+final aggregate — two passes over "
+    "the fact, zero windows, zero Python; exactly how a cluster "
+    "job winsorizes 100 TB (the cut table is KB-sized for any "
+    "real key cardinality).",
+)
+def q216_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("lo"), 6).alias("p05"),
+            F.round(F.first("hi"), 6).alias("p95"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clamped), 6).alias("mean_winsor"),
+            F.sum((F.col("value") < F.col("lo")).cast("int"))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("int"))
+            .cast("long")
+            .alias("n_clip_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — deterministic bootstrap CI for the per-type mean
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates; each is a deterministic half-sample keyed by
+#: md5(event_id:rep), so the resample replays identically under any
+#: partitioning and on both engines
+BOOT_REPS = 32
+
+
+@register(
+    "q217_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT e.event_type, t.rep, e.value
+      FROM events e, UNNEST(range(0, {BOOT_REPS})) AS t(rep)
+      WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                || CAST(t.rep AS VARCHAR)), 1, 8))::BIGINT
+            % 2 = 0
+    ),
+    rep_means AS (
+      SELECT event_type, rep, AVG(value) AS m
+      FROM reps GROUP BY event_type, rep
+    ),
+    fullm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS full_mean
+      FROM events GROUP BY event_type
+    )
+    SELECT r.event_type, f.n,
+           round(f.full_mean, 6) AS full_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           round(AVG(r.m), 6) AS boot_mean,
+           round(quantile_cont(r.m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(r.m, 0.975), 6) AS ci_hi
+    FROM rep_means r JOIN fullm f USING (event_type)
+    GROUP BY r.event_type, f.n, f.full_mean
+    ORDER BY r.event_type
+    """,
+    doc=f"Distribution-free confidence interval for the per-type mean "
+    f"via a DETERMINISTIC bootstrap: {BOOT_REPS} half-sample "
+    f"replicates, where replicate r includes an event iff "
+    f"md5-h32(event_id:r) is even — the hash-seeded resampling "
+    f"pattern that replays identically under any partitioning, "
+    f"retry, or engine (the property Math.random-style resampling "
+    f"loses on a cluster; cf. Kleiner et al.'s bag-of-little-"
+    f"bootstraps for why resampling at scale must be shard-"
+    f"deterministic). The CI is the 2.5/97.5 interpolated "
+    f"percentile of the replicate means (q29 percentile contract). "
+    f"Plan: the replicate fan-out is a constant-factor explode "
+    f"(x{BOOT_REPS}) feeding one partial+final aggregate on "
+    f"(type, rep) — map-side combine collapses it before the "
+    f"shuffle, so the wire carries one row per (type, rep); the "
+    f"percentile then runs over {BOOT_REPS} rows per type. No "
+    f"windows, no Python, no driver state.",
+)
+def q217_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingle_h32
+
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_type", "event_id", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+    ).filter(
+        F.pmod(
+            shingle_h32(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    rep_means = reps.groupBy("event_type", "rep").agg(F.avg("value").alias("m"))
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("full_mean"),
+    )
+    return (
+        rep_means.join(F.broadcast(full), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("full_mean"), 6).alias("full_mean"),
+            F.count(F.lit(1)).cast("long").alias("n_reps"),
+            F.round(F.avg("m"), 6).alias("boot_mean"),
+            F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -2614,3 +2614,93 @@ def q212_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r1_star"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q215 — crawl-batch novelty decay (new-shingle fraction per batch)
+# ---------------------------------------------------------------------------
+
+#: docs per sequential crawl batch (doc_id order = arrival order in
+#: the synthetic corpus): 5 batches at sf0.01, 50 at sf0.1
+NOVELTY_BATCH_DOCS = 100
+
+
+@register(
+    "q215_novelty_decay",
+    f"""
+    WITH sh AS ({_SH_SQL}),
+    gb AS (
+      SELECT DISTINCT CAST(doc_id // {NOVELTY_BATCH_DOCS} AS BIGINT) AS batch,
+             shingle AS h
+      FROM sh
+    ),
+    first AS (SELECT h, MIN(batch) AS fb FROM gb GROUP BY h),
+    per AS (
+      SELECT gb.batch,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.fb = gb.batch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM gb JOIN first f ON f.h = gb.h
+      GROUP BY gb.batch
+    )
+    SELECT batch, n_grams, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY batch
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_total,
+           CAST(n_new AS DOUBLE) / n_grams AS novelty
+    FROM per
+    ORDER BY batch
+    """,
+    doc="Crawl novelty-decay curve: documents are grouped into "
+    "sequential arrival batches (doc_id order) and each batch reports "
+    "how many of its distinct 3-word shingles were NEVER seen in any "
+    "earlier batch — the marginal-novelty measurement behind "
+    "diminishing-returns decisions (keep crawling a source, or stop "
+    "because batch novelty has decayed below threshold; cf. the "
+    "scaling-law data-curation audits that track unique-token yield "
+    "per additional crawl snapshot). Shingles ride the shared md5-h32 "
+    "family (`functions/text.py`). Plan: one distinct over (batch, "
+    "shingle-hash), one min-per-hash aggregate, one equi-join back, "
+    "one per-batch aggregate — all keyed shuffles sharded by the "
+    "gram hash; the final running total runs over one row per batch "
+    "via the two-phase global cumsum (functions/ranks.py), never a "
+    "single-partition window over row-level data. At 100 TB the "
+    "min-batch-per-gram aggregate IS the novelty index a crawler "
+    "would maintain incrementally; novelty is a single division of "
+    "exact BIGINT counts, so parity is exact.",
+)
+def q215_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    )
+    gb = (
+        sets.select(
+            F.floor(F.col("doc_id") / NOVELTY_BATCH_DOCS)
+            .cast("long")
+            .alias("batch"),
+            F.explode("shingles").alias("h"),
+        )
+        .distinct()
+    )
+    first = gb.groupBy("h").agg(F.min("batch").alias("fb"))
+    per = (
+        gb.join(first, "h")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("fb") == F.col("batch")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    return (
+        with_global_order(
+            per, ["batch"], cumsums=[("n_new", "distinct_total", "inclusive")]
+        )
+        .select(
+            "batch", "n_grams", "n_new",
+            F.col("distinct_total").cast("long").alias("distinct_total"),
+            (F.col("n_new").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("batch")
+    )

@@ -3288,3 +3288,183 @@ def s100_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq")
+
+# ---------------------------------------------------------------------------
+# s101 — streaming bottom-k uniform sample (bounded-state reservoir)
+# ---------------------------------------------------------------------------
+
+#: sample size per key group: the k smallest hash values seen so far.
+#: Bottom-k over a uniform hash IS a uniform sample without
+#: replacement, and unlike the classical index-swap reservoir it is
+#: ORDER-FREE (any arrival order of the same multiset yields the same
+#: sample) and mergeable (union = merge-and-truncate) — the properties
+#: a distributed, replayable stream needs.
+RESERVOIR_K = 16
+
+
+@register(
+    "s101_stream_bottomk_sample",
+    f"""
+    WITH s AS (
+      SELECT event_type, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rs'), 1, 8))
+               ::BIGINT AS h,
+             NTILE(3) OVER (ORDER BY ts, event_id) AS slice
+      FROM events
+    ),
+    sl AS (SELECT DISTINCT event_type, slice FROM s),
+    pre AS (
+      SELECT b.event_type, b.slice AS b, e.event_id, e.h,
+             e.slice AS arrived
+      FROM sl b JOIN s e
+        ON e.event_type = b.event_type AND e.slice <= b.slice
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type, b ORDER BY h, event_id) AS rn
+      FROM pre
+    ),
+    per AS (
+      SELECT event_type, b,
+             CAST(SUM(CASE WHEN arrived = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arrived,
+             CAST(SUM(CASE WHEN rn <= {RESERVOIR_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sample_k,
+             MAX(CASE WHEN rn <= {RESERVOIR_K} THEN h END) AS max_h,
+             CAST(SUM(CASE WHEN rn <= {RESERVOIR_K} AND arrived = b
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_new_members
+      FROM ranked GROUP BY event_type, b
+    ),
+    seqd AS (
+      SELECT event_type, slice,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slice)
+               AS seq
+      FROM sl
+    )
+    SELECT p.event_type, q.seq, p.n_arrived, p.sample_k, p.max_h,
+           p.n_new_members
+    FROM per p
+    JOIN seqd q ON q.event_type = p.event_type AND q.slice = p.b
+    ORDER BY p.event_type, q.seq
+    """,
+    doc=f"Streaming uniform sample as a BOTTOM-K state machine: per "
+    f"event type the state is the k={RESERVOIR_K} smallest "
+    f"(md5-h32, event_id) pairs seen so far — a mergeable, "
+    f"order-free reservoir (bottom-k of a union is the truncated "
+    f"merge of bottom-ks, so replay, redelivery reordering, and "
+    f"scale-out repartitioning all yield the SAME sample, which "
+    f"the classical swap-with-probability reservoir cannot "
+    f"promise). Each micro-batch emits arrivals, current sample "
+    f"occupancy, the sample's hash threshold (= the KMV kth-"
+    f"minimum, so the same state doubles as a distinct-count "
+    f"sketch, s97), and how many batch rows ENTERED the sample — "
+    f"membership is monotone (a row outside bottom-k of a prefix "
+    f"can never rejoin), which is what makes the per-batch "
+    f"emission oracle-expressible as a rank over each slice "
+    f"prefix. State is O(k) per key FOREVER; the Python fold only "
+    f"merge-truncates {RESERVOIR_K} tuples. Hash positions ride "
+    f"the shared md5-h32 family, JVM-side.",
+)
+def s101_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from ..functions.text import shingle_h32
+
+    k = int(RESERVOIR_K)
+
+    def bottomk_fold(key, pdf_iter, state):
+        arrived = 0
+        batch: list[tuple[int, int]] = []
+        if state.exists:
+            seq, hs, ids = state.get
+            seq = int(seq) + 1
+            prior = list(zip((int(x) for x in hs), (int(x) for x in ids)))
+        else:
+            seq, prior = 1, []
+        prior_set = set(prior)
+        for pdf in pdf_iter:
+            arrived += len(pdf)
+            batch.extend(
+                zip((int(x) for x in pdf["h"]), (int(x) for x in pdf["event_id"]))
+            )
+        sample = sorted(set(prior) | set(batch))[:k]
+        n_new = sum(1 for t in sample if t not in prior_set)
+        state.update(
+            (seq, [t[0] for t in sample], [t[1] for t in sample])
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [str(key[0])],
+                "seq": [seq],
+                "n_arrived": [arrived],
+                "sample_k": [len(sample)],
+                "max_h": [max(t[0] for t in sample)],
+                "n_new_members": [n_new],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = shingle_h32(F.concat(F.col("event_id").cast("string"), F.lit(":rs")))
+    sliced = (
+        with_global_order(
+            ev.select("event_type", "ts", "event_id", h.alias("h")),
+            ["ts", "event_id"],
+            ntile=(3, "tile"),
+        )
+        .withColumn("slice", F.col("tile") - 1)
+        .select("event_type", "event_id", "h", "slice")
+    )
+    src_dir = scratch_dir(prefix="s101_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(sliced.drop("slice").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            bottomk_fold,
+            outputStructType=(
+                "event_type STRING, seq BIGINT, n_arrived BIGINT,"
+                " sample_k BIGINT, max_h BIGINT, n_new_members BIGINT"
+            ),
+            stateStructType="seq BIGINT, hs ARRAY<BIGINT>, ids ARRAY<BIGINT>",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s101_bottomk"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s101_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_type", "seq")

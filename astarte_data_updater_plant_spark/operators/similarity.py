@@ -815,3 +815,98 @@ def q210_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — label-centroid cosine matrix (confusable-class audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_centroid_cosine_matrix",
+    """
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, AVG(x) AS m
+      FROM dims GROUP BY label, dim
+    ),
+    norms AS (
+      SELECT label, sqrt(SUM(m * m)) AS nrm, CAST(COUNT(*) AS BIGINT) AS d
+      FROM cent GROUP BY label
+    ),
+    sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, sa.n AS n_a, sb.n AS n_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    JOIN sizes sa ON sa.label = d.label_a
+    JOIN sizes sb ON sb.label = d.label_b
+    ORDER BY d.label_a, d.label_b
+    """,
+    doc="Confusable-class audit: the pairwise cosine between "
+    "per-label embedding centroids — the first thing a labeling/"
+    "curation team reads when a classifier's confusion matrix "
+    "(q163) shows systematic swaps, because two labels whose "
+    "centroids sit at cosine ~1 are one concept split by the "
+    "annotation guidelines (and SemDeDup-style pruning, q115, "
+    "over-fires inside them). Plan: per-dimension means via one "
+    "posexplode + (label, dim) aggregate with map-side combine — "
+    "the ONLY pass over the corpus-sized table; everything after "
+    "runs on the K x D centroid frame (here 10 x 64, at scale "
+    "still KB-MB), so the pairwise join is a broadcast self-join "
+    "on dim, never a fact-table product. Sums are exact-order-"
+    "independent up to double rounding; round 6 pins parity (the "
+    "q50 cosine contract).",
+)
+def q218_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(to_double_array(F.col("embedding"))).alias("pos", "x"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "x")
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm")
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    sa = sizes.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
