@@ -38,12 +38,15 @@ def distinct_tokens(col: Column) -> Column:
 
 
 def n_tokens(col: Column) -> Column:
-    return F.size(tokens(col))
+    # long, not int: the DuckDB oracle's len() is BIGINT, and the
+    # driver's value hash is Arrow-dtype-sensitive (see
+    # tests/oracle_utils.dtype_skews).
+    return F.size(tokens(col)).cast("long")
 
 
 def stopword_count(col: Column) -> Column:
     toks = tokens(col)
-    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("long")
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:

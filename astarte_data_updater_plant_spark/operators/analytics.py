@@ -320,12 +320,12 @@ def q68_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "value",
-            F.row_number().over(by_val_id).alias("rn"),
-            F.rank().over(by_val).alias("rnk"),
-            F.dense_rank().over(by_val).alias("drnk"),
+            F.row_number().over(by_val_id).cast("long").alias("rn"),
+            F.rank().over(by_val).cast("long").alias("rnk"),
+            F.dense_rank().over(by_val).cast("long").alias("drnk"),
             F.round(F.percent_rank().over(by_val), 6).alias("prnk"),
             F.round(F.cume_dist().over(by_val), 6).alias("cdist"),
-            F.ntile(4).over(by_val_id).alias("quartile"),
+            F.ntile(4).over(by_val_id).cast("long").alias("quartile"),
             F.lag("value").over(by_ts).alias("prev_value"),
             F.lead("value").over(by_ts).alias("next_value"),
             F.first("value").over(full_frame).alias("max_value"),
@@ -1792,7 +1792,7 @@ _WMED_ORACLE = f"""
       FROM s
     )
     SELECT grp AS l_returnflag,
-           MAX(tw) AS total_weight,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
            CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) AS DOUBLE) / 100.0
              AS weighted_median
     FROM cum

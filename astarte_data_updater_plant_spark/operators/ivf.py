@@ -614,7 +614,7 @@ def q115_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(drops, corpus.vec_id == drops.ub, "left")
         .select(
             "vec_id",
-            "centroid_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_near_lower"),
             (F.coalesce("n", F.lit(0)) == 0).alias("is_kept"),
         )

@@ -271,9 +271,9 @@ def _decode_images(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            8 AS width,
            8 AS height,
            255 AS maxval,
-           SUM(v) AS luma_sum,
-           SUM(v * v) AS luma_sq_sum,
-           SUM(v) AS thumb_luma_x4
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST(SUM(v * v) AS BIGINT) AS luma_sq_sum,
+           CAST(SUM(v) AS BIGINT) AS thumb_luma_x4
     FROM px
     GROUP BY doc_id
     ORDER BY doc_id
@@ -345,7 +345,7 @@ def _decode_audio(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            16 AS bits_per_sample,
            COUNT(*) AS n_samples,
            COUNT(*) * 1000 // {WAV_RATE} AS duration_ms,
-           SUM(s * s) AS energy
+           CAST(SUM(s * s) AS BIGINT) AS energy
     FROM px
     GROUP BY doc_id
     ORDER BY doc_id
@@ -413,8 +413,8 @@ def _decode_pngs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            8 AS height,
            8 AS bit_depth,
            0 AS color_type,
-           SUM(v) AS luma_sum,
-           SUM(v * v) AS luma_sq_sum
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST(SUM(v * v) AS BIGINT) AS luma_sq_sum
     FROM px
     GROUP BY doc_id
     ORDER BY doc_id

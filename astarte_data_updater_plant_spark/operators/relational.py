@@ -560,15 +560,15 @@ def q86_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             F.col("o_orderkey").alias("orderkey"),
             d.alias("orderdate"),
-            F.year(d).alias("y"),
-            F.quarter(d).alias("q"),
-            F.month(d).alias("m"),
-            F.dayofmonth(d).alias("d"),
-            F.weekofyear(d).alias("iso_week"),
-            F.expr("weekday(o_orderdate)").alias("weekday0"),
+            F.year(d).cast("long").alias("y"),
+            F.quarter(d).cast("long").alias("q"),
+            F.month(d).cast("long").alias("m"),
+            F.dayofmonth(d).cast("long").alias("d"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            F.expr("weekday(o_orderdate)").cast("long").alias("weekday0"),
             F.date_format(d, "EEEE").alias("day_name"),
             F.last_day(d).alias("month_end"),
-            F.datediff(d, F.lit("1970-01-01")).alias("epoch_days"),
+            F.datediff(d, F.lit("1970-01-01")).cast("long").alias("epoch_days"),
             (d + F.expr("INTERVAL 7 DAYS")).alias("next_week"),
         )
         .orderBy("orderkey")

@@ -546,7 +546,7 @@ def q149_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = sum(c * c for c in y) ** 0.5
         v = [c / nrm for c in y]
     return y_df.select(
-        "dim",
+        F.col("dim").cast("long").alias("dim"),
         F.round(F.col("y_e6") / PI_SCALE / F.lit(nrm), 6).alias("loading"),
         F.round(F.lit(nrm), 6).alias("lambda_est"),
     ).orderBy("dim")
@@ -693,7 +693,7 @@ def q168_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
     dims = spark.createDataFrame(
-        list(enumerate(w)), "dim int, w_raw double"
+        list(enumerate(w)), "dim bigint, w_raw double"
     )
     return (
         dims.crossJoin(F.broadcast(loss))
@@ -804,7 +804,7 @@ def q210_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rk.join(prof, "r")
-        .groupBy("dim")
+        .groupBy(F.col("dim").cast("long").alias("dim"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(shift).cast("decimal(38,0)").alias("shift_num"),

@@ -54,7 +54,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_tokens(t).alias("n_tokens"),
-        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        F.size(distinct_tokens(t)).cast("long").alias("n_distinct_tokens"),
         stopword_count(t).alias("n_stopwords"),
         "n_chars",
     ).orderBy("doc_id")
@@ -98,7 +98,7 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         n_tokens(t).alias("n_tokens"),
-        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        F.size(distinct_tokens(t)).cast("long").alias("n_distinct_tokens"),
         stopword_count(t).alias("n_stopwords"),
     )
     ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
@@ -163,7 +163,7 @@ def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[
-            F.size(F.filter(tokens(t), lambda x: x.isin(*LANG_MARKERS[lang]))).alias(
+            F.size(F.filter(tokens(t), lambda x: x.isin(*LANG_MARKERS[lang]))).cast("long").alias(
                 f"score_{lang}"
             )
             for lang in _LANG_ORDER
@@ -222,7 +222,7 @@ def q33_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.size(fps).alias("n_fingerprints"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
         F.array_min(fps).alias("min_fingerprint"),
     ).orderBy("doc_id")
 
@@ -258,12 +258,12 @@ def q34_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(path, F.lit("/"), F.lit(3)).alias("path_seg2"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         F.base64(F.col("event_type").cast("binary")).alias("event_type_b64"),
-        F.length("event_type").alias("name_len"),
+        F.length("event_type").cast("long").alias("name_len"),
         F.col("event_type").contains("c").alias("has_c"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
     ).orderBy("event_id")
 
 
@@ -329,7 +329,7 @@ def q36_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_regex_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("long").alias("n_regex_tokens"),
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_bpe_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_number_runs"),
     ).orderBy("doc_id")
@@ -486,7 +486,7 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("sample_rank"))
         .filter(F.col("sample_rank") <= STRATUM_SAMPLE_K)
         .orderBy("lang", "sample_rank")
     )
@@ -522,9 +522,9 @@ def q83_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first_terms"),
             F.slice(F.reverse(toks), 1, 3).alias("last_tokens_rev"),
-            F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long_tokens"),
             F.aggregate(
-                tok_lens, F.lit(0), lambda acc, x: acc + x
+                tok_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
             ).alias("total_chars"),
             F.array_contains(toks, "the").alias("has_the"),
         )
@@ -571,8 +571,8 @@ def q91_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "clean_text",
-            F.length("clean_text").alias("n_chars_clean"),
-            F.size(F.split("clean_text", " ")).alias("n_tokens_clean"),
+            F.length("clean_text").cast("long").alias("n_chars_clean"),
+            F.size(F.split("clean_text", " ")).cast("long").alias("n_tokens_clean"),
         )
         .orderBy("doc_id")
     )
@@ -631,7 +631,7 @@ def q95_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = d.select(
         "doc_id",
-        F.size("w").alias("n_words"),
+        F.size("w").cast("long").alias("n_words"),
         grams.alias("g"),
         top_count.alias("mx"),
     ).select(
@@ -820,7 +820,7 @@ def q109_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         toks.alias("toks"),
-        F.size(toks).alias("n_words"),
+        F.size(toks).cast("long").alias("n_words"),
         F.length("text").alias("n_chars"),
     )
     mean_len = F.round(
@@ -1797,7 +1797,7 @@ def q189_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         neg.withColumn("_k", F.row_number().over(wk))
         .filter(F.col("_k") <= HARDNEG_K)
-        .select("query", "doc_id", "rnk", "score_e6")
+        .select("query", "doc_id", F.col("rnk").cast("long").alias("rnk"), "score_e6")
         .orderBy("query", "rnk")
     )
 
