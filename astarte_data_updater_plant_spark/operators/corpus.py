@@ -2675,9 +2675,10 @@ def q215_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gb = (
         sets.select(
-            F.floor(F.col("doc_id") / NOVELTY_BATCH_DOCS)
-            .cast("long")
-            .alias("batch"),
+            # integer DIV, not floor(double /): above 2^53 the double
+            # quotient loses precision and batches could diverge from
+            # the oracle's exact // (ADVICE r6)
+            F.expr(f"doc_id DIV {NOVELTY_BATCH_DOCS}").alias("batch"),
             F.explode("shingles").alias("h"),
         )
         .distinct()

@@ -17,6 +17,8 @@ real execution, not by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,33 @@ _R = "DECIMAL(8,4)"
 #: arithmetically (see s71).
 _BSON_DOUBLE_LEN = 16
 _INTRO_LEN = 21
+
+
+def _stamp_ordered(path: str, idx: int, base: float) -> None:
+    """Stamp a source file's mtime so the file stream source processes
+    it at position ``idx``: Spark's FileStreamSource orders by mtime,
+    and 1 ms spacing collapses to a tie on a coarse-granularity (1 s)
+    filesystem, letting slices run out of order (ADVICE r6). Stamps are
+    2 s apart and strictly in the PAST (base - 2*(1024-idx)), so files
+    a scenario copies in afterwards (e.g. s80's replay) still sort
+    last under their natural current mtimes."""
+    t = base - 2.0 * (1024 - idx)
+    os.utime(path, (t, t))
+
+
+def _await_stream(query, timeout_sec: int = 600) -> None:
+    """awaitTermination with the timeout CHECKED: an availableNow stream
+    that hangs past the deadline must raise, not silently hand a
+    partially-populated memory table to the oracle compare (which would
+    report a confusing row-count mismatch instead of a timeout —
+    ADVICE r6)."""
+    if not query.awaitTermination(timeout_sec):
+        try:
+            query.stop()
+        finally:
+            raise RuntimeError(
+                f"stream query did not finish within {timeout_sec}s"
+            )
 
 
 @register(
@@ -139,7 +168,7 @@ def s72_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(600)
+    _await_stream(query)
     return (
         spark.table(qname)
         .select(
@@ -193,10 +222,7 @@ def _time_sliced_files(df, ts_col: str, n_slices: int = 4, prefix: str = "slices
         for j, part_file in enumerate(sorted(parts)):
             dst = os.path.join(src_dir, f"{i:03d}_{j}.parquet")
             shutil.move(part_file, dst)
-            # ms spacing: distinct at the source's ms granularity, yet
-            # all in the past relative to files a scenario copies in
-            # afterwards (s80's replay files must sort last)
-            os.utime(dst, (base + 0.001 * seq, base + 0.001 * seq))
+            _stamp_ordered(dst, seq, base)
             seq += 1
     shutil.rmtree(stage_dir)
     return src_dir
@@ -258,7 +284,7 @@ def s73_stream_ingest_datastreams(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("device_id", "path", "value_timestamp")
@@ -314,7 +340,7 @@ def s74_stream_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(600)
+    _await_stream(query)
     return (
         spark.table(qname)
         .groupBy("event_type")
@@ -410,7 +436,7 @@ def s76_stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -499,7 +525,7 @@ def s77_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -584,7 +610,7 @@ def s78_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -652,7 +678,7 @@ def s79_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(600)
+    _await_stream(query)
     return spark.table(qname).orderBy("event_id")
 
 
@@ -720,7 +746,7 @@ def s80_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
@@ -786,7 +812,7 @@ def s81_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -893,7 +919,7 @@ def s82_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -1190,7 +1216,7 @@ def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(part, dst)
         # the file stream source orders by mtime, not path — stamp the
         # snapshots explicitly so snapshot 1 is ALWAYS batch 0
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1220,7 +1246,7 @@ def s85_stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("doc_id")
@@ -1356,7 +1382,7 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
         # file stream source orders by mtime — stamp slice order
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     store_root = scratch_dir(prefix="s87_store_")
@@ -1398,7 +1424,7 @@ def s87_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -1504,7 +1530,7 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1536,7 +1562,7 @@ def s88_stream_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
@@ -1617,7 +1643,7 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     def stats_fold(key, pdf_iter, state):
@@ -1675,7 +1701,7 @@ def s89_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
@@ -1798,7 +1824,7 @@ def s90_kafka_frame_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("device_id", "path", "value_timestamp")
@@ -1870,7 +1896,7 @@ def s91_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_stream(q)
 
     try:
         for f in files[:half]:
@@ -1880,7 +1906,7 @@ def s91_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, f in enumerate(files[half:]):
             dst = os.path.join(src_dir, os.path.basename(f))
             shutil.move(f, dst)
-            os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+            _stamp_ordered(dst, i, base)
         run_once()  # second life: same checkpoint, restored device state
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1941,7 +1967,7 @@ def s92_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
 
     # version 1 of the dimension: event_type -> 'type#v1'
     dim_dir = scratch_dir(prefix="s92_dim_")
@@ -1985,7 +2011,7 @@ def s92_dim_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
@@ -2053,7 +2079,7 @@ def s93_stream_object_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy(
@@ -2122,7 +2148,7 @@ def s94_stream_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type")
@@ -2214,7 +2240,7 @@ def s95_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2251,7 +2277,7 @@ def s95_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("doc_id")
@@ -2440,7 +2466,7 @@ def s96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     idx_root = scratch_dir(prefix="s96_idx_")
@@ -2545,7 +2571,7 @@ def s96_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -2669,7 +2695,7 @@ def s97_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2701,7 +2727,7 @@ def s97_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     est = F.when(
@@ -2801,7 +2827,7 @@ def s98_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     def cusum_fold(key, pdf_iter, state):
@@ -2861,7 +2887,7 @@ def s98_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
@@ -3037,7 +3063,7 @@ def s99_stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3075,7 +3101,7 @@ def s99_stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq", "user_id")
@@ -3249,7 +3275,7 @@ def s100_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3284,7 +3310,7 @@ def s100_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq")
@@ -3429,7 +3455,7 @@ def s101_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
         dst = os.path.join(src_dir, f"{i:03d}.parquet")
         shutil.move(part, dst)
-        os.utime(dst, (base + 0.001 * i, base + 0.001 * i))
+        _stamp_ordered(dst, i, base)
         shutil.rmtree(stage)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3464,7 +3490,7 @@ def s101_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(600)
+        _await_stream(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq")

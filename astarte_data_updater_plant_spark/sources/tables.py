@@ -47,6 +47,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: raw parquet schema per (application, path) — every bare
+#: ``spark.read.parquet`` fires a one-task footer-inference job, so a
+#: query built N times (or referencing one table from N branches) pays
+#: N driver round-trips for a schema that cannot change within an
+#: application (snapshot inputs, same assumption as plans/fragments).
+#: With the memo, repeat loads pass the schema explicitly and plan
+#: builds after the first fire ZERO Spark jobs (asserted by
+#: tests/test_plans.test_global_order_inputs_pinned_single_evaluation).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime confs, set defensively: the driver's session won't have
@@ -55,7 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # no timezone annotation).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    ck = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(ck)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[ck] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name in CPU_DENSE:
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < cores:

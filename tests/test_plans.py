@@ -334,3 +334,63 @@ def test_no_single_partition_windows_anywhere(spark, qs):
             continue
         bad = empty_partition_windows(fn(spark, SF_DIR))
         assert not bad, f"{name}: single-partition Window(s): {bad}"
+
+
+@pytest.mark.parametrize("name", ["q110_sequence_pack", "q144_contrastive_pairs"])
+def test_global_order_inputs_pinned_single_evaluation(spark, qs, name):
+    """The two with_global_order call sites the r5/r6 advice flagged
+    (q110's group totals, q144's hash-ring keys) must evaluate their
+    upstream at most once per application: the input is fragment()-
+    pinned and the boundary probe is memoized by boundary_key, so a
+    REBUILD of the query plan fires ZERO Spark jobs — the probe action
+    (the only plan-build-time action) is served from the memo and every
+    execution branch reads the pinned InMemoryTableScan instead of
+    re-running the upstream lineage."""
+    from astarte_data_updater_plant_spark.functions.ranks import clear_boundary_cache
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+
+    clear_fragments()
+    clear_boundary_cache()
+    sc = spark.sparkContext
+
+    # cold build: allowed its one bounded probe action per rank input
+    sc.setJobGroup(f"{name}_cold", "cold plan build")
+    df = qs[name](spark, SF_DIR)
+    sc.setJobGroup("other", "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "rank input is not fragment()-pinned"
+
+    # warm rebuild: memoized boundaries + pinned fragments -> NO action
+    sc.setJobGroup(f"{name}_warm", "warm plan rebuild")
+    qs[name](spark, SF_DIR)
+    sc.setJobGroup("other", "")
+    warm_jobs = sc.statusTracker().getJobIdsForGroup(f"{name}_warm")
+    assert len(warm_jobs) == 0, (
+        f"{name}: plan rebuild fired {len(warm_jobs)} Spark job(s) — "
+        "upstream re-evaluated per build"
+    )
+
+
+def test_memo_caches_are_performance_hints_only(spark, qs):
+    """The application-lifetime memos (_HOT_KEY_CACHE, _BOUNDARY_CACHE,
+    fragments, the parquet _SCHEMA_CACHE) are keyed on the
+    immutable-snapshot assumption. Correctness must NEVER depend on
+    which memo state is live: a warm-cache run and a fully-cleared
+    cold run of the same query must produce byte-identical results —
+    the guard-rail the r6 verdict asked for (a live lakehouse would
+    add version keys; on snapshot inputs clearing is the invalidation)."""
+    from astarte_data_updater_plant_spark.functions.ranks import clear_boundary_cache
+    from astarte_data_updater_plant_spark.functions.skew import clear_hot_key_cache
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+    from astarte_data_updater_plant_spark.sources import tables as tb
+
+    # q42 exercises the skew probe; q126 exercises boundary memo +
+    # fragments; both read through the schema memo.
+    for name in ("q42_lsh_near_dup_pairs", "q126_curriculum_tiers"):
+        warm = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        clear_fragments()
+        clear_boundary_cache()
+        clear_hot_key_cache()
+        tb._SCHEMA_CACHE.clear()
+        cold = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        assert warm == cold, f"{name}: cleared caches changed the result"
