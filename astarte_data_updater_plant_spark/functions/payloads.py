@@ -22,9 +22,9 @@ from __future__ import annotations
 
 import struct
 import zlib
-from dataclasses import dataclass
+
 from datetime import datetime, timezone
-from typing import Any
+from typing import Any, NamedTuple
 
 MAX_INFLATED_SIZE = 10 * 1024 * 1024  # payloads_decoder.ex:22
 
@@ -134,8 +134,11 @@ def encode_document(doc: dict[str, Any]) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class DecodedPayload:
+class DecodedPayload(NamedTuple):
+    # NamedTuple, not frozen dataclass: same immutability and field
+    # access, but construction is a plain tuple build instead of three
+    # object.__setattr__ calls — this sits on the per-message ingest
+    # hot path (one instance per data message)
     value: Any  # None == unset
     timestamp_ms: int | None  # BSON `t` if present
     metadata: dict[str, Any] | None

@@ -117,11 +117,7 @@ def _json_default(v: Any) -> Any:
     raise TypeError(str(type(v)))
 
 
-def _dumps(d: dict) -> str:
-    # None-valued keys are dropped: ``from_json`` / JSON extraction
-    # read a missing key and an explicit null identically, and most
-    # rows (events especially) are sparse — this halves the bytes
-    # built, shipped through Arrow, and parsed downstream.
+def _dumps_std(d: dict) -> str:
     return json.dumps(
         {k: v for k, v in d.items() if v is not None},
         default=_json_default,
@@ -129,10 +125,83 @@ def _dumps(d: dict) -> str:
     )
 
 
+_INF = float("inf")
+
+try:  # C-accelerated string escaper the stdlib encoder itself uses
+    from json.encoder import c_encode_basestring_ascii as _esc
+except ImportError:  # pragma: no cover - pure-python json build
+    from json.encoder import py_encode_basestring_ascii as _esc
+
+#: per-dict-shape (key, escaped-key-prefix) order memo — output rows
+#: come in a handful of fixed shapes, so this is tiny and
+#: application-lifetime (a pure string cache, no invalidation need)
+_ORDER_CACHE: dict = {}
+#: one-slot identity memo for datetime -> escaped isoformat: the SAME
+#: timestamp object rides every output row of a message (datastream
+#: row, incoming_data event, ...), and isoformat() alone is ~2us
+_DT_LAST: list = [None, ""]
+
+
+def _dumps(d: dict) -> str:
+    """JSON-encode one output row, dropping None-valued keys.
+
+    None keys are dropped because ``from_json`` reads a missing key
+    and an explicit null identically, and most rows (events
+    especially) are sparse — this halves the bytes built, shipped
+    through Arrow, and parsed downstream.
+
+    Hand-rolled flat-dict fast path: every output row is a small flat
+    dict of str/float/int/bool/datetime, and ``json.dumps`` with a
+    ``default=`` hook + filtered-dict rebuild + sort_keys was the
+    single largest cost of the whole ingest fold (measured 3.0s of a
+    4.8s single-thread fold at sf0.1 — more than the state machine
+    itself). This emits byte-identical text for the flat case (same
+    sorted keys, same ``", "``/``": "`` separators, same C escaper,
+    same float repr) and falls back to the stdlib encoder for nested
+    values, bytes, or non-finite floats (which stdlib would emit as
+    bare ``NaN``/``Infinity``)."""
+    ko = tuple(d)
+    order = _ORDER_CACHE.get(ko)
+    if order is None:
+        # rows come in a handful of fixed shapes, so the per-shape
+        # sort and the per-key escape run once per application
+        order = _ORDER_CACHE[ko] = tuple((k, _esc(k) + ": ") for k in sorted(ko))
+    parts = []
+    ap = parts.append
+    for k, pre in order:
+        v = d[k]
+        if v is None:
+            continue
+        t = type(v)
+        if t is str:
+            sv = _esc(v)
+        elif t is float:
+            if v != v or v == _INF or v == -_INF:
+                return _dumps_std(d)
+            sv = repr(v)
+        elif t is bool:
+            sv = "true" if v else "false"
+        elif t is int:
+            sv = repr(v)
+        elif t is datetime:
+            dl = _DT_LAST
+            if v is dl[0]:
+                sv = dl[1]
+            else:
+                dl[0] = v
+                sv = dl[1] = _esc(v.isoformat())
+        else:
+            return _dumps_std(d)
+        ap(pre + sv)
+    return "{" + ", ".join(parts) + "}"
+
+
 #: keys of the event dict that ride as top-level output columns; the
 #: rest (value/old_value/new_value/ip_address/introspection/...) form
 #: the typed JSON payload
-_EVENT_TOP_KEYS = ("realm", "device_id", "event_type", "timestamp", "interface", "path")
+_EVENT_TOP_KEYS = frozenset(
+    ("realm", "device_id", "event_type", "timestamp", "interface", "path")
+)
 
 
 class _Recorder:
@@ -142,7 +211,10 @@ class _Recorder:
     per row: ``pd.DataFrame`` construction from columns skips pandas'
     records-inference path entirely (measured ~40% of fold CPU at
     bench scale between the dict building, the generic ``push``, and
-    ``nested_data_to_arrays``)."""
+    ``nested_data_to_arrays``). A tuple-per-row variant with a
+    ``zip(*rows)`` transpose in ``frame()`` was tried and measured
+    NET-SLOWER (the transpose + per-column list() cost more than the
+    nine appends save) — don't re-attempt it."""
 
     __slots__ = (  # OUTPUT_SCHEMA field order
         "kind", "realm", "device_id", "interface", "path",
@@ -170,39 +242,47 @@ class _Recorder:
 
 
 def _record_outputs(rec: "_Recorder", realm: str, device_id: str, out) -> None:
-    push = rec.push
+    # bound column lists once and append directly: a generic 9-kwarg
+    # push() call per row cost ~0.3s of the sf0.1 fold by itself
+    kind, rlm, dev = rec.kind.append, rec.realm.append, rec.device_id.append
+    itf, pth = rec.interface.append, rec.path.append
+    evt, err = rec.event_type.append, rec.error.append
+    tsa, pj = rec.timestamp.append, rec.payload_json.append
+
+    def row(k, i, p, e, er, t, j):
+        kind(k); rlm(realm); dev(device_id)
+        itf(i); pth(p); evt(e); err(er); tsa(t); pj(j)
+
     for r in out.datastream_rows:
-        push("datastream", realm, device_id, interface=r.get("interface"),
-             path=r.get("path"), timestamp=r.get("reception_timestamp"),
-             payload_json=_dumps(r))
+        row("datastream", r.get("interface"), r.get("path"), None, None,
+            r.get("reception_timestamp"), _dumps(r))
     for r in out.property_upserts:
-        push("property_upsert", realm, device_id, interface=r.get("interface"),
-             path=r.get("path"), timestamp=r.get("reception_timestamp"),
-             payload_json=_dumps(r))
+        row("property_upsert", r.get("interface"), r.get("path"), None, None,
+            r.get("reception_timestamp"), _dumps(r))
     for r in out.property_deletes:
-        push("property_delete", realm, device_id, interface=r.get("interface"),
-             path=r.get("path"), timestamp=r.get("reception_timestamp"),
-             payload_json=_dumps(r))
+        row("property_delete", r.get("interface"), r.get("path"), None, None,
+            r.get("reception_timestamp"), _dumps(r))
     for r in out.object_rows:
-        push("object_row", realm, device_id, interface=r.get("table"),
-             path=r.get("path"), timestamp=r.get("reception_timestamp"),
-             payload_json=_dumps(r))
+        row("object_row", r.get("table"), r.get("path"), None, None,
+            r.get("reception_timestamp"), _dumps(r))
     for e in out.events:
-        push("event", realm, device_id, interface=e.get("interface"),
-             path=e.get("path"), event_type=e.get("event_type"),
-             timestamp=e.get("timestamp"),
-             payload_json=_dumps(
-                 {k: v for k, v in e.items() if k not in _EVENT_TOP_KEYS}
-             ))
+        # pre-drop Nones here (not just inside _dumps): event dicts
+        # carry 5 mostly-None payload slots, so the filtered dict is
+        # usually a single key and _dumps sees the minimal shape. The
+        # emitted JSON is identical — _dumps drops Nones anyway.
+        row("event", e.get("interface"), e.get("path"), e.get("event_type"),
+            None, e.get("timestamp"),
+            _dumps({k: v for k, v in e.items()
+                    if v is not None and k not in _EVENT_TOP_KEYS}))
     for e in out.errors:
-        push("error", realm, device_id, interface=e.get("interface"),
-             path=e.get("path"), error=e.get("error"), payload_json=_dumps(e))
+        row("error", e.get("interface"), e.get("path"), None, e.get("error"),
+            None, _dumps(e))
     for e in out.warnings:
-        push("warning", realm, device_id, interface=e.get("interface"),
-             path=e.get("path"), error=e.get("error"), payload_json=_dumps(e))
+        row("warning", e.get("interface"), e.get("path"), None, e.get("error"),
+            None, _dumps(e))
     for c in out.commands:
-        push("command", realm, device_id, event_type=c.get("command"),
-             timestamp=c.get("timestamp"))
+        row("command", None, None, c.get("command"), None,
+            c.get("timestamp"), None)
 
 
 def _snapshot(state: DeviceState) -> dict:
@@ -235,6 +315,17 @@ def _snapshot(state: DeviceState) -> dict:
             }
         ),
     }
+
+
+def _sorted_for_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stable vectorized (reception_timestamp, message_id) sort of a
+    bucket's messages — the per-device FIFO order every device's slice
+    inherits (stable sort = identical tie order to the per-device
+    ``sorted()`` it replaces, including across realms: the regroup
+    preserves this frame's order within each device)."""
+    return pdf.sort_values(
+        ["reception_timestamp", "message_id"], kind="stable", ignore_index=True
+    )
 
 
 def _messages_from_pdf(pdf: pd.DataFrame) -> list[dict]:
@@ -308,14 +399,14 @@ def run_batch(
         # single-pass python regroup: pandas per-device groupby slicing
         # costs more than the fold itself at ~70 msgs/device
         by_dev: dict[tuple[str, str], list[dict]] = {}
-        for m in _messages_from_pdf(pdf):
+        for m in _messages_from_pdf(_sorted_for_fold(pdf)):
             by_dev.setdefault((m["realm"], m["device_id"]), []).append(m)
         rec = _Recorder()
         for (realm, device_id), dev_msgs in by_dev.items():
             state = DeviceState(
                 realm=realm, device_id=device_id, max_retention_s=max_retention_s
             )
-            out = process_device_messages(state, catalog, dev_msgs)
+            out = process_device_messages(state, catalog, dev_msgs, presorted=True)
             _record_outputs(rec, realm, device_id, out)
             rec.push(
                 "device_snapshot", realm, device_id,
@@ -357,9 +448,11 @@ def _stream_fold(ifaces: tuple[Interface, ...], max_retention_s: int | None = No
         # messages may span Arrow chunk boundaries, and per-device
         # (reception_timestamp, message_id) ordering must hold across
         # the full batch, not per chunk
+        chunks = list(pdfs)
         by_dev: dict[tuple[str, str], list[dict]] = {}
-        for pdf in pdfs:
-            for m in _messages_from_pdf(pdf):
+        if chunks:  # NoTimeout => invocations always carry data, but guard
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            for m in _messages_from_pdf(_sorted_for_fold(whole)):
                 by_dev.setdefault((m["realm"], m["device_id"]), []).append(m)
         rec = _Recorder()
         for (realm, device_id), dev_msgs in by_dev.items():
@@ -368,7 +461,7 @@ def _stream_fold(ifaces: tuple[Interface, ...], max_retention_s: int | None = No
                 state = states[(realm, device_id)] = DeviceState(
                     realm=realm, device_id=device_id, max_retention_s=max_retention_s
                 )
-            out = process_device_messages(state, catalog, dev_msgs)
+            out = process_device_messages(state, catalog, dev_msgs, presorted=True)
             _record_outputs(rec, realm, device_id, out)
         group_state.update((_state_dumps(states),))
         yield rec.frame()

@@ -156,17 +156,21 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
 
     The stateful-operator partition count is pinned to 16 for the
     stream (stateful queries are exempt from AQE, so the session's 32
-    shuffle partitions apply as-is otherwise): the fold is light per
-    batch (~0.3 s single-threaded for a whole 25k-msg micro-batch) and
-    the dominant cost is the fixed per-task applyInPandasWithState
-    runner round-trip (~250-400 ms each, measured via
-    allUpdatesTimeMs on a TRIVIAL fold — data-size independent), so
-    fewer, fuller state partitions beat core-count partitions.
-    Profiled grid at sf0.1: 16 partitions / 64 buckets ran
-    consistently ~10%% faster than 32/64 and never slower; RocksDB and
-    tmpfs checkpoints were within box noise (±15%%) of it. On a real
-    cluster this knob is spark.sql.shuffle.partitions at stream start
-    — size it to total-state/partition-memory, not to cores."""
+    shuffle partitions apply as-is otherwise). r7 re-profile CORRECTED
+    the r6 claim that the fixed per-task runner round-trip dominates:
+    cProfile over the actual fold showed per-message Python is the
+    bulk of allUpdatesTimeMs (JSON encoding of output rows was the
+    single largest item, larger than the state machine itself), and
+    the r7 fold rework (_dumps fast path, vectorized bucket pre-sort,
+    dict dedup window, direct-append recorder) cut the single-thread
+    fold+frame from ~5.7s to ~3.5s at sf0.1. The grid still favors
+    16 partitions / 64 buckets (re-probed r7 in fresh subprocesses:
+    32/64, 32/128, 24/96 all slower; a 1:1 token-bucket mapping that
+    gives each task exactly one state key measured a wash, so per-key
+    invocation overhead is NOT significant). RocksDB and tmpfs
+    checkpoints were within box noise (±15%%). On a real cluster this
+    knob is spark.sql.shuffle.partitions at stream start — size it to
+    total-state/partition-memory, not to cores."""
     import tempfile
 
     from astarte_data_updater_plant_spark.operators.ingest import _time_sliced_files
@@ -185,7 +189,9 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
     src = _time_sliced_files(msgs, "reception_timestamp", prefix="bench_stream_src_")
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16")
+    stream_buckets = os.environ.get("SPARK_GRAFT_STREAM_BUCKETS")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
 
     def one_run() -> float:
         stream = (
@@ -193,7 +199,13 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        ds = datastream_table(run_stream(stream, interfaces=(telemetry_interface(),)))
+        ds = datastream_table(
+            run_stream(
+                stream,
+                interfaces=(telemetry_interface(),),
+                n_buckets=int(stream_buckets) if stream_buckets else None,
+            )
+        )
         t0 = time.perf_counter()
         q = (
             ds.writeStream.outputMode("append")
