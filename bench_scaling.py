@@ -101,6 +101,21 @@ SCALE_QUERIES = (
     "q210_quantile_normalize",
 )
 
+#: second-decade subset (r6 verdict item 4): the dedup candidate family
+#: is the steepest on the board at r10 (5.3-7.7x for 10x data); a third
+#: scale point pins whether those ratios FLATTEN (fixed costs
+#: amortizing -> the family is shuffle-linear with a constant) or
+#: COMPOUND (candidate-pair growth -> a real superlinearity). R2
+#: defaults to 30 (~sf3: 18M lineitem rows, 150k docs) so the point is
+#: runnable per-round; override with SPARK_GRAFT_SCALE_R2.
+DECADE2_QUERIES = (
+    "q42_lsh_near_dup_pairs",
+    "q45_near_dup_components",
+    "q47_dedup_keep_best",
+    "q199_prefix_filter_jaccard",
+    "q204_containment_pairs",
+)
+
 #: key-shift columns per table (offset = per-copy stride = max+1 of the
 #: source column, computed once)
 KEY_SHIFTS = {
@@ -247,6 +262,7 @@ def timed_runs(run, *, warmups: int = 1, runs: int = RUNS) -> dict:
     return {
         "sec": round(statistics.median(ts), 3),
         "spread": round(max(ts) - min(ts), 3),
+        "raw": [round(t, 3) for t in ts],
     }
 
 
@@ -291,16 +307,57 @@ def main() -> None:
     for name in SCALE_QUERIES:
         row: dict = {}
         for label, d in (("r1", r1_dir), ("r10", r10_dir)):
+            # q42's r10 IQR was the curve's noisiest point in r6 (11s on
+            # a 32s median from 2 runs); 4 runs + raw times make the
+            # variance itself a recorded, attributable number
+            n_runs = 4 if name == "q42_lsh_near_dup_pairs" and label == "r10" else RUNS
 
             def one(q=qmap[name], d=d):
                 q(spark, d).write.format("noop").mode("overwrite").save()
 
-            m = timed_runs(one)
+            m = timed_runs(one, runs=n_runs)
             row[f"{label}_sec"] = m["sec"]
             row[f"{label}_spread"] = m["spread"]
+            row[f"{label}_raw"] = m["raw"]
         row["ratio"] = round(row["r10_sec"] / row["r1_sec"], 2)
         queries[name] = row
         print(name, row, flush=True)
+
+    # --- second decade: R2 (default 30) on the dedup family only ---
+    r2 = int(os.environ.get("SPARK_GRAFT_SCALE_R2", "30"))
+    r2_dir = f"{root}/r{r2}"
+    t0 = time.perf_counter()
+    build_scaled(spark, src, r2_dir, r2)
+    build2_sec = round(time.perf_counter() - t0, 3)
+    decade2: dict[str, dict] = {}
+    for name in DECADE2_QUERIES:
+
+        def one2(q=qmap[name]):
+            q(spark, r2_dir).write.format("noop").mode("overwrite").save()
+
+        # warmups=0: codegen/class-load for these exact plans is already
+        # paid by the r1/r10 passes above; every timed run is still cold
+        # (fragments + skew memo cleared)
+        m = timed_runs(one2, warmups=0, runs=RUNS)
+        d2 = {
+            f"r{r2}_sec": m["sec"],
+            f"r{r2}_spread": m["spread"],
+            f"r{r2}_raw": m["raw"],
+            # per-decade ratio normalized to the data growth factor:
+            # 1.0 = perfectly linear in rows, < 1 = fixed costs still
+            # amortizing, > 1 = superlinear
+            "ratio_r10_over_r1_per_x": round(
+                queries[name]["ratio"] / 10.0, 3
+            ),
+            f"ratio_r{r2}_over_r10": round(
+                m["sec"] / queries[name]["r10_sec"], 2
+            ),
+            f"ratio_r{r2}_over_r10_per_x": round(
+                m["sec"] / queries[name]["r10_sec"] / (r2 / 10.0), 3
+            ),
+        }
+        decade2[name] = d2
+        print("decade2", name, d2, flush=True)
 
     ing = {
         "r1": ingest_point(spark, r1_dir),
@@ -335,6 +392,9 @@ def main() -> None:
         "build_sec": build_sec,
         "queries": queries,
         "max_ratio": max(q["ratio"] for q in queries.values()),
+        "decade2_r": r2,
+        "decade2_build_sec": build2_sec,
+        "decade2": decade2,
         "ingest": ing,
         "adversarial_q42": adversarial,
     }
