@@ -2238,3 +2238,68 @@ def q217_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — k-anonymity equivalence-class audit
+# ---------------------------------------------------------------------------
+
+#: minimum class size below which a quasi-identifier combination is a
+#: re-identification risk (the classical k in k-anonymity)
+K_ANON = 5
+
+#: value band width for the quasi-identifier tuple
+K_ANON_BAND = 25.0
+
+
+@register(
+    "q220_k_anonymity_audit",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             CAST(FLOOR(value / {K_ANON_BAND}) AS BIGINT) AS value_band,
+             user_id
+      FROM events
+    )
+    SELECT event_type, day, hour, value_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) < {K_ANON} AS is_violation
+    FROM q
+    GROUP BY event_type, day, hour, value_band
+    ORDER BY event_type, day, hour, value_band
+    """,
+    doc=f"k-anonymity audit over the released-event shape (the privacy "
+    f"gate a governance pipeline runs before publishing telemetry or "
+    f"training on user data): rows group into equivalence classes by "
+    f"their quasi-identifier tuple (event type, day, hour, "
+    f"value band of width {K_ANON_BAND:g}) and any class with fewer "
+    f"than k={K_ANON} rows is flagged — a row in a small class is "
+    f"re-identifiable by linking those attributes alone. Emits every "
+    f"class with its row count, distinct-user count (the stricter "
+    f"k-map variant rides along), and the violation flag, so the "
+    f"suppress-or-generalize rewrite downstream has its exact "
+    f"worklist. One keyed groupBy; distinct-user is the standard "
+    f"two-phase expand — nothing global. The band uses FLOOR of an "
+    f"exact double division, identical in both engines.",
+)
+def q220_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.floor(F.col("value") / K_ANON_BAND).cast("long").alias("value_band"),
+        "user_id",
+    )
+    return (
+        q.groupBy("event_type", "day", "hour", "value_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .withColumn("is_violation", F.col("n_rows") < K_ANON)
+        .orderBy("event_type", "day", "hour", "value_band")
+    )

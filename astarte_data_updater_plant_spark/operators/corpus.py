@@ -2705,3 +2705,230 @@ def q215_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — span-removal rewrite (apply the q113 exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q219_span_removal_rewrite",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS tok
+      FROM t, UNNEST(range(1, n + 1)) AS u(i)
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, greatest(n - {SPAN_WORDS - 2}, 1))) AS u(i)
+    ),
+    dup AS (
+      SELECT gram, MIN(doc_id) AS keeper FROM grams
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)
+      WHERE g.doc_id <> d.keeper
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, CAST(ti AS BIGINT) AS idx
+      FROM rem, UNNEST(range(pos, pos + {SPAN_WORDS})) AS u(ti)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.idx, tok.tok
+      FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+      WHERE cov.idx IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc=f"The span-removal REWRITE that q113 only measures (Lee et al. "
+    f"exact substring dedup, applied): every {SPAN_WORDS}-word span "
+    f"occurring verbatim in 2+ documents elects its lowest-doc_id "
+    f"occurrence as the keeper; every other document drops ALL "
+    f"tokens covered by a non-keeper occurrence, and the surviving "
+    f"tokens re-stitch in order into the cleaned text a downstream "
+    f"tokenizer would actually consume. Overlapping spans with "
+    f"different keepers compose at TOKEN granularity (a token "
+    f"survives iff no removing span covers it), so the rewrite is "
+    f"order-free and idempotent. Scale shape: gram election is one "
+    f"keyed groupBy (long spans are rare by construction), coverage "
+    f"is the bounded {SPAN_WORDS}x positional fan-out, survivorship "
+    f"is a keyed (doc, idx) anti-join, and the re-stitch is a "
+    f"per-document bounded array_sort — the same per-doc-array class "
+    f"as the packing/vocab operators; nothing global, nothing "
+    f"quadratic. The q113 span_grams fragment is shared, so running "
+    f"the report and the rewrite together builds the index once.",
+)
+def q219_span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("idx"), "tok")
+    grams = t.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("toks"), SPAN_WORDS)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    grams = fragment(spark, sf_dir, "span_grams", lambda: grams)
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gram", "keeper")
+    )
+    rem = (
+        grams.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    cov = rem.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (SPAN_WORDS - 1))
+        ).alias("idx"),
+    ).distinct()
+    kept = tok.join(cov, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        t.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — negative-sampling table (unigram^0.75, largest-remainder slots)
+# ---------------------------------------------------------------------------
+
+#: slot-table size for the negative-sampling distribution (word2vec's
+#: classic 1e8 scaled to test data; any power of two works)
+NEG_TABLE_SIZE = 1_048_576
+
+
+@register(
+    "q221_negative_sampling_table",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    w AS (
+      SELECT token, cnt,
+             CAST(ROUND(SQRT(SQRT(CAST(cnt * cnt * cnt AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS weight_e6
+      FROM c
+    ),
+    tot AS (SELECT CAST(SUM(weight_e6) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT token, cnt, weight_e6,
+             ({NEG_TABLE_SIZE} * weight_e6) // wsum AS s,
+             ({NEG_TABLE_SIZE} * weight_e6) % wsum AS r
+      FROM w, tot
+    ),
+    d AS (SELECT CAST({NEG_TABLE_SIZE} - SUM(s) AS BIGINT) AS deficit FROM base),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, token) AS rk FROM base
+    )
+    SELECT token, cnt, weight_e6,
+           CAST(s + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS slots
+    FROM rk, d
+    ORDER BY token
+    """,
+    doc=f"word2vec-style negative-sampling table: each vocabulary "
+    f"token gets slots in a {NEG_TABLE_SIZE}-entry lookup table "
+    f"proportional to count^0.75 (the flattened unigram noise "
+    f"distribution), allocated by LARGEST-REMAINDER apportionment so "
+    f"the slot counts sum to the table size EXACTLY. Every step is "
+    f"integer-exact cross-engine: count^0.75 = sqrt(sqrt(count^3)) "
+    f"(count^3 < 2^53 exact in double; sqrt is IEEE "
+    f"correctly-rounded in both engines) snapped to 1e-6 fixed "
+    f"point, base slots and remainders via BIGINT div/mod against "
+    f"the exact weight total, and the +1 top-up ranked by (exact "
+    f"integer remainder DESC, token) — no float sum, no pow(), no "
+    f"tie on a double anywhere. Scale shape: one token groupBy, a "
+    f"broadcast 1-row total, and a vocabulary-sized global rank "
+    f"through the range-partitioned two-phase runner (a vocabulary "
+    f"is bounded, but nothing here assumes it fits one task).",
+)
+def q221_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = c.withColumn(
+        "weight_e6",
+        F.round(
+            F.sqrt(F.sqrt((F.col("cnt") * F.col("cnt") * F.col("cnt")).cast("double")))
+            * 1_000_000
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("weight_e6").alias("wsum"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "token", "cnt", "weight_e6",
+        F.expr(f"({NEG_TABLE_SIZE} * weight_e6) div wsum").alias("s"),
+        F.expr(f"({NEG_TABLE_SIZE} * weight_e6) % wsum").alias("r"),
+    )
+    d = base.agg(
+        (F.lit(NEG_TABLE_SIZE) - F.sum("s")).cast("long").alias("deficit")
+    )
+    rk = with_global_order(
+        base, [("r", "desc"), "token"], rank="rk",
+        boundary_key=sf_dir + ":q221",
+    )
+    return (
+        rk.crossJoin(F.broadcast(d))
+        .select(
+            "token", "cnt", "weight_e6",
+            (
+                F.col("s")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            ).cast("long").alias("slots"),
+        )
+        .orderBy("token")
+    )

@@ -3494,3 +3494,136 @@ def s101_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_type", "seq")
+
+
+# -- s102: per-user record-high tracker (monotone high-water state) ----------
+
+
+@register(
+    "s102_stream_record_highs",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, value, ts,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mx
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           (mx IS NULL OR value > mx) AS is_record,
+           CAST(SUM(CASE WHEN mx IS NULL OR value > mx THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_records
+    FROM o ORDER BY event_id
+    """,
+    doc="Per-user record-high tracking across micro-batch boundaries: "
+    "state is the MONOTONE high-water mark (running max, record "
+    "count) and every event is tagged with whether it set a new "
+    "per-user record plus the cumulative record count — the "
+    "new-SLA-breach / new-personal-best / new-price-high shape that "
+    "needs ordered keyed state, not windowed aggregation. Differs "
+    "from s88's streak state in the state ALGEBRA: a streak resets "
+    "(order-fragile), a high-water mark is a monotone semilattice "
+    "join (max), so replayed or duplicated batches can never lower "
+    "it — the property that makes this state class safe under "
+    "at-least-once delivery. Record detection is a pure double "
+    "COMPARISON (no arithmetic), so Spark and DuckDB agree "
+    "bit-for-bit; the batch oracle states the same semantics as a "
+    "running-max window. State is (double, bigint) per user. "
+    "(Written first against transformWithStateInPandas ValueState — "
+    "environmentally blocked, SURVEY §4 — so it runs on "
+    "applyInPandasWithState; the fold body is the ValueState port "
+    "map line for line.)",
+)
+def s102_stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    def record_fold(key, pdf_iter, state):
+        df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        if state.exists:
+            mx, n = state.get
+            mx, n, has = float(mx), int(n), True
+        else:
+            mx, n, has = 0.0, 0, False
+        eids, recs, cums = [], [], []
+        for eid, val in zip(df["event_id"], df["value"]):
+            val = float(val)
+            is_rec = (not has) or val > mx
+            if is_rec:
+                n += 1
+                mx = val
+                has = True
+            eids.append(int(eid))
+            recs.append(is_rec)
+            cums.append(n)
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(eids),
+                "event_id": eids,
+                "is_record": recs,
+                "n_records": cums,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sliced = with_global_order(
+        ev, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
+    src_dir = scratch_dir(prefix="s102_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        _stamp_ordered(dst, i, base)
+        shutil.rmtree(stage)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            record_fold,
+            outputStructType=(
+                "user_id BIGINT, event_id BIGINT, is_record BOOLEAN, "
+                "n_records BIGINT"
+            ),
+            stateStructType="mx DOUBLE, n BIGINT",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        qname = "s102_record_highs"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", scratch_dir(prefix="s102_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(query)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).orderBy("event_id")
