@@ -39,7 +39,19 @@ def main() -> None:
     results: dict[str, dict] = {}
     skews: dict[str, list] = {}
     n_ok = n_fail = 0
+    clear_each = os.environ.get("PARITY_CLEAR_EACH") == "1"
     for name in sorted(qs):
+        if clear_each:
+            # sf0.1 sweeps in one plain 1g-driver session accumulate
+            # pinned fragments + broadcasts until a late query hits
+            # "Not enough memory to build and broadcast" (verify-skill
+            # gotcha); clearing between queries trades rebuild time for
+            # a bounded memory envelope
+            from astarte_data_updater_plant_spark.plans.fragments import (
+                clear_fragments,
+            )
+
+            clear_fragments()
         try:
             df = qs[name](spark, sf_dir)
             if name in osql:

@@ -139,3 +139,40 @@ def test_counters_and_lww(msgs):
     n_data = sum(1 for m in msgs if m["msg_type"] == "data"
                  and m["interface"] == "com.test.SimpleStreamTest")
     assert len(out.datastream_rows) == n_data
+
+
+# ---------------------------------------------------------------------------
+# _dumps fast-path byte-identity (the r7 ingest-fold JSON encoder)
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=40),
+    st.datetimes(
+        min_value=datetime(1971, 1, 1),
+        max_value=datetime(2200, 1, 1),
+        timezones=st.just(timezone.utc) | st.none(),
+    ),
+    st.binary(max_size=16),
+    st.dictionaries(st.text(max_size=8), st.integers(), max_size=3),
+    st.lists(st.integers(), max_size=3),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dictionaries(st.text(max_size=24), _json_scalars, max_size=10))
+def test_fast_dumps_byte_identical_to_stdlib(d):
+    """pipeline._dumps (the hand-rolled flat-dict hot path with its
+    nested/bytes/non-finite stdlib fallback) must emit EXACTLY the
+    stdlib encoding for every value shape an output row can carry —
+    sorted keys, ', '/': ' separators, ensure_ascii escapes, float
+    repr, isoformat datetimes, b64 bytes, dropped Nones."""
+    from astarte_data_updater_plant_spark.streaming.pipeline import (
+        _dumps,
+        _dumps_std,
+    )
+
+    assert _dumps(d) == _dumps_std(d)
