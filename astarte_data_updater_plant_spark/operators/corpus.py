@@ -2932,3 +2932,103 @@ def q221_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — Neyman-optimal annotation-budget allocation per source
+# ---------------------------------------------------------------------------
+
+#: total annotation budget to allocate across strata
+NEYMAN_BUDGET = 1_000
+
+
+@register(
+    "q223_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, sx, sx2,
+             CAST(ROUND(SQRT(CAST(n_docs * sx2 - sx * sx AS DOUBLE))
+                        * 1000) AS BIGINT) AS weight_e3
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT source, n_docs, sx, sx2, weight_e3,
+             ({NEYMAN_BUDGET} * weight_e3) // wsum AS a,
+             ({NEYMAN_BUDGET} * weight_e3) % wsum AS r
+      FROM w, tot
+    ),
+    d AS (SELECT CAST({NEYMAN_BUDGET} - SUM(a) AS BIGINT) AS deficit FROM base),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, source) AS rk FROM base
+    )
+    SELECT source, n_docs, sx, sx2, weight_e3,
+           CAST(a + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM rk, d
+    ORDER BY source
+    """,
+    doc=f"Neyman-optimal allocation of an annotation budget "
+    f"({NEYMAN_BUDGET} labels) across source strata: stratum h gets "
+    f"n_h proportional to N_h * S_h (size times within-stratum "
+    f"standard deviation of the document-length response), the "
+    f"allocation that minimizes the variance of the stratified "
+    f"estimator — how an eval/labeling loop spends its budget where "
+    f"the corpus is most heterogeneous instead of uniformly. "
+    f"Integer-exact cross-engine: N_h*S_h = sqrt(N_h*SUM(x^2) - "
+    f"SUM(x)^2) with the radicand an EXACT BIGINT (the N_h "
+    f"cancellation avoids any float mean), sqrt IEEE "
+    f"correctly-rounded, snapped to 1e-3, and the budget "
+    f"apportioned by the same largest-remainder integer div/mod as "
+    f"q221 so allocations sum to the budget EXACTLY. One groupBy "
+    f"over the corpus, a broadcast 1-row total, a strata-sized "
+    f"two-phase rank — nothing global at any corpus size.",
+)
+def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+    )
+    w = s.withColumn(
+        "weight_e3",
+        F.round(
+            F.sqrt(
+                (F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            * 1_000
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("weight_e3").alias("wsum"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "sx", "sx2", "weight_e3",
+        F.expr(f"({NEYMAN_BUDGET} * weight_e3) div wsum").alias("a"),
+        F.expr(f"({NEYMAN_BUDGET} * weight_e3) % wsum").alias("r"),
+    )
+    d = base.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("a")).cast("long").alias("deficit")
+    )
+    rk = with_global_order(
+        base, [("r", "desc"), "source"], rank="rk",
+        boundary_key=sf_dir + ":q223",
+    )
+    return (
+        rk.crossJoin(F.broadcast(d))
+        .select(
+            "source", "n_docs", "sx", "sx2", "weight_e3",
+            (
+                F.col("a")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("source")
+    )
