@@ -3627,3 +3627,127 @@ def s102_stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).orderBy("event_id")
+
+
+# -- s103: point-in-time SCD2 enrichment of a live stream --------------------
+
+#: value band width for the slowly-changing attribute
+_S103_BAND = 25.0
+
+
+@register(
+    "s103_stream_scd2_enrich",
+    f"""
+    WITH o AS (
+      SELECT event_id, user_id, ts, value,
+             NTILE(2) OVER (ORDER BY ts, event_id) AS half
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id,
+             ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31') AS valid_to,
+             CAST(FLOOR(value / {_S103_BAND}) AS BIGINT) AS band
+      FROM o WHERE half = 1
+    )
+    SELECT s.event_id, CAST(s.user_id AS BIGINT) AS user_id,
+           d.band AS band_at_event,
+           d.band IS NOT NULL AS enriched
+    FROM (SELECT * FROM o WHERE half = 2) s
+    LEFT JOIN dim d
+      ON d.user_id = s.user_id
+     AND d.valid_from <= s.ts AND s.ts < d.valid_to
+    ORDER BY s.event_id
+    """,
+    doc="Point-in-time-correct enrichment of a LIVE stream against an "
+    "SCD2 dimension — the online feature-store shape (q143 is the "
+    "batch twin, q90 builds the intervals): the first half of the "
+    "event timeline materializes per-user validity intervals of a "
+    "slowly-changing attribute (the value band last observed), and "
+    "the second half arrives as three time-ordered micro-batches, "
+    "each event picking up the attribute THAT WAS VALID AT ITS "
+    "TIMESTAMP via a stream-static interval join — never a later "
+    "value (no training-serving leakage), never an earlier one once "
+    "superseded. Events before any interval stay NULL (left join) "
+    "and are flagged. Interval containment makes each event match "
+    "AT MOST ONE dimension row, so append mode needs no dedup. At "
+    "cluster scale the static side is a broadcast (per-key interval "
+    "counts are bounded); the stream pays one per-batch hash join, "
+    "no state store at all — the cheapest correct enrichment "
+    "topology there is.",
+)
+def s103_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    halved = with_global_order(ev, ["ts", "event_id"], ntile=(2, "half"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        halved.filter(F.col("half") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w), F.lit("9999-12-31").cast("timestamp")
+            ).alias("valid_to"),
+            F.floor(F.col("value") / _S103_BAND).cast("long").alias("band"),
+        )
+    )
+    second = halved.filter(F.col("half") == 2).select(
+        "event_id", "ts", "user_id"
+    )
+    sliced = with_global_order(
+        second, ["ts", "event_id"], ntile=(3, "tile")
+    ).withColumn("slice", F.col("tile") - 1).drop("tile")
+    src_dir = scratch_dir(prefix="s103_src_")
+    base = _time.time()
+    for i in range(3):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        _stamp_ordered(dst, i, base)
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(second.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.user_id)
+        & (dim.valid_from <= stream.ts)
+        & (stream.ts < dim.valid_to),
+        "left",
+    ).select(
+        stream.event_id,
+        stream.user_id.cast("long").alias("user_id"),
+        F.col("band").alias("band_at_event"),
+        F.col("band").isNotNull().alias("enriched"),
+    )
+    qname = "s103_scd2_enrich"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", scratch_dir(prefix="s103_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(qname).orderBy("event_id")
