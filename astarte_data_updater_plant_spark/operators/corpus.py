@@ -2857,7 +2857,7 @@ NEG_TABLE_SIZE = 1_048_576
     c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
     w AS (
       SELECT token, cnt,
-             CAST(ROUND(SQRT(SQRT(CAST(cnt * cnt * cnt AS DOUBLE)))
+             CAST(ROUND(SQRT(SQRT(CAST(cnt AS DOUBLE) * cnt * cnt))
                         * 1000000) AS BIGINT) AS weight_e6
       FROM c
     ),
@@ -2883,10 +2883,15 @@ NEG_TABLE_SIZE = 1_048_576
     f"proportional to count^0.75 (the flattened unigram noise "
     f"distribution), allocated by LARGEST-REMAINDER apportionment so "
     f"the slot counts sum to the table size EXACTLY. Every step is "
-    f"integer-exact cross-engine: count^0.75 = sqrt(sqrt(count^3)) "
-    f"(count^3 < 2^53 exact in double; sqrt is IEEE "
-    f"correctly-rounded in both engines) snapped to 1e-6 fixed "
-    f"point, base slots and remainders via BIGINT div/mod against "
+    f"integer-exact cross-engine: count^0.75 = sqrt(sqrt(count^3)), "
+    f"with the cube computed IN DOUBLE on both sides (never BIGINT, "
+    f"which Spark non-ANSI would silently wrap past cnt~2.1M while "
+    f"DuckDB errors — ADVICE r7). Double multiplication is IEEE "
+    f"correctly-rounded, so both engines get the same bits at ANY "
+    f"magnitude; for cnt^3 < 2^53 (cnt < ~208k) the cube is exact. "
+    f"sqrt is IEEE correctly-rounded in both engines, snapped to "
+    f"1e-6 fixed point, base slots and remainders via BIGINT div/mod "
+    f"against "
     f"the exact weight total, and the +1 top-up ranked by (exact "
     f"integer remainder DESC, token) — no float sum, no pow(), no "
     f"tie on a double anywhere. Scale shape: one token groupBy, a "
@@ -2904,7 +2909,7 @@ def q221_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = c.withColumn(
         "weight_e6",
         F.round(
-            F.sqrt(F.sqrt((F.col("cnt") * F.col("cnt") * F.col("cnt")).cast("double")))
+            F.sqrt(F.sqrt(F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")))
             * 1_000_000
         ).cast("long"),
     )
@@ -2949,12 +2954,14 @@ NEYMAN_BUDGET = 1_000
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sx,
-             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
       FROM documents GROUP BY source
     ),
     w AS (
       SELECT source, n_docs, sx, sx2,
-             CAST(ROUND(SQRT(CAST(n_docs * sx2 - sx * sx AS DOUBLE))
+             CAST(ROUND(SQRT(GREATEST(
+                      CAST(n_docs AS DOUBLE) * sx2
+                      - CAST(sx AS DOUBLE) * sx, 0))
                         * 1000) AS BIGINT) AS weight_e3
       FROM s
     ),
@@ -2983,9 +2990,15 @@ NEYMAN_BUDGET = 1_000
     f"estimator — how an eval/labeling loop spends its budget where "
     f"the corpus is most heterogeneous instead of uniformly. "
     f"Integer-exact cross-engine: N_h*S_h = sqrt(N_h*SUM(x^2) - "
-    f"SUM(x)^2) with the radicand an EXACT BIGINT (the N_h "
-    f"cancellation avoids any float mean), sqrt IEEE "
-    f"correctly-rounded, snapped to 1e-3, and the budget "
+    f"SUM(x)^2) with the radicand computed IN DOUBLE on both sides "
+    f"(never BIGINT, which Spark non-ANSI would silently wrap past "
+    f"~3e9 summed chars per source while DuckDB errors — ADVICE r7; "
+    f"the N_h cancellation avoids any float mean). Double "
+    f"multiply/subtract are IEEE correctly-rounded, so both engines "
+    f"get the same bits at ANY magnitude, and for products < 2^53 "
+    f"the radicand is exact; GREATEST(.,0) pins the tiny-negative "
+    f"rounding case identically. sqrt IEEE correctly-rounded, "
+    f"snapped to 1e-3, and the budget "
     f"apportioned by the same largest-remainder integer div/mod as "
     f"q221 so allocations sum to the budget EXACTLY. One groupBy "
     f"over the corpus, a broadcast 1-row total, a strata-sized "
@@ -2996,14 +3009,17 @@ def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).cast("long").alias("sx2"),
     )
     w = s.withColumn(
         "weight_e3",
         F.round(
             F.sqrt(
-                (F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx"))
-                .cast("double")
+                F.greatest(
+                    F.col("n_docs").cast("double") * F.col("sx2")
+                    - F.col("sx").cast("double") * F.col("sx"),
+                    F.lit(0.0),
+                )
             )
             * 1_000
         ).cast("long"),

@@ -50,7 +50,15 @@ def _stamp_ordered(path: str, idx: int, base: float) -> None:
     filesystem, letting slices run out of order (ADVICE r6). Stamps are
     2 s apart and strictly in the PAST (base - 2*(1024-idx)), so files
     a scenario copies in afterwards (e.g. s80's replay) still sort
-    last under their natural current mtimes."""
+    last under their natural current mtimes. The in-the-past invariant
+    inverts silently for idx >= 1024 (stamps land in the FUTURE and
+    replay files no longer sort last — ADVICE r7), so it fails loudly
+    instead: no slice stage emits anywhere near 1024 files today."""
+    if not 0 <= idx < 1024:
+        raise AssertionError(
+            f"_stamp_ordered supports at most 1024 ordered files; got idx={idx} "
+            "(stamps would land in the future and break replay ordering)"
+        )
     t = base - 2.0 * (1024 - idx)
     os.utime(path, (t, t))
 

@@ -161,11 +161,20 @@ def _dumps(d: dict) -> str:
     values, bytes, or non-finite floats (which stdlib would emit as
     bare ``NaN``/``Infinity``)."""
     ko = tuple(d)
-    order = _ORDER_CACHE.get(ko)
-    if order is None:
+    order = _ORDER_CACHE.get(ko, False)
+    if order is False:
         # rows come in a handful of fixed shapes, so the per-shape
-        # sort and the per-key escape run once per application
-        order = _ORDER_CACHE[ko] = tuple((k, _esc(k) + ": ") for k in sorted(ko))
+        # sort and the per-key escape run once per application. A
+        # non-str key (impossible for real output rows) caches None:
+        # stdlib coerces int/float/bool/None keys to strings (or
+        # raises on a mixed-type sort), and the fast path must defer
+        # rather than diverge (ADVICE r7).
+        if any(type(k) is not str for k in ko):
+            order = _ORDER_CACHE[ko] = None
+        else:
+            order = _ORDER_CACHE[ko] = tuple((k, _esc(k) + ": ") for k in sorted(ko))
+    if order is None:
+        return _dumps_std(d)
     parts = []
     ap = parts.append
     for k, pre in order:
@@ -322,7 +331,19 @@ def _sorted_for_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     bucket's messages — the per-device FIFO order every device's slice
     inherits (stable sort = identical tie order to the per-device
     ``sorted()`` it replaces, including across realms: the regroup
-    preserves this frame's order within each device)."""
+    preserves this frame's order within each device).
+
+    MESSAGE_SCHEMA declares message_id non-null and this fold's tie
+    order is load-bearing on it: pandas would place a None LAST within
+    a timestamp tie while the per-device ``sorted()`` this replaced
+    keyed on ``str(None)`` (lexicographic 'None') — a silent ordering
+    divergence (ADVICE r7). Hand-built test frames bypass the schema,
+    so the contract is asserted here."""
+    if pdf["message_id"].isna().any():
+        raise ValueError(
+            "message_id must be non-null: the fold's (reception_timestamp, "
+            "message_id) tie order depends on MESSAGE_SCHEMA's non-null contract"
+        )
     return pdf.sort_values(
         ["reception_timestamp", "message_id"], kind="stable", ignore_index=True
     )

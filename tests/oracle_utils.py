@@ -146,6 +146,11 @@ def dtype_skews(spark_schema, oracle_sql: str, sf_dir: str) -> list[str]:
 
     ``null`` on either side (a literal NULL column in the oracle) is a
     wildcard — no value exists for the hash to distinguish.
+
+    Columns present on only ONE side are reported as skews too: the
+    standalone ``type_audit.py`` sweep calls this without ``compare()``'s
+    column-name equality gate, and a name/case mismatch must not read
+    as zero-skew (ADVICE r7).
     """
     o_schema = oracle_arrow_schema(oracle_sql, sf_dir)
     o_types = {f.name: arrow_canon(f.type) for f in o_schema}
@@ -155,6 +160,11 @@ def dtype_skews(spark_schema, oracle_sql: str, sf_dir: str) -> list[str]:
         a, b = s_types[name], o_types[name]
         if a != b and "null" not in (a, b):
             out.append(f"{name}: spark={a} oracle={b}")
+    for name in sorted(set(s_types) ^ set(o_types)):
+        if name in s_types:
+            out.append(f"{name}: spark-only ({s_types[name]}), absent in oracle")
+        else:
+            out.append(f"{name}: oracle-only ({o_types[name]}), absent in spark")
     return out
 
 

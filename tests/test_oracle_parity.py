@@ -36,3 +36,26 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_dtype_skews_reports_one_sided_columns(sf_dir):
+    """A column present on only one side must surface as a skew: the
+    standalone type_audit.py sweep calls dtype_skews without
+    compare()'s column-name gate, so a name mismatch must not read as
+    zero-skew (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from .oracle_utils import dtype_skews
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    skews = dtype_skews(
+        schema, "SELECT CAST(1 AS BIGINT) AS a, CAST(2 AS BIGINT) AS b", sf_dir
+    )
+    assert any(s.startswith("b: oracle-only") for s in skews)
+    assert any(s.startswith("c: spark-only") for s in skews)
+    assert not any(s.startswith("a:") for s in skews)

@@ -160,3 +160,41 @@ def test_time_sliced_files_mtime_order(spark, sf_dir):
     assert len(set(int(m * 1000) for m in mtimes)) == len(files), (
         "mtimes must be distinct at the source's ms granularity"
     )
+
+
+def test_stamp_ordered_rejects_out_of_range_idx(tmp_path):
+    """The mtime-stamp invariant (strictly in the past) inverts for
+    idx >= 1024; the guard must fail loudly instead of reordering
+    micro-batches silently (ADVICE r7)."""
+    import time
+
+    import pytest
+
+    from astarte_data_updater_plant_spark.operators.ingest import _stamp_ordered
+
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"x")
+    _stamp_ordered(str(p), 1023, time.time())  # max valid idx is fine
+    with pytest.raises(AssertionError, match="1024"):
+        _stamp_ordered(str(p), 1024, time.time())
+    with pytest.raises(AssertionError, match="idx=-1"):
+        _stamp_ordered(str(p), -1, time.time())
+
+
+def test_sorted_for_fold_rejects_null_message_id():
+    """MESSAGE_SCHEMA's non-null message_id contract is load-bearing
+    for the fold's tie order (pandas sorts None last; the per-device
+    sorted() this replaced keyed on str(None)) — hand-built frames
+    that violate it must be rejected, not silently reordered
+    (ADVICE r7)."""
+    import pandas as pd
+    import pytest
+
+    from astarte_data_updater_plant_spark.streaming.pipeline import _sorted_for_fold
+
+    t0 = pd.Timestamp("2020-01-01", tz="UTC")
+    ok = pd.DataFrame({"reception_timestamp": [t0, t0], "message_id": ["b", "a"]})
+    assert list(_sorted_for_fold(ok)["message_id"]) == ["a", "b"]
+    bad = pd.DataFrame({"reception_timestamp": [t0, t0], "message_id": ["b", None]})
+    with pytest.raises(ValueError, match="non-null"):
+        _sorted_for_fold(bad)

@@ -176,3 +176,36 @@ def test_fast_dumps_byte_identical_to_stdlib(d):
     )
 
     assert _dumps(d) == _dumps_std(d)
+
+
+_any_key = st.one_of(
+    st.text(max_size=12),
+    st.integers(-100, 100),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.none(),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_any_key, _json_scalars, max_size=8))
+def test_fast_dumps_non_str_keys_match_stdlib(d):
+    """Non-str dict keys (impossible for real output rows) must not
+    diverge from stdlib: json.dumps coerces int/float/bool/None keys
+    to strings but raises TypeError on a mixed-type key sort — the
+    fast path has to do exactly the same thing, via fallback, never
+    raise where stdlib succeeds or emit different bytes (ADVICE r7)."""
+    from astarte_data_updater_plant_spark.streaming.pipeline import (
+        _dumps,
+        _dumps_std,
+    )
+
+    try:
+        expected = _dumps_std(d)
+    except TypeError:
+        import pytest
+
+        with pytest.raises(TypeError):
+            _dumps(d)
+        return
+    assert _dumps(d) == expected
