@@ -247,6 +247,24 @@ def build_hot_corpus(spark, scaled10: str, out: str) -> dict:
     return {"n_hot_docs": int(n_hot)}
 
 
+def _spill_bytes(spark) -> int | None:
+    """Cumulative (memory+disk) shuffle/sort spill across all stages the
+    app status store currently retains, or None if the py4j surface
+    moved. Deltas around a run isolate that run's spill; stage eviction
+    (spark.ui.retainedStages) can only UNDERSTATE a delta, never fake
+    one, so a multi-GB reading is trustworthy evidence of spill."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        it = store.stageList(None).iterator()
+        tot = 0
+        while it.hasNext():
+            s = it.next()
+            tot += int(s.memoryBytesSpilled()) + int(s.diskBytesSpilled())
+        return tot
+    except Exception:
+        return None
+
+
 def timed_runs(run, *, warmups: int = 1, runs: int = RUNS) -> dict:
     for _ in range(warmups):
         clear_fragments()
@@ -337,8 +355,19 @@ def main() -> None:
 
         # warmups=0: codegen/class-load for these exact plans is already
         # paid by the r1/r10 passes above; every timed run is still cold
-        # (fragments + skew memo cleared)
-        m = timed_runs(one2, warmups=0, runs=RUNS)
+        # (fragments + skew memo cleared). q199 gets the q42 variance
+        # methodology (4 runs + raw times): its R=30 spread was the
+        # largest on the r7 board (66s on a 260s median) and needs a
+        # named cause, not a 2-run guess (r7 verdict ask #5).
+        n2 = 4 if name == "q199_prefix_filter_jaccard" else RUNS
+        is_q199 = name == "q199_prefix_filter_jaccard"
+        spill0 = _spill_bytes(spark) if is_q199 else None
+        m = timed_runs(one2, warmups=0, runs=n2)
+        if is_q199:
+            spill1 = _spill_bytes(spark)
+            q199_default_spill = (
+                None if spill0 is None or spill1 is None else spill1 - spill0
+            )
         d2 = {
             f"r{r2}_sec": m["sec"],
             f"r{r2}_spread": m["spread"],
@@ -358,6 +387,78 @@ def main() -> None:
         }
         decade2[name] = d2
         print("decade2", name, d2, flush=True)
+
+    # --- q199 R=30 variance attribution (r7 verdict ask #5) ---
+    # Hypothesis A (partition sizing): the session's
+    # initialPartitionNum=cpus*8 was sized by the R=10 spill fix; at
+    # R=30 each shuffle partition is 3x bigger and may spill again —
+    # if tripling the initial count shrinks the median AND the spread,
+    # the cause is shuffle-spill. Hypothesis B (first-touch): raw runs
+    # show run 1 slow, runs 2+ tight (the q42 r7 pattern), and spill
+    # deltas stay ~0. The spill counter reads the app status store
+    # around each arm, so the verdict is evidence-backed either way.
+    from astarte_data_updater_plant_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ipn_default = str(cpus * 8)
+    spark.conf.set(ipn_key, str(cpus * 24))
+    hi_raw, hi_spill = [], []
+    for _ in range(4):
+        clear_fragments()
+        clear_hot_key_cache()
+        s0 = _spill_bytes(spark)
+        t0 = time.perf_counter()
+        qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        hi_raw.append(round(time.perf_counter() - t0, 3))
+        s1 = _spill_bytes(spark)
+        hi_spill.append(None if s0 is None or s1 is None else s1 - s0)
+    spark.conf.set(ipn_key, ipn_default)
+    q199_var = {
+        "config_key": ipn_key,
+        "default": {
+            "initial_partitions": int(ipn_default),
+            "r10_raw_context": queries["q199_prefix_filter_jaccard"]["r10_raw"],
+            "r30_raw": decade2["q199_prefix_filter_jaccard"][f"r{r2}_raw"],
+            "r30_median": decade2["q199_prefix_filter_jaccard"][f"r{r2}_sec"],
+            "r30_spread": decade2["q199_prefix_filter_jaccard"][f"r{r2}_spread"],
+            "r30_spill_bytes_4runs": q199_default_spill,
+        },
+        "high": {
+            "initial_partitions": cpus * 24,
+            "r30_raw": hi_raw,
+            "r30_median": round(statistics.median(hi_raw), 3),
+            "r30_spread": round(max(hi_raw) - min(hi_raw), 3),
+            "r30_spill_bytes_per_run": hi_spill,
+        },
+    }
+    print("q199_variance", q199_var, flush=True)
+
+    # --- adversarial hot-bucket q42 at the SECOND decade (ask #6):
+    # the salting guard's "bounded, never quadratic" claim measured
+    # where the data is 30x, not just 10x ---
+    hot2_dir = f"{root}/hot{r2}"
+    hot2_meta = build_hot_corpus(spark, r2_dir, hot2_dir)
+
+    def q42_hot2(d=hot2_dir):
+        qmap["q42_lsh_near_dup_pairs"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    hot2 = timed_runs(q42_hot2, warmups=0, runs=RUNS)
+    adversarial2 = {
+        **hot2_meta,
+        f"q42_hot_r{r2}_sec": hot2["sec"],
+        f"q42_hot_r{r2}_spread": hot2["spread"],
+        f"q42_hot_r{r2}_raw": hot2["raw"],
+        f"q42_clean_r{r2}_sec": decade2["q42_lsh_near_dup_pairs"][f"r{r2}_sec"],
+        "hot_overhead_x": round(
+            hot2["sec"] / decade2["q42_lsh_near_dup_pairs"][f"r{r2}_sec"], 2
+        ),
+    }
+    print("adversarial_decade2", adversarial2, flush=True)
 
     ing = {
         "r1": ingest_point(spark, r1_dir),
@@ -395,6 +496,8 @@ def main() -> None:
         "decade2_r": r2,
         "decade2_build_sec": build2_sec,
         "decade2": decade2,
+        "q199_variance": q199_var,
+        "adversarial_q42_decade2": adversarial2,
         "ingest": ing,
         "adversarial_q42": adversarial,
     }

@@ -198,3 +198,60 @@ def test_sorted_for_fold_rejects_null_message_id():
     bad = pd.DataFrame({"reception_timestamp": [t0, t0], "message_id": ["b", None]})
     with pytest.raises(ValueError, match="non-null"):
         _sorted_for_fold(bad)
+
+
+def test_streaming_parity_multi_file_batches(spark, tmp_path):
+    """maxFilesPerTrigger > 1 merges several source files into ONE
+    micro-batch; the fold's vectorized (reception_timestamp,
+    message_id) sort must re-establish per-device order across the
+    merged files, so the output equals run_batch exactly. Pins the
+    correctness of the throughput-vs-batch-size curve configs
+    (bench.py stream_ingest_curve), which amortize per-micro-batch
+    coordination by batching MORE files per trigger."""
+    msgs = _messages_df(spark)
+    src = str(tmp_path / "stream_src_mft2")
+    pdf = msgs.toPandas()
+    # three files, written OUT of event order within each boundary,
+    # then consumed 2-files-per-trigger -> 2 micro-batches
+    import glob
+    import os
+    import time as _time
+
+    seen: set = set()
+    files = []
+    for lo, hi in ((0, 4), (4, 7), (7, len(pdf))):
+        chunk = pdf.iloc[lo:hi].iloc[::-1]  # reverse: sort must fix it
+        spark.createDataFrame(chunk, MESSAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        new = set(glob.glob(os.path.join(src, "part-*.parquet"))) - seen
+        assert len(new) == 1
+        files.append(new.pop())
+        seen |= new | {files[-1]}
+    # the source orders files by MTIME; re-stamp in write order so the
+    # file->batch assignment is deterministic (write-completion mtimes
+    # can tie at coarse fs granularity)
+    base = _time.time()
+    for i, f in enumerate(files):
+        t = base - 2.0 * (len(files) - i)
+        os.utime(f, (t, t))
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = run_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pipe_out_mft2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM pipe_out_mft2")
+    ds = datastream_table(got).orderBy("reception_timestamp").collect()
+    assert [r.integer_value for r in ds] == [5, 6]
+    props = {r.path for r in properties_table(got).collect()}
+    assert props == {"/weekSchedule/2/start"}
