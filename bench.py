@@ -363,6 +363,15 @@ def corpus_pipeline_throughput(spark, sf_dir: str) -> dict:
 #: JIT warmth and co-tenancy, NOT code. Round-over-round ingest deltas
 #: smaller than that envelope are noise by construction; compare the
 #: median against the IQR before calling one a regression.
+#: r8 quantified both effects with interleaved fresh-JVM A/B probes
+#: (AB_ATTRIBUTION_r08.json, ab_bench.py): one tree's raws spanned
+#: 49.5k-89.0k msgs/s across 40 min (drift), and re-measuring inside
+#: the same now-warm probe process gained 14-29% (warmth) — which is
+#: why this family's fresh-subprocess number sits structurally BELOW
+#: bench_scaling's 40-min-warm ingest_point on identical code. The
+#: two harnesses are both kept deliberately: this one is the
+#: comparable round-over-round figure, the scaling one shows the
+#: warm-engine envelope.
 _FAMILIES = {
     "ingest": ingest_throughput,
     "stream": stream_ingest_throughput,
