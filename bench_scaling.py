@@ -69,6 +69,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+# One long session processes 30x-replicated shuffles, thousands of
+# stages, and accumulated broadcasts: the r4-era 12g default (sized for
+# sf0.1 benches) OOMed the r8 run at the q199-variance block. The box
+# has 128 GiB for 32 cores; give the scaling harness a scale-matched
+# heap unless the caller overrides.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 from astarte_data_updater_plant_spark.functions.skew import clear_hot_key_cache
 from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
 from astarte_data_updater_plant_spark.plans.registry import queries_map
@@ -254,8 +261,16 @@ def _spill_bytes(spark) -> int | None:
     (spark.ui.retainedStages) can only UNDERSTATE a delta, never fake
     one, so a multi-GB reading is trustworthy evidence of spill."""
     try:
-        store = spark._jsparkSession.sharedState().statusStore()
-        it = store.stageList(None).iterator()
+        # core AppStatusStore (NOT sharedState().statusStore(), which is
+        # the SQL-plan store and has no stage metrics); Spark 4 removed
+        # the default args from stageList, so pass the full signature
+        gw = spark.sparkContext._gateway
+        store = spark.sparkContext._jsc.sc().statusStore()
+        sl = store.stageList(
+            gw.jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+        )
+        it = sl.iterator()
         tot = 0
         while it.hasNext():
             s = it.next()
