@@ -345,3 +345,65 @@ def test_s100_bloom_gate_low_occupancy(spark, mg_events_dir):
         seqs = sorted(s for e, s in by if e == et)
         tots = [by[(et, s)]["n_bits_total"] for s in seqs]
         assert tots == sorted(tots) and tots[-1] <= 1024
+
+
+def test_q223_neyman_big_chars_no_bigint_wrap(spark, tmp_path):
+    """At per-source char sums past ~3e9 the OLD radicand (BIGINT
+    n_docs*sx2 - sx*sx) silently wrapped in Spark while DuckDB errored
+    (ADVICE r7); the DOUBLE radicand must agree cross-engine at these
+    magnitudes. n_chars values are chosen so sx2 itself stays inside
+    BIGINT (the declared exact output column) while sx*sx and
+    n_docs*sx2 are both > 2^63 — exactly the pre-fix wrap zone."""
+    import pyarrow as pa
+
+    from .test_zero_class import _mkdir_with
+
+    rows = [
+        (1, "a b", "en", "huge", 1_700_000_000),
+        (2, "c d", "en", "huge", 1_600_000_000),
+        (3, "e f", "en", "huge", 1_500_000_000),
+        (4, "g h", "en", "small", 120),
+        (5, "i j", "en", "small", 95),
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    d = _mkdir_with(str(tmp_path / "bigchars"), {"documents": docs})
+    spec = QUERIES["q223_neyman_allocation"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+    assert ok, msg
+    got = {r.source: r.alloc for r in spec.fn(spark, d).collect()}
+    assert sum(got.values()) == 1000  # largest-remainder exactness holds
+
+
+def test_q221_weight_formula_big_cnt_cross_engine(spark):
+    """count^0.75 weights at counts past the BIGINT-cube wrap point
+    (cnt >= 2,097,152): the DOUBLE cube must give bit-identical
+    weight_e6 on both engines (ADVICE r7)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cnts = [2_097_152, 3_000_000, 123_456_789, 208_000, 7]
+    sdf = spark.createDataFrame([(c,) for c in cnts], "cnt long").select(
+        "cnt",
+        F.round(
+            F.sqrt(F.sqrt(F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")))
+            * 1_000_000
+        ).cast("long").alias("weight_e6"),
+    )
+    got = {r.cnt: r.weight_e6 for r in sdf.collect()}
+    want = dict(
+        duckdb.sql(
+            "SELECT cnt, CAST(ROUND(SQRT(SQRT(CAST(cnt AS DOUBLE) * cnt * cnt))"
+            " * 1000000) AS BIGINT) FROM (SELECT UNNEST("
+            f"{cnts}) AS cnt)"
+        ).fetchall()
+    )
+    assert got == want
