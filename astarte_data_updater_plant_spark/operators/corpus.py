@@ -2954,13 +2954,13 @@ NEYMAN_BUDGET = 1_000
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sx,
-             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
+             SUM(CAST(n_chars AS BIGINT) * n_chars) AS sx2h
       FROM documents GROUP BY source
     ),
     w AS (
-      SELECT source, n_docs, sx, sx2,
+      SELECT source, n_docs, sx, CAST(sx2h AS BIGINT) AS sx2,
              CAST(ROUND(SQRT(GREATEST(
-                      CAST(n_docs AS DOUBLE) * sx2
+                      CAST(n_docs AS DOUBLE) * CAST(sx2h AS DOUBLE)
                       - CAST(sx AS DOUBLE) * sx, 0))
                         * 1000) AS BIGINT) AS weight_e3
       FROM s
@@ -2993,7 +2993,12 @@ NEYMAN_BUDGET = 1_000
     f"SUM(x)^2) with the radicand computed IN DOUBLE on both sides "
     f"(never BIGINT, which Spark non-ANSI would silently wrap past "
     f"~3e9 summed chars per source while DuckDB errors — ADVICE r7; "
-    f"the N_h cancellation avoids any float mean). Double "
+    f"the N_h cancellation avoids any float mean), and SUM(x^2) "
+    f"itself summed WIDE (Spark DECIMAL(38,0) / DuckDB HUGEINT, "
+    f"exact to 1e38) so the weight never rides a wrapped 64-bit sum "
+    f"either (ADVICE r8 — the published sx2 column stays BIGINT and "
+    f"is exact iff SUM(n_chars^2) < 2^63; past that it goes null/"
+    f"error, never silently wrong). Double "
     f"multiply/subtract are IEEE correctly-rounded, so both engines "
     f"get the same bits at ANY magnitude, and for products < 2^53 "
     f"the radicand is exact; GREATEST(.,0) pins the tiny-negative "
@@ -3006,23 +3011,37 @@ NEYMAN_BUDGET = 1_000
 )
 def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # sx2 is summed in DECIMAL(38,0) (DuckDB: HUGEINT), not LONG: a
+    # LONG sum of per-row squares silently wraps in Spark non-ANSI once
+    # SUM(n_chars^2) passes 2^63 (~920 docs of 100M chars) while the
+    # oracle errors — the same wrap class the r7 radicand fix closed,
+    # one level up (ADVICE r8). The weight derives from the exact wide
+    # sum; the published sx2 COLUMN stays BIGINT for schema continuity
+    # and is exact iff SUM(n_chars^2) < 2^63 (past it: Spark null /
+    # DuckDB error — never a silently wrong allocation).
+    sq = F.col("n_chars").cast("decimal(19,0)")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sx"),
-        F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).cast("long").alias("sx2"),
+        F.sum(sq * sq).alias("sx2_exact"),
     )
-    w = s.withColumn(
-        "weight_e3",
+    w = s.select(
+        "source", "n_docs", "sx",
+        # try_cast: a plain decimal->long cast THROWS on overflow even
+        # in non-ANSI mode, killing the whole query for one oversized
+        # stratum; null-past-the-bound is the declared contract
+        F.col("sx2_exact").try_cast("long").alias("sx2"),
         F.round(
             F.sqrt(
                 F.greatest(
-                    F.col("n_docs").cast("double") * F.col("sx2")
+                    F.col("n_docs").cast("double")
+                    * F.col("sx2_exact").cast("double")
                     - F.col("sx").cast("double") * F.col("sx"),
                     F.lit(0.0),
                 )
             )
             * 1_000
-        ).cast("long"),
+        ).cast("long").alias("weight_e3"),
     )
     tot = w.agg(F.sum("weight_e3").alias("wsum"))
     base = w.crossJoin(F.broadcast(tot)).select(

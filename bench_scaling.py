@@ -416,25 +416,30 @@ def main() -> None:
 
     cpus = default_parallelism()
     ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    ipn_default = str(cpus * 8)
-    spark.conf.set(ipn_key, str(cpus * 24))
+    # read back the live value instead of recomputing it, and restore
+    # under finally: an exception mid-arm otherwise leaves cpus*24
+    # active and silently contaminates every later block (ADVICE r8)
+    ipn_prev = spark.conf.get(ipn_key)
     hi_raw, hi_spill = [], []
-    for _ in range(4):
-        clear_fragments()
-        clear_hot_key_cache()
-        s0 = _spill_bytes(spark)
-        t0 = time.perf_counter()
-        qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        hi_raw.append(round(time.perf_counter() - t0, 3))
-        s1 = _spill_bytes(spark)
-        hi_spill.append(None if s0 is None or s1 is None else s1 - s0)
-    spark.conf.set(ipn_key, ipn_default)
+    try:
+        spark.conf.set(ipn_key, str(cpus * 24))
+        for _ in range(4):
+            clear_fragments()
+            clear_hot_key_cache()
+            s0 = _spill_bytes(spark)
+            t0 = time.perf_counter()
+            qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            hi_raw.append(round(time.perf_counter() - t0, 3))
+            s1 = _spill_bytes(spark)
+            hi_spill.append(None if s0 is None or s1 is None else s1 - s0)
+    finally:
+        spark.conf.set(ipn_key, ipn_prev)
     q199_var = {
         "config_key": ipn_key,
         "default": {
-            "initial_partitions": int(ipn_default),
+            "initial_partitions": int(ipn_prev),
             "r10_raw_context": queries["q199_prefix_filter_jaccard"]["r10_raw"],
             "r30_raw": decade2["q199_prefix_filter_jaccard"][f"r{r2}_raw"],
             "r30_median": decade2["q199_prefix_filter_jaccard"][f"r{r2}_sec"],
@@ -499,6 +504,31 @@ def main() -> None:
     }
     print("adversarial", adversarial, flush=True)
 
+    # --- adversarial hot-bucket q199/q204 at R=10 (VERDICT r8 ask #6):
+    # both share guarded_self_pairs with q42, but their candidate
+    # generators slice the PREFIX of each shingle set — the boilerplate
+    # template's shingles are the corpus's most FREQUENT, so the
+    # rarest-first order pushes them out of most prefixes; the guard
+    # and the in-join filters must keep the hot corpus bounded anyway.
+    adversarial_pp: dict[str, dict] = {}
+    for qname, short in (
+        ("q199_prefix_filter_jaccard", "q199"),
+        ("q204_containment_pairs", "q204"),
+    ):
+        def one_hot(q=qmap[qname]):
+            q(spark, hot_dir).write.format("noop").mode("overwrite").save()
+
+        h = timed_runs(one_hot, warmups=0)
+        adversarial_pp[f"adversarial_{short}"] = {
+            **hot_meta,
+            f"{short}_hot_sec": h["sec"],
+            f"{short}_hot_spread": h["spread"],
+            f"{short}_hot_raw": h["raw"],
+            f"{short}_clean_r10_sec": queries[qname]["r10_sec"],
+            "hot_overhead_x": round(h["sec"] / queries[qname]["r10_sec"], 2),
+        }
+        print(f"adversarial_{short}", adversarial_pp[f"adversarial_{short}"], flush=True)
+
     out = {
         "metric": "scaling_ratio_r10_over_r1",
         "unit": "ratio",
@@ -515,6 +545,7 @@ def main() -> None:
         "adversarial_q42_decade2": adversarial2,
         "ingest": ing,
         "adversarial_q42": adversarial,
+        **adversarial_pp,
     }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -382,6 +382,60 @@ def test_q223_neyman_big_chars_no_bigint_wrap(spark, tmp_path):
     assert sum(got.values()) == 1000  # largest-remainder exactness holds
 
 
+def test_q223_neyman_sx2_sum_past_bigint(spark, tmp_path):
+    """r8 ADVICE, one level up from the r7 radicand fix: with enough
+    ~100M-char docs the SUM of per-row squares itself passes 2^63 — a
+    LONG sum silently wraps in Spark non-ANSI and poisons the weight
+    with no signal. The weight must ride the wide (DECIMAL/HUGEINT)
+    sum: allocations stay exact and budget-summing at magnitudes where
+    sx2 no longer fits BIGINT (the sx2 output column is dropped from
+    the comparison there — it is null on Spark / error on DuckDB by
+    declared contract, never silently wrong)."""
+    import duckdb
+    import pyarrow as pa
+
+    from .test_zero_class import _mkdir_with
+
+    # 1200 docs of 1e8 chars: sum of squares = 1.2e19 > 2^63 (9.22e18)
+    n_huge = 1200
+    doc_ids = list(range(1, n_huge + 1)) + [9001, 9002, 9003]
+    n_chars = [100_000_000] * n_huge + [120, 95, 250]
+    sources = ["huge"] * n_huge + ["small"] * 3
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(["x y"] * len(doc_ids), pa.string()),
+            "lang": pa.array(["en"] * len(doc_ids), pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    d = _mkdir_with(str(tmp_path / "sx2wrap"), {"documents": docs})
+    spec = QUERIES["q223_neyman_allocation"]
+    got = {
+        r.source: (r.n_docs, r.sx, r.weight_e3, r.alloc)
+        for r in spec.fn(spark, d).collect()
+    }
+    # spark: sx2 LONG overflows to null for 'huge', stays exact for
+    # 'small'; the weight and allocation must be unaffected
+    sx2 = {r.source: r.sx2 for r in spec.fn(spark, d).collect()}
+    assert sx2["huge"] is None and sx2["small"] == 120**2 + 95**2 + 250**2
+    # oracle equivalent, minus the sx2 column (DuckDB errors on the
+    # BIGINT cast past 2^63 — the declared loud-failure contract)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{d}/documents.parquet'")
+    defused = spec.oracle.replace("CAST(sx2h AS BIGINT) AS sx2", "0 AS sx2")
+    want = {
+        s: (nd, sx, w, a)
+        for s, nd, sx, w, a in con.sql(
+            "SELECT source, n_docs, sx, weight_e3, alloc FROM "
+            f"({defused})"
+        ).fetchall()
+    }
+    assert got == want
+    assert sum(a for *_xs, a in got.values()) == 1000
+
+
 def test_q221_weight_formula_big_cnt_cross_engine(spark):
     """count^0.75 weights at counts past the BIGINT-cube wrap point
     (cnt >= 2,097,152): the DOUBLE cube must give bit-identical
