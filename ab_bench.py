@@ -22,9 +22,19 @@ gap is JVM/python-worker warmth rather than code (bench_scaling's
 ingest_point runs ~40 min into a session; bench.py's family runs
 ~90 s into a fresh one).
 
+Round 9 adds a ``corpus`` probe (VERDICT r8 lead item): BENCH_r07's
+2,021 docs/s slipped to BENCH_r08's 1,625 (best-of 2.02s -> 2.83s,
++40%, outside the documented drift envelope) with no same-session
+attribution. The probe reproduces bench.py's corpus family EXACTLY —
+fresh JVM, queries_map, docs count, then warm-up + 5 timed runs of
+q47_dedup_keep_best with clear_fragments() before each (and NOT
+clear_hot_key_cache, matching the r7/r8 pinned methodology) — so an
+interleaved A/B on the two trees isolates code from box drift.
+
 Usage:
-  python ab_bench.py <labelA>=<treeA> <labelB>=<treeB> [reps] [out.json]
-  python ab_bench.py --probe <tree>          # internal, one subprocess
+  python ab_bench.py <labelA>=<treeA> <labelB>=<treeB> [reps] [out.json] [probes]
+    probes: comma list from {main, corpus}; default main
+  python ab_bench.py --probe <tree> [kind]   # internal, one subprocess
 """
 
 from __future__ import annotations
@@ -94,31 +104,77 @@ def probe(tree: str) -> None:
     print("PROBE_JSON " + json.dumps(out))
 
 
+def probe_corpus(tree: str) -> None:
+    """bench.py's corpus family, byte-for-byte methodology: q47 with
+    fragments cleared before every run (the skew memo deliberately NOT
+    cleared — neither r7's nor r8's pinned corpus numbers cleared it)."""
+    sys.path.insert(0, tree)
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+    from astarte_data_updater_plant_spark.plans.registry import queries_map
+    from astarte_data_updater_plant_spark.session import get_spark
+    from astarte_data_updater_plant_spark.sources.tables import load_table
+
+    spark = get_spark("ab_probe_corpus")
+    qmap = queries_map()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+
+    def one():
+        clear_fragments()
+        qmap["q47_dedup_keep_best"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    m = _measure(one)
+    out = {
+        "tree": tree,
+        "corpus": {
+            **m,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / m["sec"]),
+            "docs_per_sec_best": round(n_docs / m["best"]),
+        },
+    }
+    print("PROBE_JSON " + json.dumps(out))
+
+
+#: per-probe-kind: (cli kind, families to aggregate, console keys)
+PROBES = {
+    "main": ("main", ("ingest", "ingest_warm", "q170")),
+    "corpus": ("corpus", ("corpus",)),
+}
+
+
 def main() -> None:
     specs = [a.split("=", 1) for a in sys.argv[1:3]]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     out_path = sys.argv[4] if len(sys.argv) > 4 else "AB_ATTRIBUTION_r08.json"
+    probes = (sys.argv[5] if len(sys.argv) > 5 else "main").split(",")
     results: dict[str, list[dict]] = {label: [] for label, _ in specs}
     order: list[str] = []
     for rep in range(reps):
-        for label, tree in specs:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--probe", tree],
-                capture_output=True, text=True, timeout=1800, check=True,
-                cwd=tree,
-            )
-            line = [l for l in r.stdout.splitlines() if l.startswith("PROBE_JSON ")][-1]
-            d = json.loads(line[len("PROBE_JSON "):])
-            d["rep"] = rep
-            d["wall_clock"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-            results[label].append(d)
-            order.append(label)
-            print(label, "rep", rep, "ingest", d["ingest"]["msgs_per_sec"],
-                  "warm", d["ingest_warm"]["msgs_per_sec"],
-                  "q170", d["q170"]["sec"], flush=True)
+        for kind in probes:
+            for label, tree in specs:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--probe", tree, kind],
+                    capture_output=True, text=True, timeout=1800, check=True,
+                    cwd=tree,
+                )
+                line = [l for l in r.stdout.splitlines() if l.startswith("PROBE_JSON ")][-1]
+                d = json.loads(line[len("PROBE_JSON "):])
+                d["rep"] = rep
+                d["kind"] = kind
+                d["wall_clock"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                results[label].append(d)
+                order.append(f"{label}:{kind}")
+                brief = {
+                    fam: d[fam] for fam in ("ingest", "q170", "corpus") if fam in d
+                }
+                print(label, kind, "rep", rep, json.dumps(brief), flush=True)
 
-    def agg(label: str, fam: str, key: str) -> dict:
-        vals = [r[fam][key] for r in results[label]]
+    def agg(label: str, fam: str, key: str) -> dict | None:
+        vals = [r[fam][key] for r in results[label] if fam in r]
+        if not vals:
+            return None
         return {
             "median": round(statistics.median(vals), 3),
             "raw": vals,
@@ -128,22 +184,27 @@ def main() -> None:
     summary = {}
     for label, _ in specs:
         summary[label] = {
-            "ingest_msgs_per_sec": agg(label, "ingest", "msgs_per_sec"),
-            "ingest_warm_msgs_per_sec": agg(label, "ingest_warm", "msgs_per_sec"),
-            "q170_sec": agg(label, "q170", "sec"),
+            k: v
+            for k, v in {
+                "ingest_msgs_per_sec": agg(label, "ingest", "msgs_per_sec"),
+                "ingest_warm_msgs_per_sec": agg(label, "ingest_warm", "msgs_per_sec"),
+                "q170_sec": agg(label, "q170", "sec"),
+                "corpus_sec": agg(label, "corpus", "sec"),
+                "corpus_sec_best": agg(label, "corpus", "best"),
+                "corpus_docs_per_sec": agg(label, "corpus", "docs_per_sec"),
+            }.items()
+            if v is not None
         }
     (la, _), (lb, _) = specs
     summary["ratio_B_over_A"] = {
-        "ingest_msgs_per_sec": round(
-            summary[lb]["ingest_msgs_per_sec"]["median"]
-            / summary[la]["ingest_msgs_per_sec"]["median"], 3),
-        "q170_sec": round(
-            summary[lb]["q170_sec"]["median"]
-            / summary[la]["q170_sec"]["median"], 3),
+        k: round(summary[lb][k]["median"] / summary[la][k]["median"], 3)
+        for k in summary[la]
+        if k in summary[lb] and summary[la][k]["median"]
     }
     artifact = {
         "metric": "ab_attribution",
         "sf_dir": SF_DIR,
+        "probes_run": probes,
         "interleave_order": order,
         "trees": {label: tree for label, tree in specs},
         "summary": summary,
@@ -155,7 +216,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--probe":
-        probe(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
+        kind = sys.argv[3] if len(sys.argv) > 3 else "main"
+        if kind == "corpus":
+            probe_corpus(sys.argv[2])
+        else:
+            probe(sys.argv[2])
     else:
         main()
