@@ -137,18 +137,45 @@ def probe_corpus(tree: str) -> None:
     print("PROBE_JSON " + json.dumps(out))
 
 
-#: per-probe-kind: (cli kind, families to aggregate, console keys)
+#: THE probe-kind registry: kind -> (probe entrypoint, summary specs
+#: as (summary_key, family, value_key) triples). main() validates
+#: requested kinds against it and the --probe dispatcher resolves
+#: through it — an unknown kind is a hard error, not a silent
+#: fall-through to the main probe mislabeled under the unknown name
+#: (ADVICE r9). Summary aggregation keys are driven from the same
+#: triples so adding a probe kind is one entry here.
 PROBES = {
-    "main": ("main", ("ingest", "ingest_warm", "q170")),
-    "corpus": ("corpus", ("corpus",)),
+    "main": (
+        probe,
+        (
+            ("ingest_msgs_per_sec", "ingest", "msgs_per_sec"),
+            ("ingest_warm_msgs_per_sec", "ingest_warm", "msgs_per_sec"),
+            ("q170_sec", "q170", "sec"),
+        ),
+    ),
+    "corpus": (
+        probe_corpus,
+        (
+            ("corpus_sec", "corpus", "sec"),
+            ("corpus_sec_best", "corpus", "best"),
+            ("corpus_docs_per_sec", "corpus", "docs_per_sec"),
+        ),
+    ),
 }
 
 
 def main() -> None:
     specs = [a.split("=", 1) for a in sys.argv[1:3]]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    out_path = sys.argv[4] if len(sys.argv) > 4 else "AB_ATTRIBUTION_r08.json"
+    # round-neutral default (ADVICE r9: the old r08-stamped default
+    # would mislabel later rounds' artifacts)
+    out_path = sys.argv[4] if len(sys.argv) > 4 else "AB_ATTRIBUTION.json"
     probes = (sys.argv[5] if len(sys.argv) > 5 else "main").split(",")
+    unknown = [k for k in probes if k not in PROBES]
+    if unknown:
+        raise SystemExit(
+            f"unknown probe kind(s) {unknown}; known: {sorted(PROBES)}"
+        )
     results: dict[str, list[dict]] = {label: [] for label, _ in specs}
     order: list[str] = []
     for rep in range(reps):
@@ -167,7 +194,9 @@ def main() -> None:
                 results[label].append(d)
                 order.append(f"{label}:{kind}")
                 brief = {
-                    fam: d[fam] for fam in ("ingest", "q170", "corpus") if fam in d
+                    fam: d[fam]
+                    for fam in {f for _, f, _v in PROBES[kind][1]}
+                    if fam in d
                 }
                 print(label, kind, "rep", rep, json.dumps(brief), flush=True)
 
@@ -183,18 +212,12 @@ def main() -> None:
 
     summary = {}
     for label, _ in specs:
-        summary[label] = {
-            k: v
-            for k, v in {
-                "ingest_msgs_per_sec": agg(label, "ingest", "msgs_per_sec"),
-                "ingest_warm_msgs_per_sec": agg(label, "ingest_warm", "msgs_per_sec"),
-                "q170_sec": agg(label, "q170", "sec"),
-                "corpus_sec": agg(label, "corpus", "sec"),
-                "corpus_sec_best": agg(label, "corpus", "best"),
-                "corpus_docs_per_sec": agg(label, "corpus", "docs_per_sec"),
-            }.items()
-            if v is not None
-        }
+        summary[label] = {}
+        for kind in probes:
+            for key, fam, vk in PROBES[kind][1]:
+                v = agg(label, fam, vk)
+                if v is not None:
+                    summary[label][key] = v
     (la, _), (lb, _) = specs
     summary["ratio_B_over_A"] = {
         k: round(summary[lb][k]["median"] / summary[la][k]["median"], 3)
@@ -218,9 +241,10 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
         kind = sys.argv[3] if len(sys.argv) > 3 else "main"
-        if kind == "corpus":
-            probe_corpus(sys.argv[2])
-        else:
-            probe(sys.argv[2])
+        if kind not in PROBES:
+            raise SystemExit(
+                f"unknown probe kind {kind!r}; known: {sorted(PROBES)}"
+            )
+        PROBES[kind][0](sys.argv[2])
     else:
         main()

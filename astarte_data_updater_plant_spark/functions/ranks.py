@@ -170,7 +170,16 @@ def with_global_order(
                 .drop("_gh")
                 .collect()
             )
-            sample.sort(key=lambda r: tuple(r))
+            # null-safe, matching Spark's ascending null ordering
+            # (nulls FIRST) so the driver-picked cuts agree with the
+            # executor-side struct comparison — a bare tuple(r) sort
+            # raises TypeError the moment a sampled key is null
+            # (surfaced by q223's gated-null weight, ADVICE r9)
+            sample.sort(
+                key=lambda r: tuple(
+                    (v is not None, 0 if v is None else v) for v in r
+                )
+            )
             if len(sample) > 1:
                 step = len(sample) / n_buckets
                 cuts = []

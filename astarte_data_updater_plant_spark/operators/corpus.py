@@ -3031,17 +3031,26 @@ def q223_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in non-ANSI mode, killing the whole query for one oversized
         # stratum; null-past-the-bound is the declared contract
         F.col("sx2_exact").try_cast("long").alias("sx2"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    F.col("n_docs").cast("double")
-                    * F.col("sx2_exact").cast("double")
-                    - F.col("sx").cast("double") * F.col("sx"),
-                    F.lit(0.0),
+        # gate on sx2_exact NOT NULL: if even the DECIMAL(38,0) sum
+        # overflows (SUM(n_chars^2) >= 1e38) Spark non-ANSI nulls it,
+        # and GREATEST skips nulls, so without the gate the weight
+        # would silently collapse to 0 — the one path that violated
+        # the "null/error, never silently wrong" contract (ADVICE r9;
+        # DuckDB errors loudly at the HUGEINT bound instead)
+        F.when(
+            F.col("sx2_exact").isNotNull(),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("n_docs").cast("double")
+                        * F.col("sx2_exact").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx"),
+                        F.lit(0.0),
+                    )
                 )
-            )
-            * 1_000
-        ).cast("long").alias("weight_e3"),
+                * 1_000
+            ).cast("long"),
+        ).alias("weight_e3"),
     )
     tot = w.agg(F.sum("weight_e3").alias("wsum"))
     base = w.crossJoin(F.broadcast(tot)).select(

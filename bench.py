@@ -220,7 +220,13 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
     stream_buckets = os.environ.get("SPARK_GRAFT_STREAM_BUCKETS")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
 
-    def one_run() -> float:
+    # checkpoint dirs are collected here and removed AFTER measure()
+    # returns: measure() times the whole callable externally, so any
+    # in-callable cleanup would ride inside the timed window and
+    # inflate the r1-r8 continuity series (ADVICE r9)
+    ckpts: list[str] = []
+
+    def one_run() -> None:
         stream = (
             spark.readStream.schema(MESSAGE_SCHEMA)
             .option("maxFilesPerTrigger", "1")
@@ -234,7 +240,7 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
             )
         )
         ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-        t0 = time.perf_counter()
+        ckpts.append(ckpt)
         q = (
             ds.writeStream.outputMode("append")
             .format("noop")
@@ -242,14 +248,15 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            # a hung query overlapping the next timed run would corrupt
-            # the number silently — fail loud instead (ADVICE r8)
-            assert q.awaitTermination(600), "stream run exceeded 600s"
-        finally:
+        # a hung query overlapping the next timed run would corrupt
+        # the number silently — fail loud instead (ADVICE r8). Raise,
+        # don't assert: asserts vanish under python -O (ADVICE r9).
+        # availableNow + awaitTermination(True) means the query is
+        # already terminated on the happy path, so no stop() is owed
+        # inside the timed window.
+        if not q.awaitTermination(600):
             q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-        return time.perf_counter() - t0
+            raise RuntimeError("stream run exceeded 600s")
 
     try:
         sec, iqr, best = measure(one_run)
@@ -257,6 +264,8 @@ def stream_ingest_throughput(spark, sf_dir: str) -> dict:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
+        for ckpt in ckpts:
+            shutil.rmtree(ckpt, ignore_errors=True)
     tuned_batches, tuned = max(
         curve.items(), key=lambda kv: kv[1]["msgs_per_sec"]
     )
@@ -306,6 +315,9 @@ def _stream_batch_curve(spark, msgs, n_msgs: int) -> dict:
         msgs, "reception_timestamp", n_slices=8, prefix="bench_stream_curve_"
     )
     curve: dict[str, dict] = {}
+    # cleanup deferred past the timed window, same as stream_ingest
+    # (ADVICE r9)
+    ckpts: list[str] = []
     try:
         for mft in (1, 2, 4, 8):
             def one_run(mft=mft) -> None:
@@ -318,6 +330,7 @@ def _stream_batch_curve(spark, msgs, n_msgs: int) -> dict:
                     run_stream(stream, interfaces=(telemetry_interface(),))
                 )
                 ckpt = tempfile.mkdtemp(prefix="bench_stream_curve_ckpt_")
+                ckpts.append(ckpt)
                 q = (
                     ds.writeStream.outputMode("append")
                     .format("noop")
@@ -325,11 +338,9 @@ def _stream_batch_curve(spark, msgs, n_msgs: int) -> dict:
                     .trigger(availableNow=True)
                     .start()
                 )
-                try:
-                    assert q.awaitTermination(600), "curve run exceeded 600s"
-                finally:
+                if not q.awaitTermination(600):
                     q.stop()
-                    shutil.rmtree(ckpt, ignore_errors=True)
+                    raise RuntimeError("curve run exceeded 600s")
 
             sec, iqr, best = measure(one_run, runs=3)
             curve[str(8 // mft)] = {
@@ -341,6 +352,8 @@ def _stream_batch_curve(spark, msgs, n_msgs: int) -> dict:
             }
     finally:
         shutil.rmtree(src8, ignore_errors=True)
+        for ckpt in ckpts:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return curve
 
 
@@ -501,9 +514,17 @@ def main() -> None:
     # ask #3). Repeat every scalar (no nested per-query dicts) as a
     # compact LAST line so the committed artifact is self-contained
     # under truncation.
+    # label LAST: ``full`` carries its own "metric" scalar and later
+    # keys win in dict literals, so spreading first would override the
+    # tail label (ADVICE r9 — BENCH_r09's tail line was mislabeled
+    # "headline_queries_total")
     print(json.dumps({
+        **{
+            k: v
+            for k, v in full.items()
+            if not isinstance(v, dict) and k != "metric"
+        },
         "metric": "bench_summary_tail",
-        **{k: v for k, v in full.items() if not isinstance(v, dict)},
     }))
 
 

@@ -269,6 +269,30 @@ def test_with_global_order_matches_window_semantics(spark):
     )
     assert [g["id"] for g in got] == [e["id"] for e in exp]
 
+    # null sort keys: the driver-side boundary sample sort must use a
+    # null-safe key matching Spark's ASC NULLS FIRST, or it raises
+    # TypeError the moment the probe samples a null (surfaced by
+    # q223's gated-null weight, ADVICE r9)
+    dfn = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("id") * 3 % 101
+        ).alias("k"),
+    )
+    got = (
+        with_global_order(dfn, ["k", "id"], rank="rn")
+        .orderBy("rn")
+        .collect()
+    )
+    exp = (
+        dfn.select(
+            "id", F.row_number().over(W.orderBy("k", "id")).alias("rn")
+        )
+        .orderBy("rn")
+        .collect()
+    )
+    assert [g["id"] for g in got] == [e["id"] for e in exp]
+
 
 def test_bigrams_expr_survives_short_documents(spark):
     """_BIGRAMS_EXPR must yield the empty list for 0- and 1-token

@@ -436,6 +436,57 @@ def test_q223_neyman_sx2_sum_past_bigint(spark, tmp_path):
     assert sum(a for *_xs, a in got.values()) == 1000
 
 
+def test_q223_neyman_decimal_overflow_nulls_weight(spark, tmp_path):
+    """r9 ADVICE, the last rung of the ladder: if even the
+    DECIMAL(38,0) sum of squares overflows (SUM(n_chars^2) >= 1e38,
+    two ~9.2e18-char rows suffice), a NON-ANSI session nulls
+    sx2_exact — and GREATEST skips nulls, so an ungated weight would
+    silently collapse to 0 (a wrong zero allocation). The gate must
+    propagate null instead: weight_e3 and alloc read null for the
+    overflowed stratum while intact strata still allocate. Under the
+    repo's ANSI-on default the same input already dies loudly at the
+    earlier BIGINT SUM(n_chars) (verified below), so the gate is
+    defense for non-ANSI deployments — the only mode with a silent
+    path."""
+    import pyarrow as pa
+    import pytest
+
+    from .test_zero_class import _mkdir_with
+
+    big = 9_200_000_000_000_000_000  # ~2^63; big^2 ~ 8.46e37
+    rows = [
+        (1, "a b", "en", "huge", big),
+        (2, "c d", "en", "huge", big),  # sum of squares ~1.69e38 > 1e38
+        (3, "e f", "en", "small", 120),
+        (4, "g h", "en", "small", 95),
+        (5, "i j", "en", "small", 250),
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    d = _mkdir_with(str(tmp_path / "decoverflow"), {"documents": docs})
+    spec = QUERIES["q223_neyman_allocation"]
+    # ANSI default: loud arithmetic error, never a silent zero
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spec.fn(spark, d).collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = {r.source: r for r in spec.fn(spark, d).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    huge, small = got["huge"], got["small"]
+    assert huge.sx2 is None and huge.weight_e3 is None and huge.alloc is None
+    assert small.weight_e3 is not None and small.weight_e3 > 0
+    assert small.alloc == 1000  # all non-null weight -> whole budget
+
+
 def test_q221_weight_formula_big_cnt_cross_engine(spark):
     """count^0.75 weights at counts past the BIGINT-cube wrap point
     (cnt >= 2,097,152): the DOUBLE cube must give bit-identical
