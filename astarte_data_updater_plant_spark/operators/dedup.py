@@ -1311,6 +1311,21 @@ def q198_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: operating points
 PREFIX_JACCARD_MIN = 0.6
 
+#: q199 spill experiment (VERDICT r8 ask #4 / r10 item #3): when True,
+#: the verify stage semi-join-prefilters ``sets`` to documents that
+#: actually appear in a surviving candidate pair, so the two
+#: array-carrying joins shuffle only candidate docs' shingle arrays
+#: instead of the whole corpus's. The candidate pair list — just two
+#: LONG columns — is localCheckpoint'd so feeding both the prefilter
+#: and the verify join never recomputes the self-join; AQE is free to
+#: broadcast the (typically tiny) candidate-doc-id side of the semi
+#: join, which removes the full-array shuffle entirely. Identical
+#: results by construction (the verify join's keys are unchanged —
+#: only non-matching build rows are shed early); parity is pinned by
+#: test_q199_slim_arm_matches_oracle. Default OFF pending the R=30
+#: interleaved spill A/B in BENCH_SCALING_r10.
+Q199_SEMI_PREFILTER = False
+
 
 def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, os: array<struct<df, sh>>, n): every document's shingle
@@ -1424,6 +1439,16 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (5 * F.col("b.n") >= 3 * F.col("a.n"))
         & (8 * ub >= 3 * (F.col("a.n") + F.col("b.n"))),
     )
+    if Q199_SEMI_PREFILTER:
+        # materialize the (doc_a, doc_b) LONG pairs once so both
+        # consumers below share them without re-running the self-join
+        candidates = candidates.localCheckpoint(eager=True)
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = sets.join(cand_docs, "doc_id", "left_semi")
     sets_a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )

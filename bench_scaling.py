@@ -456,6 +456,60 @@ def main() -> None:
     }
     print("q199_variance", q199_var, flush=True)
 
+    # --- q199 spill-slimming experiment (r8 ask #4 / r10 item #3) ---
+    # Interleaved A/B at R=r2: the default verify join (full sets
+    # shuffled into both array joins) vs the Q199_SEMI_PREFILTER arm
+    # (candidates localCheckpoint'd, sets semi-join-prefiltered to
+    # candidate docs so the array joins shuffle only surviving rows).
+    # Strict D,S,D,S interleave in ONE session so box drift hits both
+    # arms equally; spill bytes recorded per run per arm. Parity of the
+    # slim arm is pinned by test_q199_slim_arm_matches_oracle — this
+    # block decides adopt-or-refute on spill + wall clock only.
+    from astarte_data_updater_plant_spark.operators import dedup as _dedup
+
+    slim_ab: dict[str, list] = {
+        "default_raw": [], "slim_raw": [],
+        "default_spill": [], "slim_spill": [],
+    }
+    try:
+        for _rep in range(4):
+            for arm, flag in (("default", False), ("slim", True)):
+                _dedup.Q199_SEMI_PREFILTER = flag
+                clear_fragments()
+                clear_hot_key_cache()
+                s0 = _spill_bytes(spark)
+                t0 = time.perf_counter()
+                qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                slim_ab[f"{arm}_raw"].append(round(time.perf_counter() - t0, 3))
+                s1 = _spill_bytes(spark)
+                slim_ab[f"{arm}_spill"].append(
+                    None if s0 is None or s1 is None else s1 - s0
+                )
+    finally:
+        _dedup.Q199_SEMI_PREFILTER = False
+    q199_slim = {
+        "r": r2,
+        "interleave": "default,slim x4",
+        **slim_ab,
+        "default_median": round(statistics.median(slim_ab["default_raw"]), 3),
+        "slim_median": round(statistics.median(slim_ab["slim_raw"]), 3),
+        "default_best": min(slim_ab["default_raw"]),
+        "slim_best": min(slim_ab["slim_raw"]),
+    }
+    q199_slim["ratio_slim_over_default"] = round(
+        q199_slim["slim_median"] / q199_slim["default_median"], 3
+    )
+    if None not in slim_ab["default_spill"] + slim_ab["slim_spill"]:
+        q199_slim["default_spill_median"] = int(
+            statistics.median(slim_ab["default_spill"])
+        )
+        q199_slim["slim_spill_median"] = int(
+            statistics.median(slim_ab["slim_spill"])
+        )
+    print("q199_slim_experiment", q199_slim, flush=True)
+
     # --- adversarial hot-bucket q42 at the SECOND decade (ask #6):
     # the salting guard's "bounded, never quadratic" claim measured
     # where the data is 30x, not just 10x ---
@@ -542,6 +596,7 @@ def main() -> None:
         "decade2_build_sec": build2_sec,
         "decade2": decade2,
         "q199_variance": q199_var,
+        "q199_slim_experiment": q199_slim,
         "adversarial_q42_decade2": adversarial2,
         "ingest": ing,
         "adversarial_q42": adversarial,

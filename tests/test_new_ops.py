@@ -68,6 +68,24 @@ def test_dedup_additions_degenerate_parity(spark, name, degen_docs_dir):
     assert ok, f"{name}: {msg}"
 
 
+def test_q199_slim_arm_matches_oracle(spark, degen_docs_dir):
+    """The Q199_SEMI_PREFILTER experimental arm (semi-join prefilter of
+    ``sets`` to candidate docs, candidates localCheckpoint'd) must be
+    result-identical to the default arm's oracle on both the shared
+    sf0.001 corpus and the degenerate corpus — the physical plan is the
+    only thing allowed to differ (BENCH_SCALING r10 spill experiment)."""
+    from astarte_data_updater_plant_spark.operators import dedup
+
+    spec = QUERIES["q199_prefix_filter_jaccard"]
+    dedup.Q199_SEMI_PREFILTER = True
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"slim arm @ {d}: {msg}"
+    finally:
+        dedup.Q199_SEMI_PREFILTER = False
+
+
 def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
     rows = queries_map()["q199_prefix_filter_jaccard"](
         spark, degen_docs_dir
