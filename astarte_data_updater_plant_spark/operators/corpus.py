@@ -2998,7 +2998,13 @@ NEYMAN_BUDGET = 1_000
     f"exact to 1e38) so the weight never rides a wrapped 64-bit sum "
     f"either (ADVICE r8 — the published sx2 column stays BIGINT and "
     f"is exact iff SUM(n_chars^2) < 2^63; past that it goes null/"
-    f"error, never silently wrong). Double "
+    f"error, never silently wrong). CONSUMER CONTRACT: a null sx2 "
+    f"means OVERFLOW (the exact sum passed 2^63), not missing data; "
+    f"and should even the DECIMAL(38,0)/HUGEINT sum overflow "
+    f"(SUM(n_chars^2) >= 1e38 — under ANSI Spark and DuckDB both "
+    f"error loudly first), weight_e3 and alloc are gated to null for "
+    f"that stratum rather than collapsing to a silent zero "
+    f"allocation (ADVICE r9). Double "
     f"multiply/subtract are IEEE correctly-rounded, so both engines "
     f"get the same bits at ANY magnitude, and for products < 2^53 "
     f"the radicand is exact; GREATEST(.,0) pins the tiny-negative "
