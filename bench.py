@@ -508,6 +508,18 @@ def main() -> None:
         **_run_family_isolated("corpus"),
     }
     print(json.dumps(full))
+    # persist the COMPLETE record next to the script every run: the
+    # driver's capture keeps only a 2,000-char tail of stdout, so the
+    # per-query medians otherwise survive nowhere (VERDICT r9 ask #5).
+    # Each round commits a stamped copy as BENCH_PREVIEW_r{N}.json.
+    try:
+        preview = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PREVIEW.json"
+        )
+        with open(preview, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     # the driver's artifact capture keeps only a 2,000-char TAIL of
     # this output — the r8 headline totals fell off the front of the
     # full line and survived only in the preview artifact (VERDICT r8
