@@ -1322,8 +1322,18 @@ PREFIX_JACCARD_MIN = 0.6
 #: join, which removes the full-array shuffle entirely. Identical
 #: results by construction (the verify join's keys are unchanged —
 #: only non-matching build rows are shed early); parity is pinned by
-#: test_q199_slim_arm_matches_oracle. Default OFF pending the R=30
-#: interleaved spill A/B in BENCH_SCALING_r10.
+#: test_q199_slim_arm_matches_oracle.
+#:
+#: REFUTED at R=30 (BENCH_SCALING_r10 ``q199_slim_experiment``,
+#: strict default/slim ×4 interleave in one session): slim is 1.19×
+#: SLOWER (median 227.6s vs 191.1s, best-of 215.4 vs 180.2) and
+#: spills 3.6× MORE (median 312 GB/run vs 88 GB/run). Cause: at
+#: t=0.6 on this corpus most documents survive the candidate filter,
+#: so the semi join sheds few build rows while the eager
+#: localCheckpoint materializes the full candidate list and the
+#: distinct + semi join add two extra shuffles of their own — the
+#: default plan's single-pass verify join is already the right shape.
+#: The toggle stays for reproducibility; default remains OFF.
 Q199_SEMI_PREFILTER = False
 
 
