@@ -1336,6 +1336,36 @@ PREFIX_JACCARD_MIN = 0.6
 #: The toggle stays for reproducibility; default remains OFF.
 Q199_SEMI_PREFILTER = False
 
+#: q199 verify-join strategy experiment (r10, from the per-stage spill
+#: attribution of the R=30 run): the two verify joins dominate the
+#: operator's spill — each is a 256-task sort-merge reduce stage that
+#: reads only ~13 GB of shuffle yet spills 70-75 GB, because SMJ must
+#: SORT rows carrying the full shingle arrays and Tungsten's in-memory
+#: array rows inflate ~5x over the compressed shuffle format. When
+#: True, both verify joins carry a ``shuffle_hash`` hint with the
+#: COMPACT side as the build: the (doc_a, doc_b) two-LONG candidate
+#: table builds the first hash map, the one-row-per-doc ``sets_b``
+#: builds the second, and the array-carrying probe side STREAMS with
+#: no sort at all. Join keys, filters, and output are unchanged —
+#: result-identical by construction; parity pinned at sf0.001 +
+#: degenerate corpus by test_q199_hash_verify_matches_oracle. Build
+#: sides stay bounded at any corpus size (candidates are
+#: filter-bounded pairs of longs; sets_b is one row per document),
+#: so the hint is scale-safe where a broadcast would not be.
+#:
+#: REFUTED at R=30 (r10 interleaved A/B, plan verified to carry both
+#: ShuffledHashJoins): per-run spill did NOT drop — 92.8 GB hash vs
+#: 87.6 GB default — because on typical runs the operator's spill is
+#: dominated by the candidate-GENERATION stage (the ~89 GB map-side
+#: stage in the per-stage attribution), not the verify sorts, which
+#: only spill on adverse GC interleavings (the 260+ GB outlier runs);
+#: wall clock showed no win (hash 283s between interleaved defaults
+#: of 451s cold / 170s warm) and the hash arm's rep-2 died in a
+#: shuffle-file IOException cascade under build-map memory pressure.
+#: Toggle stays for reproducibility; default remains OFF. The r11
+#: target, if any, is the candidate-generation stage itself.
+Q199_HASH_VERIFY = False
+
 
 def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, os: array<struct<df, sh>>, n): every document's shingle
@@ -1468,6 +1498,19 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
+    if Q199_HASH_VERIFY:
+        # hash-build on the compact side of each verify join so the
+        # array-carrying side STREAMS instead of sorting (see toggle
+        # doc above): candidates (two LONGs) build the first map,
+        # one-row-per-doc sets_b the second
+        return (
+            candidates.hint("shuffle_hash")
+            .join(sets_a, "doc_a")
+            .join(sets_b.hint("shuffle_hash"), "doc_b")
+            .filter(jac >= PREFIX_JACCARD_MIN)
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        )
     return (
         candidates.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")

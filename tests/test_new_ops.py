@@ -86,6 +86,26 @@ def test_q199_slim_arm_matches_oracle(spark, degen_docs_dir):
         dedup.Q199_SEMI_PREFILTER = False
 
 
+def test_q199_hash_verify_matches_oracle(spark, degen_docs_dir):
+    """The Q199_HASH_VERIFY experimental arm (shuffle_hash hints on the
+    two verify joins: candidates build the first map, sets_b the
+    second, the array-carrying side streams with no sort) must be
+    result-identical to the default arm's oracle on both the shared
+    sf0.001 corpus and the degenerate corpus — the join STRATEGY is
+    the only thing allowed to differ (r10 per-stage spill attribution:
+    the two SMJ verify sorts are the operator's dominant spill)."""
+    from astarte_data_updater_plant_spark.operators import dedup
+
+    spec = QUERIES["q199_prefix_filter_jaccard"]
+    dedup.Q199_HASH_VERIFY = True
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"hash-verify arm @ {d}: {msg}"
+    finally:
+        dedup.Q199_HASH_VERIFY = False
+
+
 def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
     rows = queries_map()["q199_prefix_filter_jaccard"](
         spark, degen_docs_dir
