@@ -1348,10 +1348,12 @@ Q199_SEMI_PREFILTER = False
 #: builds the second, and the array-carrying probe side STREAMS with
 #: no sort at all. Join keys, filters, and output are unchanged —
 #: result-identical by construction; parity pinned at sf0.001 +
-#: degenerate corpus by test_q199_hash_verify_matches_oracle. Build
-#: sides stay bounded at any corpus size (candidates are
-#: filter-bounded pairs of longs; sets_b is one row per document),
-#: so the hint is scale-safe where a broadcast would not be.
+#: degenerate corpus by test_q199_hash_verify_matches_oracle. The
+#: build ROW counts are bounded (candidates are filter-bounded pairs
+#: of longs; sets_b is one row per document) but sets_b's build rows
+#: carry the full shingle arrays, so its per-partition hash maps are
+#: bounded in rows, NOT in bytes — consistent with the observed
+#: build-map IOException cascade below (ADVICE r10).
 #:
 #: REFUTED at R=30 (r10 interleaved A/B, plan verified to carry both
 #: ShuffledHashJoins): per-run spill did NOT drop — 92.8 GB hash vs
@@ -1362,9 +1364,82 @@ Q199_SEMI_PREFILTER = False
 #: wall clock showed no win (hash 283s between interleaved defaults
 #: of 451s cold / 170s warm) and the hash arm's rep-2 died in a
 #: shuffle-file IOException cascade under build-map memory pressure.
-#: Toggle stays for reproducibility; default remains OFF. The r11
-#: target, if any, is the candidate-generation stage itself.
+#: Toggle stays for reproducibility; default remains OFF.
+#:
+#: r11 re-attribution CORRECTS the r10 reading of the "~89 GB
+#: map-side stage": per-stage metrics on a fresh R=30 run show the
+#: candidate self-join + pair distinct spills only ~1.5 GB (171M raw
+#: pair rows, two longs each) — the ~86 GB spill sits in the 35-task
+#: stage that attaches ``sh_a`` to the 104M distinct candidate pairs
+#: and SHUFFLE-WRITES the array-carrying rows by doc_b for the second
+#: verify join (reads 1.1 GB of compact pairs, writes 12.9 GB
+#: compressed, pages ~830 Tungsten bytes/row = 86 GB through spill;
+#: the reduce-side verify sort itself spilled ZERO on the probe run).
+#: The r11 arms attacked it from three sides — fewer pairs (ASYM,
+#: adopted), narrower rows (INT, adopted), no reduce sort (HASH2,
+#: refuted: the sort wasn't the spiller) — see the toggles below.
 Q199_HASH_VERIFY = False
+
+#: r11 arm A — asymmetric AllPairs prefixes (Bayardo et al. WWW'07
+#: s3.1 "exploiting the threshold during indexing"; Xiao et al.
+#: WWW'08): a pair (x, y) with J >= t and |x| <= |y| has overlap
+#: alpha >= ceil(2t/(1+t) * |x|), so the SMALLER side of any
+#: surviving pair only needs its first |x| - ceil(2t/(1+t)*|x|) + 1
+#: shingles in the join window (~0.25n at t = 0.6) while the larger
+#: side keeps the full Jaccard prefix (~0.4n). Implemented as one
+#: extra lossless predicate in the self-join condition (the smaller
+#: side's pos must fall inside its SHORT prefix; ties broken by
+#: doc_id, matching the a.doc_id < b.doc_id pair identity), so the
+#: prefix frame, the skew guard, and the hot-key probe are all
+#: unchanged — only per-bucket pair fan-out shrinks (expected
+#: ~0.625x: short*long instead of long*long). Losslessness: with
+#: alpha_true = ceil(t/(1+t)(|x|+|y|)), the prefix lemma guarantees a
+#: common element inside BOTH (n - alpha_true + 1)-prefixes, and the
+#: pair's FIRST common element precedes it in the shared order, so
+#: the first-common-element row both exists in the joined window and
+#: passes the positional filter. ADOPTED r11: interleaved R=30 A/B
+#: (Q199_CANDGEN_AB_r11 / BENCH_SCALING_r11 q199_candgen_experiment)
+#: measured 0.928x wall vs legacy (median 173.0s vs 186.4s, all three
+#: interleaved reps at or under legacy's best) with total spill
+#: unchanged — on this corpus the DISTINCT candidate set barely
+#: shrinks (most candidate pairs also collide inside the short
+#: window), so the win is the pre-distinct join fan-out, not the
+#: wide-row shuffle. Default ON.
+Q199_ASYM_PREFIX = True
+
+#: r11 arm B — narrow verify rows: shingle hashes are 32-bit values
+#: (shingle_h32) riding in array<bigint>; the verify join only needs
+#: intersection/union SIZES, so both sides map x -> (x - 2^31) cast
+#: to INT (a bijection — array_intersect cardinality is preserved
+#: exactly) before the arrays are attached to candidate pairs.
+#: UnsafeRow packs array elements at element width (unlike top-level
+#: fields), so every stage that pages the array-carrying verify rows
+#: through Tungsten memory halves its bytes/row. ADOPTED r11: the
+#: interleaved R=30 A/B measured a DETERMINISTIC 39.5% spill cut
+#: (53.34 GB per run, byte-identical across reps, vs legacy's
+#: ~88 GB) — the named r10 target was exactly this spill — at
+#: wall-clock parity (medians inside the family's +-30% dispersion
+#: envelope; the arm's best run, 132.7s, was the fastest of all 15).
+#: Default ON.
+Q199_INT_VERIFY = True
+
+#: r11 arm C — the surviving half of the refuted Q199_HASH_VERIFY:
+#: hint ONLY the second verify join as shuffle_hash with the
+#: one-row-per-doc sets_b as build side, so the array-carrying probe
+#: rows shuffle by doc_b but never SORT on the reduce side. The
+#: first join stays SMJ — r10's failure mode was building a hash map
+#: over the 104M-pair side; sets_b's build is bounded in rows (one
+#: per doc) though not in bytes (rows carry the arrays).
+#:
+#: REFUTED r11 (interleaved R=30 A/B, Q199_CANDGEN_AB_r11): wall
+#: 1.076x vs legacy and spill 0.994x — no win, because the per-stage
+#: attribution shows the reduce-side verify SORT does not spill on
+#: typical runs; the ~86 GB sits in the shuffle WRITE of the
+#: array-carrying rows (Tungsten page spill at ~830 B/row), which a
+#: hash join on the reduce side cannot remove. That write is what
+#: Q199_INT_VERIFY halves. Toggle stays for reproducibility; default
+#: OFF.
+Q199_HASH2_VERIFY = False
 
 
 def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,7 +1510,15 @@ def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode, skew-guarded self-join, array-intersect verify "
     "on candidates only); the per-doc rarest-first sort rides "
     "array_sort over a collected struct array — per-document "
-    "state, never a global order.",
+    "state, never a global order. r11 adds two adopted, "
+    "oracle-equality-pinned physical arms (Q199_CANDGEN_AB_r11): "
+    "asymmetric AllPairs prefixes (the smaller side of a pair only "
+    "joins through its n - ceil(2t/(1+t)*n) + 1 shortest prefix — "
+    "0.928x wall at R=30) and int-narrowed verify arrays (32-bit "
+    "shingle hashes ride as 4-byte ints through the verify joins — "
+    "a deterministic 39.5% spill cut on the array-carrying shuffle, "
+    "the stage the r10/r11 per-stage attributions name as the "
+    "operator's dominant memory cost).",
 )
 def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = fragment(
@@ -1473,11 +1556,32 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = 1 + F.least(
         F.col("a.n") - 1 - F.col("a.pos"), F.col("b.n") - 1 - F.col("b.pos")
     )
+    pair_cond = (
+        (5 * F.col("a.n") >= 3 * F.col("b.n"))
+        & (5 * F.col("b.n") >= 3 * F.col("a.n"))
+        & (8 * ub >= 3 * (F.col("a.n") + F.col("b.n")))
+    )
+    if Q199_ASYM_PREFIX:
+        # the smaller side of a pair only needs its SHORT prefix
+        # (n - ceil(2t/(1+t)*n) + 1); the epsilon keeps float noise
+        # from over-rounding the ceil, which would shorten the prefix
+        # past the lossless bound (the safe direction is a longer one)
+        frac = 2 * PREFIX_JACCARD_MIN / (1 + PREFIX_JACCARD_MIN)
+
+        def _slen(nc):
+            return nc - F.ceil(F.lit(frac) * nc - F.lit(1e-9)) + 1
+
+        pair_cond = pair_cond & F.when(
+            (F.col("a.n") < F.col("b.n"))
+            | (
+                (F.col("a.n") == F.col("b.n"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+            F.col("a.pos") < _slen(F.col("a.n")),
+        ).otherwise(F.col("b.pos") < _slen(F.col("b.n")))
     candidates = guarded_self_pairs(
         pref, ["psh"], "doc_id", probe_key=f"{sf_dir}:prefix_shingles",
-        pair_cond=(5 * F.col("a.n") >= 3 * F.col("b.n"))
-        & (5 * F.col("b.n") >= 3 * F.col("a.n"))
-        & (8 * ub >= 3 * (F.col("a.n") + F.col("b.n"))),
+        pair_cond=pair_cond,
     )
     if Q199_SEMI_PREFILTER:
         # materialize the (doc_a, doc_b) LONG pairs once so both
@@ -1489,11 +1593,20 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         sets = sets.join(cand_docs, "doc_id", "left_semi")
+    if Q199_INT_VERIFY:
+        # 32-bit hash values: (x - 2^31) cast to int is a bijection,
+        # so array_intersect/size are preserved exactly while the
+        # verify rows' array elements pack at 4 bytes instead of 8
+        sh_verify = F.transform(
+            "shingles", lambda x: (x - F.lit(2147483648)).cast("int")
+        )
+    else:
+        sh_verify = F.col("shingles")
     sets_a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("doc_a"), sh_verify.alias("sh_a")
     )
     sets_b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("doc_b"), sh_verify.alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1511,9 +1624,13 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .orderBy("doc_a", "doc_b")
         )
+    # arm C: build the second join's hash map from the one-row-per-doc
+    # sets_b so the array-carrying probe rows shuffle but never sort;
+    # the first join stays SMJ (its sorted side is the compact pairs)
+    sets_b2 = sets_b.hint("shuffle_hash") if Q199_HASH2_VERIFY else sets_b
     return (
         candidates.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        .join(sets_b2, "doc_b")
         .filter(jac >= PREFIX_JACCARD_MIN)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")

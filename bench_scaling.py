@@ -53,6 +53,12 @@ SELF_PAIR_BUCKET_CAP=256, ~0.6M candidate pairs). q42 is timed on it so
 just semantics-checked at n=1000 (tests/test_skew.py).
 
 Usage:  python bench_scaling.py [round_number]
+        python bench_scaling.py --q199-ab [reps] [round_number]
+            standalone interleaved A/B of the r11 q199 candidate/verify
+            arms at R=SPARK_GRAFT_SCALE_R2; writes
+            Q199_CANDGEN_AB_r{N}.json, which the main run merges into
+            BENCH_SCALING_r{N}.json if present (so the long arm
+            adjudication and the decade sweep can run as two sittings)
 Env:    SPARK_GRAFT_SCALE_SRC (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR (default /tmp/scaledata)
 """
@@ -82,6 +88,23 @@ from astarte_data_updater_plant_spark.plans.registry import queries_map
 from astarte_data_updater_plant_spark.session import get_spark
 
 RUNS = 2
+
+#: VERDICT r10 ask #3: the dedup candidate family's cold wall clocks
+#: disperse +-30% under memory pressure (q47_variance, r10), so a
+#: median of 2 moves with GC interleaving; every dedup-family point
+#: gets 4 timed runs at every scale so decade ratios ride 4 raw times
+DISPERSION_RUNS = 4
+DISPERSION_QUERIES = frozenset((
+    "q40_exact_dedup",
+    "q41_minhash_signatures",
+    "q42_lsh_near_dup_pairs",
+    "q43_simhash",
+    "q44_ngram_jaccard_pairs",
+    "q45_near_dup_components",
+    "q47_dedup_keep_best",
+    "q199_prefix_filter_jaccard",
+    "q204_containment_pairs",
+))
 
 #: the scale-sensitive families named by the r5 verdict: dedup ladder,
 #: two-phase global ranks, LSH/IVF ANN, one TPC-H star join
@@ -280,6 +303,37 @@ def _spill_bytes(spark) -> int | None:
         return None
 
 
+def _stage_stats(spark) -> dict[int, dict]:
+    """Per-stage shuffle/spill snapshot from the app status store,
+    keyed by stageId — diffing snapshots around one run isolates that
+    run's stages. Returns {} if the py4j surface moved."""
+    try:
+        gw = spark.sparkContext._gateway
+        store = spark.sparkContext._jsc.sc().statusStore()
+        sl = store.stageList(
+            gw.jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+        )
+        it = sl.iterator()
+        out: dict[int, dict] = {}
+        while it.hasNext():
+            s = it.next()
+            out[int(s.stageId())] = {
+                "tasks": int(s.numCompleteTasks()),
+                "spill_gb": round(
+                    (int(s.memoryBytesSpilled()) + int(s.diskBytesSpilled()))
+                    / 1e9,
+                    2,
+                ),
+                "shuf_write_gb": round(int(s.shuffleWriteBytes()) / 1e9, 2),
+                "write_recs_m": round(int(s.shuffleWriteRecords()) / 1e6, 1),
+                "read_recs_m": round(int(s.shuffleReadRecords()) / 1e6, 1),
+            }
+        return out
+    except Exception:
+        return {}
+
+
 def timed_runs(run, *, warmups: int = 1, runs: int = RUNS) -> dict:
     for _ in range(warmups):
         clear_fragments()
@@ -321,7 +375,108 @@ def ingest_point(spark, sf_dir: str) -> dict:
     return {"msgs": n, **m, "msgs_per_sec": round(n / m["sec"])}
 
 
+#: the r11 q199 candidate/verify arms (operators/dedup.py toggles):
+#: each arm isolated against the pre-r11 plan, plus the composed
+#: candidate default. Flag order matches (ASYM, INT, HASH2).
+Q199_ARMS = (
+    ("legacy", (False, False, False)),
+    ("asym", (True, False, False)),
+    ("int", (False, True, False)),
+    ("hash2", (False, False, True)),
+    ("combo", (True, True, True)),
+)
+
+
+def q199_ab(reps: int, rnd: str) -> None:
+    """Interleaved same-session A/B of the r11 q199 arms at R=r2.
+
+    Strict legacy,asym,int,hash2,combo x reps interleave in ONE
+    session so box drift hits every arm equally; per-run wall clock
+    AND spill delta (app status store) recorded. Parity of every arm
+    is pinned by tests/test_new_ops.py::test_q199_r11_arm_matrix — this
+    block adjudicates adopt-or-refute on wall + spill only, exactly
+    like r10's two (refuted) verify-side arms."""
+    from astarte_data_updater_plant_spark.operators import dedup as _dedup
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    r2 = int(os.environ.get("SPARK_GRAFT_SCALE_R2", "30"))
+    r2_dir = f"{root}/r{r2}"
+    spark = get_spark("q199_candgen_ab")
+    build_scaled(spark, src, r2_dir, r2)
+    qmap = queries_map()
+    flags = ("Q199_ASYM_PREFIX", "Q199_INT_VERIFY", "Q199_HASH2_VERIFY")
+    saved = {k: getattr(_dedup, k) for k in flags}
+    res: dict[str, dict] = {
+        arm: {"raw": [], "spill": []} for arm, _ in Q199_ARMS
+    }
+    try:
+        for rep in range(reps):
+            for arm, vals in Q199_ARMS:
+                for k, v in zip(flags, vals):
+                    setattr(_dedup, k, v)
+                clear_fragments()
+                clear_hot_key_cache()
+                s0 = _spill_bytes(spark)
+                t0 = time.perf_counter()
+                qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                res[arm]["raw"].append(round(time.perf_counter() - t0, 3))
+                s1 = _spill_bytes(spark)
+                res[arm]["spill"].append(
+                    None if s0 is None or s1 is None else s1 - s0
+                )
+                print(
+                    f"rep {rep} {arm}: {res[arm]['raw'][-1]}s "
+                    f"spill {res[arm]['spill'][-1]}",
+                    flush=True,
+                )
+    finally:
+        for k, v in saved.items():
+            setattr(_dedup, k, v)
+    out: dict = {
+        "r": r2,
+        "reps": reps,
+        "interleave": ",".join(a for a, _ in Q199_ARMS) + f" x{reps}",
+        "arms": {},
+    }
+    for arm, _ in Q199_ARMS:
+        raw, spill = res[arm]["raw"], res[arm]["spill"]
+        out["arms"][arm] = {
+            "raw": raw,
+            "median": round(statistics.median(raw), 3),
+            "best": min(raw),
+            "spill_per_run": spill,
+            "spill_median": (
+                None if None in spill else int(statistics.median(spill))
+            ),
+        }
+    base = out["arms"]["legacy"]
+    for arm, _ in Q199_ARMS[1:]:
+        out["arms"][arm]["ratio_vs_legacy"] = round(
+            out["arms"][arm]["median"] / base["median"], 3
+        )
+        if base["spill_median"] and out["arms"][arm]["spill_median"] is not None:
+            out["arms"][arm]["spill_ratio_vs_legacy"] = round(
+                out["arms"][arm]["spill_median"] / base["spill_median"], 3
+            )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"Q199_CANDGEN_AB_r{int(rnd):02d}.json"
+        if rnd.isdigit()
+        else "Q199_CANDGEN_AB.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--q199-ab":
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        q199_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
+        return
     rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
@@ -340,10 +495,9 @@ def main() -> None:
     for name in SCALE_QUERIES:
         row: dict = {}
         for label, d in (("r1", r1_dir), ("r10", r10_dir)):
-            # q42's r10 IQR was the curve's noisiest point in r6 (11s on
-            # a 32s median from 2 runs); 4 runs + raw times make the
-            # variance itself a recorded, attributable number
-            n_runs = 4 if name == "q42_lsh_near_dup_pairs" and label == "r10" else RUNS
+            # dedup-family dispersion: 4 runs at every scale (r10 ask
+            # #3); everything else keeps 2 — their spreads are tight
+            n_runs = DISPERSION_RUNS if name in DISPERSION_QUERIES else RUNS
 
             def one(q=qmap[name], d=d):
                 q(spark, d).write.format("noop").mode("overwrite").save()
@@ -370,19 +524,11 @@ def main() -> None:
 
         # warmups=0: codegen/class-load for these exact plans is already
         # paid by the r1/r10 passes above; every timed run is still cold
-        # (fragments + skew memo cleared). q199 gets the q42 variance
-        # methodology (4 runs + raw times): its R=30 spread was the
-        # largest on the r7 board (66s on a 260s median) and needs a
-        # named cause, not a 2-run guess (r7 verdict ask #5).
-        n2 = 4 if name == "q199_prefix_filter_jaccard" else RUNS
-        is_q199 = name == "q199_prefix_filter_jaccard"
-        spill0 = _spill_bytes(spark) if is_q199 else None
+        # (fragments + skew memo cleared). The whole decade2 set is
+        # dedup-family, so every point gets the 4-run dispersion
+        # methodology (r10 ask #3).
+        n2 = DISPERSION_RUNS if name in DISPERSION_QUERIES else RUNS
         m = timed_runs(one2, warmups=0, runs=n2)
-        if is_q199:
-            spill1 = _spill_bytes(spark)
-            q199_default_spill = (
-                None if spill0 is None or spill1 is None else spill1 - spill0
-            )
         d2 = {
             f"r{r2}_sec": m["sec"],
             f"r{r2}_spread": m["spread"],
@@ -403,112 +549,58 @@ def main() -> None:
         decade2[name] = d2
         print("decade2", name, d2, flush=True)
 
-    # --- q199 R=30 variance attribution (r7 verdict ask #5) ---
-    # Hypothesis A (partition sizing): the session's
-    # initialPartitionNum=cpus*8 was sized by the R=10 spill fix; at
-    # R=30 each shuffle partition is 3x bigger and may spill again —
-    # if tripling the initial count shrinks the median AND the spread,
-    # the cause is shuffle-spill. Hypothesis B (first-touch): raw runs
-    # show run 1 slow, runs 2+ tight (the q42 r7 pattern), and spill
-    # deltas stay ~0. The spill counter reads the app status store
-    # around each arm, so the verdict is evidence-backed either way.
-    from astarte_data_updater_plant_spark.session import default_parallelism
-
-    cpus = default_parallelism()
-    ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    # read back the live value instead of recomputing it, and restore
-    # under finally: an exception mid-arm otherwise leaves cpus*24
-    # active and silently contaminates every later block (ADVICE r8)
-    ipn_prev = spark.conf.get(ipn_key)
-    hi_raw, hi_spill = [], []
-    try:
-        spark.conf.set(ipn_key, str(cpus * 24))
-        for _ in range(4):
-            clear_fragments()
-            clear_hot_key_cache()
-            s0 = _spill_bytes(spark)
-            t0 = time.perf_counter()
-            qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            hi_raw.append(round(time.perf_counter() - t0, 3))
-            s1 = _spill_bytes(spark)
-            hi_spill.append(None if s0 is None or s1 is None else s1 - s0)
-    finally:
-        spark.conf.set(ipn_key, ipn_prev)
-    q199_var = {
-        "config_key": ipn_key,
-        "default": {
-            "initial_partitions": int(ipn_prev),
-            "r10_raw_context": queries["q199_prefix_filter_jaccard"]["r10_raw"],
-            "r30_raw": decade2["q199_prefix_filter_jaccard"][f"r{r2}_raw"],
-            "r30_median": decade2["q199_prefix_filter_jaccard"][f"r{r2}_sec"],
-            "r30_spread": decade2["q199_prefix_filter_jaccard"][f"r{r2}_spread"],
-            "r30_spill_bytes_4runs": q199_default_spill,
-        },
-        "high": {
-            "initial_partitions": cpus * 24,
-            "r30_raw": hi_raw,
-            "r30_median": round(statistics.median(hi_raw), 3),
-            "r30_spread": round(max(hi_raw) - min(hi_raw), 3),
-            "r30_spill_bytes_per_run": hi_spill,
-        },
-    }
-    print("q199_variance", q199_var, flush=True)
-
-    # --- q199 spill-slimming experiment (r8 ask #4 / r10 item #3) ---
-    # Interleaved A/B at R=r2: the default verify join (full sets
-    # shuffled into both array joins) vs the Q199_SEMI_PREFILTER arm
-    # (candidates localCheckpoint'd, sets semi-join-prefiltered to
-    # candidate docs so the array joins shuffle only surviving rows).
-    # Strict D,S,D,S interleave in ONE session so box drift hits both
-    # arms equally; spill bytes recorded per run per arm. Parity of the
-    # slim arm is pinned by test_q199_slim_arm_matches_oracle — this
-    # block decides adopt-or-refute on spill + wall clock only.
-    from astarte_data_updater_plant_spark.operators import dedup as _dedup
-
-    slim_ab: dict[str, list] = {
-        "default_raw": [], "slim_raw": [],
-        "default_spill": [], "slim_spill": [],
-    }
-    try:
-        for _rep in range(4):
-            for arm, flag in (("default", False), ("slim", True)):
-                _dedup.Q199_SEMI_PREFILTER = flag
-                clear_fragments()
-                clear_hot_key_cache()
-                s0 = _spill_bytes(spark)
-                t0 = time.perf_counter()
-                qmap["q199_prefix_filter_jaccard"](spark, r2_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                slim_ab[f"{arm}_raw"].append(round(time.perf_counter() - t0, 3))
-                s1 = _spill_bytes(spark)
-                slim_ab[f"{arm}_spill"].append(
-                    None if s0 is None or s1 is None else s1 - s0
-                )
-    finally:
-        _dedup.Q199_SEMI_PREFILTER = False
-    q199_slim = {
+    # --- q204 R=30 variance/growth attribution (VERDICT r10 ask #2):
+    # q204 is the only operator whose third-decade per-x exceeded 1 in
+    # r10 (1.17). Five fresh cold runs with per-run spill deltas split
+    # dispersion from real candidate growth: the q47 pattern (stable
+    # spill, +-30% wall swings, slow runs clustered at the block
+    # start) means memory-pressure dispersion; monotonically elevated
+    # spill or tight-but-slow runs would mean real growth in the
+    # candidate/verify volume. Candidate and output row counts at both
+    # decades are recorded alongside so the growth hypothesis is
+    # checkable directly: candidate volume scaling ~3x for 3x data is
+    # linear generation, ~9x is the quadratic pathology.
+    q204_raw, q204_spill = [], []
+    for _ in range(5):
+        clear_fragments()
+        clear_hot_key_cache()
+        s0 = _spill_bytes(spark)
+        t0 = time.perf_counter()
+        qmap["q204_containment_pairs"](spark, r2_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        q204_raw.append(round(time.perf_counter() - t0, 3))
+        s1 = _spill_bytes(spark)
+        q204_spill.append(None if s0 is None or s1 is None else s1 - s0)
+    # per-stage probe (one extra untimed cold run per decade): the
+    # candidate stage's shuffle-write RECORD count is the quantity
+    # that would grow superlinearly if the containment prefix filter
+    # were degrading — candidate rows ~3x for 3x data is linear
+    # generation, ~9x is the quadratic pathology. Top stages by spill
+    # and by written records are both kept.
+    q204_stages = {}
+    for lbl, dd in (("r10", r10_dir), (f"r{r2}", r2_dir)):
+        clear_fragments()
+        clear_hot_key_cache()
+        pre = _stage_stats(spark)
+        qmap["q204_containment_pairs"](spark, dd).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        post = _stage_stats(spark)
+        fresh = [v for k, v in post.items() if k not in pre]
+        fresh.sort(key=lambda v: (-v["spill_gb"], -v["write_recs_m"]))
+        q204_stages[lbl] = fresh[:6]
+    q204_var = {
         "r": r2,
-        "interleave": "default,slim x4",
-        **slim_ab,
-        "default_median": round(statistics.median(slim_ab["default_raw"]), 3),
-        "slim_median": round(statistics.median(slim_ab["slim_raw"]), 3),
-        "default_best": min(slim_ab["default_raw"]),
-        "slim_best": min(slim_ab["slim_raw"]),
+        "r30_raw": q204_raw,
+        "r30_median": round(statistics.median(q204_raw), 3),
+        "r30_spread": round(max(q204_raw) - min(q204_raw), 3),
+        "r30_spill_bytes_per_run": q204_spill,
+        "top_stages_by_decade": q204_stages,
+        "r30_decade2_context": decade2["q204_containment_pairs"],
     }
-    q199_slim["ratio_slim_over_default"] = round(
-        q199_slim["slim_median"] / q199_slim["default_median"], 3
-    )
-    if None not in slim_ab["default_spill"] + slim_ab["slim_spill"]:
-        q199_slim["default_spill_median"] = int(
-            statistics.median(slim_ab["default_spill"])
-        )
-        q199_slim["slim_spill_median"] = int(
-            statistics.median(slim_ab["slim_spill"])
-        )
-    print("q199_slim_experiment", q199_slim, flush=True)
+    print("q204_variance", q204_var, flush=True)
+
 
     # --- adversarial hot-bucket q42 at the SECOND decade (ask #6):
     # the salting guard's "bounded, never quadratic" claim measured
@@ -540,6 +632,49 @@ def main() -> None:
     }
     ing["ratio"] = round(ing["r10"]["sec"] / ing["r1"]["sec"], 2)
     print("ingest", ing, flush=True)
+
+    # --- third decade (VERDICT r10 ask #5): one cold R=100 point
+    # (60M-row lineitem equivalent, 500k docs) for the cheap half of
+    # the dedup family — q199/q204 at R=100 would spill past the local
+    # pool by construction — plus ingest. Three consecutive rounds of
+    # R=1/10/30 are in hand; R=100 anchors the 100 TB extrapolation a
+    # decade further out.
+    r3 = int(os.environ.get("SPARK_GRAFT_SCALE_R3", "100"))
+    r3_dir = f"{root}/r{r3}"
+    t0 = time.perf_counter()
+    build_scaled(spark, src, r3_dir, r3)
+    build3_sec = round(time.perf_counter() - t0, 3)
+    decade3: dict[str, dict] = {}
+    for name in ("q40_exact_dedup", "q41_minhash_signatures",
+                 "q42_lsh_near_dup_pairs", "q45_near_dup_components"):
+
+        def one3(q=qmap[name]):
+            q(spark, r3_dir).write.format("noop").mode("overwrite").save()
+
+        m = timed_runs(one3, warmups=0, runs=RUNS)
+        d3 = {
+            f"r{r3}_sec": m["sec"],
+            f"r{r3}_spread": m["spread"],
+            f"r{r3}_raw": m["raw"],
+            f"ratio_r{r3}_over_r10": round(
+                m["sec"] / queries[name]["r10_sec"], 2
+            ),
+            f"ratio_r{r3}_over_r10_per_x": round(
+                m["sec"] / queries[name]["r10_sec"] / (r3 / 10.0), 3
+            ),
+        }
+        if name in decade2:
+            d3[f"ratio_r{r3}_over_r{r2}_per_x"] = round(
+                m["sec"] / decade2[name][f"r{r2}_sec"] / (r3 / r2), 3
+            )
+        decade3[name] = d3
+        print("decade3", name, d3, flush=True)
+    ing3 = ingest_point(spark, r3_dir)
+    ing3["ratio_over_r10_per_x"] = round(
+        ing3["sec"] / ing["r10"]["sec"] / (r3 / 10.0), 3
+    )
+    decade3["ingest"] = ing3
+    print("decade3 ingest", ing3, flush=True)
 
     def q42_hot(d=hot_dir):
         qmap["q42_lsh_near_dup_pairs"](spark, d).write.format("noop").mode(
@@ -595,13 +730,22 @@ def main() -> None:
         "decade2_r": r2,
         "decade2_build_sec": build2_sec,
         "decade2": decade2,
-        "q199_variance": q199_var,
-        "q199_slim_experiment": q199_slim,
+        "q204_variance": q204_var,
         "adversarial_q42_decade2": adversarial2,
         "ingest": ing,
+        "decade3_r": r3,
+        "decade3_build_sec": build3_sec,
+        "decade3": decade3,
         "adversarial_q42": adversarial,
         **adversarial_pp,
     }
+    # merge the standalone q199 arm adjudication if it ran this round
+    ab_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"Q199_CANDGEN_AB_r{int(rnd):02d}.json" if rnd.isdigit() else "",
+    )
+    if ab_path and os.path.exists(ab_path):
+        out["q199_candgen_experiment"] = json.load(open(ab_path))
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_SCALING_r{int(rnd):02d}.json" if rnd.isdigit() else "BENCH_SCALING.json",

@@ -46,20 +46,34 @@ def run(argv: list[str], env: dict | None = None) -> None:
 def main() -> None:
     if len(sys.argv) < 2 or not sys.argv[1].isdigit():
         raise SystemExit(__doc__)
-    rnd = int(sys.argv[1])
+    # one padded round string everywhere: a single-digit round used to
+    # produce BENCH_PREVIEW_r09.json next to PARITY_FULL_r9.json,
+    # breaking the PARITY_FULL_r05..r08 zero-padded convention
+    # (ADVICE r10)
+    rnd = f"{int(sys.argv[1]):02d}"
     skip_bench = "--skip-bench" in sys.argv
     skip_parity = "--skip-parity" in sys.argv
-    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # a dedicated env var for the sf0.1 parity dir: SPARK_GRAFT_SF_DIR
+    # also selects bench.py's scale, so reusing it here could stamp a
+    # PARITY_FULL_r{N}sf01.json artifact measured at some OTHER scale
+    # (ADVICE r10)
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    if os.path.basename(sf01_dir.rstrip("/")) != "sf0.1":
+        print(
+            f"WARNING: sf01 parity dir is {sf01_dir} — the "
+            "PARITY_FULL_r{N}sf01.json artifact name claims sf0.1",
+            flush=True,
+        )
 
     if not skip_bench:
         run([sys.executable, "bench.py"])
         shutil.copy(
             os.path.join(REPO, "BENCH_PREVIEW.json"),
-            os.path.join(REPO, f"BENCH_PREVIEW_r{rnd:02d}.json"),
+            os.path.join(REPO, f"BENCH_PREVIEW_r{rnd}.json"),
         )
 
     if not skip_parity:
-        run([sys.executable, "parity_full.py", str(rnd)])
+        run([sys.executable, "parity_full.py", rnd])
         run(
             [sys.executable, "parity_full.py", f"{rnd}sf01", sf01_dir],
             env={"PARITY_CLEAR_EACH": "1"},
@@ -67,7 +81,7 @@ def main() -> None:
 
     print("\n=== round-close summary ===")
     arts = [
-        f"BENCH_PREVIEW_r{rnd:02d}.json",
+        f"BENCH_PREVIEW_r{rnd}.json",
         f"PARITY_FULL_r{rnd}.json",
         f"PARITY_FULL_r{rnd}sf01.json",
         f"TYPE_AUDIT_r{rnd}.json",

@@ -106,6 +106,49 @@ def test_q199_hash_verify_matches_oracle(spark, degen_docs_dir):
         dedup.Q199_HASH_VERIFY = False
 
 
+@pytest.mark.parametrize(
+    "flags",
+    [
+        # the pre-r11 plan (all three adopted arms off) must stay
+        # result-identical — the toggles are physical-only
+        {"Q199_ASYM_PREFIX": False, "Q199_INT_VERIFY": False,
+         "Q199_HASH2_VERIFY": False},
+        # each arm isolated against the other two off
+        {"Q199_ASYM_PREFIX": True, "Q199_INT_VERIFY": False,
+         "Q199_HASH2_VERIFY": False},
+        {"Q199_ASYM_PREFIX": False, "Q199_INT_VERIFY": True,
+         "Q199_HASH2_VERIFY": False},
+        {"Q199_ASYM_PREFIX": False, "Q199_INT_VERIFY": False,
+         "Q199_HASH2_VERIFY": True},
+    ],
+    ids=["legacy", "asym", "int", "hash2"],
+)
+def test_q199_r11_arm_matrix_matches_oracle(spark, flags, degen_docs_dir):
+    """The r11 candidate/verify arms — asymmetric AllPairs prefix
+    (adopted), int-narrowed verify arrays (adopted), sets_b-build
+    shuffle_hash on the second verify join (refuted, default off) —
+    must each be result-identical whatever the adoption outcome; this
+    matrix pins every arm and the legacy all-off plan on both the
+    shared sf0.001 corpus and the degenerate corpus. ASYM is
+    the only arm that changes the candidate SET (it drops pairs whose
+    only shared prefix elements sit past the smaller side's short
+    prefix — lossless for J >= t by the prefix lemma), so oracle
+    equality here is its zero-recall-loss proof at test scale."""
+    from astarte_data_updater_plant_spark.operators import dedup
+
+    spec = QUERIES["q199_prefix_filter_jaccard"]
+    saved = {k: getattr(dedup, k) for k in flags}
+    for k, v in flags.items():
+        setattr(dedup, k, v)
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"{flags} @ {d}: {msg}"
+    finally:
+        for k, v in saved.items():
+            setattr(dedup, k, v)
+
+
 def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
     rows = queries_map()["q199_prefix_filter_jaccard"](
         spark, degen_docs_dir
