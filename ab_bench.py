@@ -33,7 +33,7 @@ interleaved A/B on the two trees isolates code from box drift.
 
 Usage:
   python ab_bench.py <labelA>=<treeA> <labelB>=<treeB> [reps] [out.json] [probes]
-    probes: comma list from {main, corpus}; default main
+    probes: comma list from {main, corpus, heavy}; default main
   python ab_bench.py --probe <tree> [kind]   # internal, one subprocess
 """
 
@@ -137,6 +137,35 @@ def probe_corpus(tree: str) -> None:
     print("PROBE_JSON " + json.dumps(out))
 
 
+def probe_heavy(tree: str) -> None:
+    """bench.py's HEAVY methodology for the two borderline r11 entries
+    (q47 +6.0%, q204 +5.8% preview-to-preview, both code-unchanged):
+    fragments AND the skew hot-key memo cleared before every run —
+    strictly colder than the corpus probe, matching the series the
+    heavy best-of bar is defined over (BASELINE.md r11 declaration).
+    Folded into the corpus adjudication session per VERDICT r11 ask #1."""
+    sys.path.insert(0, tree)
+    from astarte_data_updater_plant_spark.functions.skew import clear_hot_key_cache
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+    from astarte_data_updater_plant_spark.plans.registry import queries_map
+    from astarte_data_updater_plant_spark.session import get_spark
+
+    spark = get_spark("ab_probe_heavy")
+    qmap = queries_map()
+    out: dict = {"tree": tree}
+    for name, key in (
+        ("q47_dedup_keep_best", "heavy_q47"),
+        ("q204_containment_pairs", "heavy_q204"),
+    ):
+        def one(q=qmap[name]):
+            clear_fragments()
+            clear_hot_key_cache()
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        out[key] = _measure(one)
+    print("PROBE_JSON " + json.dumps(out))
+
+
 #: THE probe-kind registry: kind -> (probe entrypoint, summary specs
 #: as (summary_key, family, value_key) triples). main() validates
 #: requested kinds against it and the --probe dispatcher resolves
@@ -159,6 +188,15 @@ PROBES = {
             ("corpus_sec", "corpus", "sec"),
             ("corpus_sec_best", "corpus", "best"),
             ("corpus_docs_per_sec", "corpus", "docs_per_sec"),
+        ),
+    ),
+    "heavy": (
+        probe_heavy,
+        (
+            ("heavy_q47_sec", "heavy_q47", "sec"),
+            ("heavy_q47_sec_best", "heavy_q47", "best"),
+            ("heavy_q204_sec", "heavy_q204", "sec"),
+            ("heavy_q204_sec_best", "heavy_q204", "best"),
         ),
     ),
 }

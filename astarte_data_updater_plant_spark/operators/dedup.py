@@ -290,6 +290,26 @@ _NEAR_DUP_CTES_SQL = f"""
 """
 
 
+#: r12 arm (VERDICT r11 ask #3 — attack the components/election family
+#: q45/q47, whose R=30 cost is dominated by the shared q42 pair
+#: pipeline: decade2 r30 medians q42 72.3s vs q45 85.4s vs q47 98.3s,
+#: and r10's q47_variance probe attributed the family's dispersion to
+#: a stable ~41 GB/run spill): ride the q199 INT trick through q42's
+#: verify joins. Shingle hashes are 32-bit values in array<bigint>;
+#: the verify only needs intersection/union SIZES, so both sides map
+#: x -> (x - 2^31) cast to INT — a bijection, so array_intersect
+#: cardinality (hence jaccard, hence the pair set, hence q45's
+#: components and q47's election) is preserved exactly. UnsafeRow
+#: packs array elements at element width, so the array-carrying
+#: verify rows halve their in-flight bytes, the same mechanism the
+#: r11 q199 A/B measured as a deterministic 39.5% spill cut.
+#: Adjudication: interleaved R=30 A/B on q47 end-to-end
+#: (Q45_COMPONENTS_AB_r12.json); default False until it reports.
+#: Parity of both arm settings is pinned by
+#: tests/test_new_ops.py::test_q42_q45_q47_int_arm_matrix.
+Q42_INT_VERIFY = False
+
+
 @register(
     "q42_lsh_near_dup_pairs",
     f"""
@@ -339,8 +359,18 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect them as arrays — candidate count is tiny relative to
     # the corpus, so carrying the arrays through two keyed joins beats
     # re-exploding the whole shingle stream
-    sets_a = sa.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sets_b = sa.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    if Q42_INT_VERIFY:
+        # 32-bit hash values: (x - 2^31) cast to int is a bijection,
+        # so array_intersect/size (hence jaccard) are preserved
+        # exactly while the verify rows' array elements pack at 4
+        # bytes instead of 8 (see the toggle doc above)
+        sh_verify = F.transform(
+            "shingles", lambda x: (x - F.lit(2147483648)).cast("int")
+        )
+    else:
+        sh_verify = F.col("shingles")
+    sets_a = sa.select(F.col("doc_id").alias("doc_a"), sh_verify.alias("sh_a"))
+    sets_b = sa.select(F.col("doc_id").alias("doc_b"), sh_verify.alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
@@ -492,6 +522,17 @@ _COMPONENT_CTES_SQL = """
 """
 
 
+#: per-build attribution log for q45's iterative label propagation
+#: (VERDICT r11 ask #3): (stage, seconds, changed_count) appended per
+#: driver-side action inside ``_labels`` — "pairs_and_seed" covers the
+#: whole q42 pair pipeline + edge/seed materialization, then one row
+#: per propagate+jump round. Driver-side list, bounded by the 32-round
+#: safety cap; read by bench_scaling's --q45-ab attribution block.
+#: Only populated on a COLD build (the converged label table is a
+#: pinned fragment, so warm consumers never re-enter the loop).
+Q45_ITER_STATS: list[tuple] = []
+
+
 @register(
     "q45_near_dup_components",
     f"""
@@ -516,6 +557,10 @@ _COMPONENT_CTES_SQL = """
 )
 def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _labels() -> DataFrame:
+        import time as _time
+
+        Q45_ITER_STATS.clear()
+        t_pairs0 = _time.perf_counter()
         pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
         edges = (
             pairs.union(pairs.select("doc_b", "doc_a"))
@@ -528,7 +573,13 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("label", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(32):  # safety bound far above log2(corpus)
+        # the seed checkpoint is the first ACTION: everything timed
+        # into it is the q42 pair pipeline + edge materialization
+        Q45_ITER_STATS.append(
+            ("pairs_and_seed", round(_time.perf_counter() - t_pairs0, 3), None)
+        )
+        for _it in range(32):  # safety bound far above log2(corpus)
+            t_it0 = _time.perf_counter()
             # propagate: every vertex takes the min label over itself and
             # its neighbors — one keyed equi-join + partial/final min agg
             nbr = (
@@ -561,6 +612,9 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count()
             )
             labels = jumped
+            Q45_ITER_STATS.append(
+                (f"iter_{_it}", round(_time.perf_counter() - t_it0, 3), changed)
+            )
             if changed == 0:
                 break
         return labels
@@ -1399,8 +1453,9 @@ Q199_HASH_VERIFY = False
 #: the first-common-element row both exists in the joined window and
 #: passes the positional filter. ADOPTED r11: interleaved R=30 A/B
 #: (Q199_CANDGEN_AB_r11 / BENCH_SCALING_r11 q199_candgen_experiment)
-#: measured 0.928x wall vs legacy (median 173.0s vs 186.4s, all three
-#: interleaved reps at or under legacy's best) with total spill
+#: measured 0.928x wall vs legacy (median 173.0s vs 186.4s; two of
+#: the three interleaved reps beat legacy's best run — ADVICE r11
+#: corrected an earlier over-claim here) with total spill
 #: unchanged — on this corpus the DISTINCT candidate set barely
 #: shrinks (most candidate pairs also collide inside the short
 #: window), so the win is the pre-distinct join fan-out, not the
@@ -1440,6 +1495,30 @@ Q199_INT_VERIFY = True
 #: Q199_INT_VERIFY halves. Toggle stays for reproducibility; default
 #: OFF.
 Q199_HASH2_VERIFY = False
+
+#: r12 arm D — the last untried lossless verify shape (VERDICT r11 ask
+#: #5): ARRAY-FREE verify. Instead of attaching both shingle ARRAYS to
+#: every candidate pair (the 53.3 GB/run residual spill lives in the
+#: shuffle WRITE of those array-carrying rows), count the intersection
+#: from the exploded inverted index: candidates (two LONGs) join the
+#: (doc, shingle) stream on doc_a, the result joins the same stream on
+#: (doc_b, shingle), and a groupBy(doc_a, doc_b) COUNT is the exact
+#: n_shared — only long-rows ever shuffle, no arrays in flight.
+#: Set sizes ride the exploded stream (n_sh), so union size needs no
+#: further join. Pairs with zero common shingles drop out of the inner
+#: joins, which is output-identical (they cannot pass t = 0.6).
+#: The a-priori arithmetic is against it — the first join's output is
+#: candidate_pairs x avg|A| rows (~5.4e9 at R=30: 104M pairs x ~52
+#: shingles/doc) shuffled by (doc_b, shingle), ~130 GB of 24-byte rows
+#: vs the array plan's ~104M 400-byte rows — but the array plan's rows
+#: page through Tungsten at ~5x their compressed width while the long
+#: rows stay flat, so the probe decides.
+#: Adjudication: interleaved probe (Q199_INDEX_AB_r12.json), escalated
+#: to the full R=30 protocol only if the small-scale probe is
+#: competitive. Parity of the arm is pinned by
+#: tests/test_new_ops.py::test_q199_index_verify_matches_oracle.
+#: Default OFF until the probe reports.
+Q199_INDEX_VERIFY = False
 
 
 def _ordered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,6 +1672,43 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         sets = sets.join(cand_docs, "doc_id", "left_semi")
+    if Q199_INDEX_VERIFY:
+        # arm D — array-free verify from the exploded inverted index
+        # (see toggle doc): only long-rows shuffle, n_shared is a
+        # groupBy COUNT over (candidate ⨝ index ⨝ index) collisions
+        flat = fragment(
+            spark, sf_dir, "doc_shingles_flat",
+            lambda: _doc_shingles(spark, sf_dir),
+        )
+        sa_flat = flat.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingle").alias("sh"),
+            F.col("n_sh").alias("na"),
+        )
+        sb_flat = flat.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingle").alias("sh"),
+            F.col("n_sh").alias("nb"),
+        )
+        shared = (
+            candidates.join(sa_flat, "doc_a")
+            .join(sb_flat, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared"),
+                # set sizes are constant per doc — min is just a pick
+                F.min("na").alias("na"),
+                F.min("nb").alias("nb"),
+            )
+        )
+        jac_idx = F.col("n_shared").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_shared")
+        )
+        return (
+            shared.filter(jac_idx >= PREFIX_JACCARD_MIN)
+            .select("doc_a", "doc_b", jac_idx.alias("jaccard"))
+            .orderBy("doc_a", "doc_b")
+        )
     if Q199_INT_VERIFY:
         # 32-bit hash values: (x - 2^31) cast to int is a bijection,
         # so array_intersect/size are preserved exactly while the

@@ -59,6 +59,19 @@ Usage:  python bench_scaling.py [round_number]
             Q199_CANDGEN_AB_r{N}.json, which the main run merges into
             BENCH_SCALING_r{N}.json if present (so the long arm
             adjudication and the decade sweep can run as two sittings)
+        python bench_scaling.py --q45-ab [reps] [round_number]
+            r12: q45/q47 per-stage + per-iteration attribution at R=30,
+            then strict legacy/int interleave of the Q42_INT_VERIFY arm
+            on q47; writes Q45_COMPONENTS_AB_r{N}.json and merges into
+            the round artifact
+        python bench_scaling.py --q199-index-ab [reps] [round_number]
+            r12: the last q199 arm (array-free verify) vs the shipped
+            default, interleaved at R=SPARK_GRAFT_Q199_PROBE_R
+            (default 10); writes Q199_INDEX_AB_r{N}.json + merge
+        python bench_scaling.py --decade3-fresh [round_number]
+            r12: the whole heavy family + ingest at R=10/30/100, ONE
+            FRESH SUBPROCESS PER QUERY (zero in-session pollution);
+            merges 'decade3_fresh' into the round artifact
 Env:    SPARK_GRAFT_SCALE_SRC (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR (default /tmp/scaledata)
 """
@@ -384,13 +397,18 @@ Q199_ARMS = (
     ("int", (False, True, False)),
     ("hash2", (False, False, True)),
     ("combo", (True, True, True)),
+    # the SHIPPED default (ASYM + INT, HASH2 off) — present so the
+    # adjudicated configuration is reproducible from this committed
+    # tuple, not only from the ad-hoc confirmation session that
+    # produced Q199_CANDGEN_AB_r11's 'adopted' arm (ADVICE r11)
+    ("adopted", (True, True, False)),
 )
 
 
 def q199_ab(reps: int, rnd: str) -> None:
     """Interleaved same-session A/B of the r11 q199 arms at R=r2.
 
-    Strict legacy,asym,int,hash2,combo x reps interleave in ONE
+    Strict Q199_ARMS-order x reps interleave in ONE
     session so box drift hits every arm equally; per-run wall clock
     AND spill delta (app status store) recorded. Parity of every arm
     is pinned by tests/test_new_ops.py::test_q199_r11_arm_matrix — this
@@ -472,7 +490,361 @@ def q199_ab(reps: int, rnd: str) -> None:
     print(json.dumps(out))
 
 
+def _round_artifact_path(rnd: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_SCALING_r{int(rnd):02d}.json"
+        if rnd.isdigit()
+        else "BENCH_SCALING.json",
+    )
+
+
+def _merge_round_artifact(rnd: str, key: str, value) -> None:
+    """Fold one experiment block into the round's BENCH_SCALING
+    artifact, creating it if the full sweep hasn't run this round —
+    the targeted r12 modes (q45 arm A/B, q199 index probe, fresh
+    decade3) each land under their own key so the round artifact is
+    assembled incrementally instead of requiring one multi-hour
+    sitting."""
+    path = _round_artifact_path(rnd)
+    data: dict = {}
+    if os.path.isfile(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    else:
+        data = {
+            "metric": "scaling_experiments",
+            "unit": "mixed",
+            "note": (
+                "assembled from targeted single-experiment sittings; "
+                "the r1/r10 sweep context is BENCH_SCALING_r11.json"
+            ),
+        }
+    data[key] = value
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+
+
+#: the r12 q45/q47 arm (operators/dedup.py Q42_INT_VERIFY): ride the
+#: q199 INT bijection through q42's verify joins, attacking the
+#: components/election family's dominant shared stage
+Q45_ARMS = (("legacy", False), ("int", True))
+
+
+def q45_ab(reps: int, rnd: str) -> None:
+    """VERDICT r11 ask #3: per-stage attribution of q45/q47 at R=30,
+    then ONE named arm (Q42_INT_VERIFY) adjudicated by a strict
+    interleaved same-session A/B on q47 end-to-end.
+
+    Attribution pass: one cold run each of q45 and q47 with (a) the
+    per-stage shuffle/spill diff from the app status store and (b)
+    dedup.Q45_ITER_STATS — the driver-side per-round log of the label
+    propagation loop ("pairs_and_seed" = the whole q42 pair pipeline +
+    edge/seed materialization, then one row per propagate+jump round)
+    — so the spill-vs-compute and which-iteration questions are
+    answered by measurement, not plan reading.
+
+    A/B pass: legacy/int x reps strict interleave, q47 cold per run,
+    wall + spill delta per run — the same adjudication protocol as the
+    r11 q199 arms. Parity of both settings is pinned by
+    tests/test_new_ops.py::test_q42_q45_q47_int_arm_matrix."""
+    from astarte_data_updater_plant_spark.operators import dedup as _dedup
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    r2 = int(os.environ.get("SPARK_GRAFT_SCALE_R2", "30"))
+    r2_dir = f"{root}/r{r2}"
+    spark = get_spark("q45_components_ab")
+    build_scaled(spark, src, r2_dir, r2)
+    qmap = queries_map()
+
+    attribution: dict[str, dict] = {}
+    for lbl, qname in (
+        ("q45", "q45_near_dup_components"),
+        ("q47", "q47_dedup_keep_best"),
+    ):
+        clear_fragments()
+        clear_hot_key_cache()
+        pre = _stage_stats(spark)
+        s0 = _spill_bytes(spark)
+        t0 = time.perf_counter()
+        qmap[qname](spark, r2_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = round(time.perf_counter() - t0, 3)
+        s1 = _spill_bytes(spark)
+        post = _stage_stats(spark)
+        fresh = [v for k, v in post.items() if k not in pre]
+        fresh.sort(key=lambda v: (-v["spill_gb"], -v["write_recs_m"]))
+        attribution[lbl] = {
+            "sec": sec,
+            "spill_bytes": None if s0 is None or s1 is None else s1 - s0,
+            "iter_stats": [
+                {"stage": s, "sec": t, "changed": c}
+                for s, t, c in _dedup.Q45_ITER_STATS
+            ],
+            "top_stages": fresh[:8],
+        }
+        print("attribution", lbl, json.dumps(attribution[lbl]), flush=True)
+
+    res: dict[str, dict] = {a: {"raw": [], "spill": []} for a, _ in Q45_ARMS}
+    saved = _dedup.Q42_INT_VERIFY
+    try:
+        for rep in range(reps):
+            for arm, val in Q45_ARMS:
+                _dedup.Q42_INT_VERIFY = val
+                clear_fragments()
+                clear_hot_key_cache()
+                s0 = _spill_bytes(spark)
+                t0 = time.perf_counter()
+                qmap["q47_dedup_keep_best"](spark, r2_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                res[arm]["raw"].append(round(time.perf_counter() - t0, 3))
+                s1 = _spill_bytes(spark)
+                res[arm]["spill"].append(
+                    None if s0 is None or s1 is None else s1 - s0
+                )
+                print(
+                    f"rep {rep} {arm}: {res[arm]['raw'][-1]}s "
+                    f"spill {res[arm]['spill'][-1]}",
+                    flush=True,
+                )
+    finally:
+        _dedup.Q42_INT_VERIFY = saved
+    out: dict = {
+        "r": r2,
+        "reps": reps,
+        "measured_query": "q47_dedup_keep_best",
+        "interleave": ",".join(a for a, _ in Q45_ARMS) + f" x{reps}",
+        "attribution": attribution,
+        "arms": {},
+    }
+    for arm, _ in Q45_ARMS:
+        raw, spill = res[arm]["raw"], res[arm]["spill"]
+        out["arms"][arm] = {
+            "raw": raw,
+            "median": round(statistics.median(raw), 3),
+            "best": min(raw),
+            "spill_per_run": spill,
+            "spill_median": (
+                None if None in spill else int(statistics.median(spill))
+            ),
+        }
+    base = out["arms"]["legacy"]
+    for arm, _ in Q45_ARMS[1:]:
+        out["arms"][arm]["ratio_vs_legacy"] = round(
+            out["arms"][arm]["median"] / base["median"], 3
+        )
+        if base["spill_median"] and out["arms"][arm]["spill_median"] is not None:
+            out["arms"][arm]["spill_ratio_vs_legacy"] = round(
+                out["arms"][arm]["spill_median"] / base["spill_median"], 3
+            )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"Q45_COMPONENTS_AB_r{int(rnd):02d}.json"
+        if rnd.isdigit()
+        else "Q45_COMPONENTS_AB.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    _merge_round_artifact(rnd, "q45_components_experiment", out)
+    print(json.dumps(out))
+
+
+def q199_index_ab(reps: int, rnd: str) -> None:
+    """VERDICT r11 ask #5, the last q199 arm: array-free verify
+    (Q199_INDEX_VERIFY) vs the shipped adopted default, strict
+    interleave in one session at R=SPARK_GRAFT_Q199_PROBE_R (default
+    10 — a deliberate small-scale probe first, because the row
+    arithmetic predicts candidate_pairs x avg|doc| exploded rows; the
+    R=30 protocol is only worth its ~2h if the probe is competitive).
+    Wall + spill per run; parity pinned by
+    tests/test_new_ops.py::test_q199_index_verify_matches_oracle."""
+    from astarte_data_updater_plant_spark.operators import dedup as _dedup
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    r = int(os.environ.get("SPARK_GRAFT_Q199_PROBE_R", "10"))
+    r_dir = f"{root}/r{r}"
+    spark = get_spark("q199_index_ab")
+    build_scaled(spark, src, r_dir, r)
+    qmap = queries_map()
+    arms = (("adopted", False), ("index", True))
+    res: dict[str, dict] = {a: {"raw": [], "spill": []} for a, _ in arms}
+    saved = _dedup.Q199_INDEX_VERIFY
+    try:
+        for rep in range(reps):
+            for arm, val in arms:
+                _dedup.Q199_INDEX_VERIFY = val
+                clear_fragments()
+                clear_hot_key_cache()
+                s0 = _spill_bytes(spark)
+                t0 = time.perf_counter()
+                qmap["q199_prefix_filter_jaccard"](spark, r_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                res[arm]["raw"].append(round(time.perf_counter() - t0, 3))
+                s1 = _spill_bytes(spark)
+                res[arm]["spill"].append(
+                    None if s0 is None or s1 is None else s1 - s0
+                )
+                print(
+                    f"rep {rep} {arm}: {res[arm]['raw'][-1]}s "
+                    f"spill {res[arm]['spill'][-1]}",
+                    flush=True,
+                )
+    finally:
+        _dedup.Q199_INDEX_VERIFY = saved
+    out: dict = {
+        "r": r,
+        "reps": reps,
+        "interleave": ",".join(a for a, _ in arms) + f" x{reps}",
+        "arms": {},
+    }
+    for arm, _ in arms:
+        raw, spill = res[arm]["raw"], res[arm]["spill"]
+        out["arms"][arm] = {
+            "raw": raw,
+            "median": round(statistics.median(raw), 3),
+            "best": min(raw),
+            "spill_per_run": spill,
+            "spill_median": (
+                None if None in spill else int(statistics.median(spill))
+            ),
+        }
+    base = out["arms"]["adopted"]
+    out["arms"]["index"]["ratio_vs_adopted"] = round(
+        out["arms"]["index"]["median"] / base["median"], 3
+    )
+    if base["spill_median"] and out["arms"]["index"]["spill_median"] is not None:
+        out["arms"]["index"]["spill_ratio_vs_adopted"] = round(
+            out["arms"]["index"]["spill_median"] / base["spill_median"], 3
+        )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"Q199_INDEX_AB_r{int(rnd):02d}.json"
+        if rnd.isdigit()
+        else "Q199_INDEX_AB.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    _merge_round_artifact(rnd, "q199_index_probe", out)
+    print(json.dumps(out))
+
+
+#: fresh-process decade sweep set (VERDICT r11 ask #2): the full heavy
+#: dedup family + ingest, each measured in its OWN subprocess at
+#: R=10/30/100 so the per-x ratios carry zero in-session pollution
+#: (the r11 q41 recheck measured ~4x pollution from a 2h session tail)
+DECADE3_FRESH_QUERIES = (
+    "q40_exact_dedup",
+    "q41_minhash_signatures",
+    "q42_lsh_near_dup_pairs",
+    "q45_near_dup_components",
+    "q47_dedup_keep_best",
+    "q199_prefix_filter_jaccard",
+    "q204_containment_pairs",
+    "ingest",
+)
+
+
+def decade3_point(name: str, scales: str) -> None:
+    """Child mode: ONE query (or 'ingest'), each scale cold, in this
+    fresh process. Prints a PROBE_JSON line for the parent."""
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    spark = get_spark(f"decade3_{name}")
+    qmap = queries_map()
+    out: dict = {"name": name, "scales": {}}
+    for r in (int(x) for x in scales.split(",")):
+        r_dir = f"{root}/r{r}"
+        build_scaled(spark, src, r_dir, r)
+        if name == "ingest":
+            out["scales"][f"r{r}"] = ingest_point(spark, r_dir)
+        else:
+            def one(q=qmap[name], d=r_dir):
+                q(spark, d).write.format("noop").mode("overwrite").save()
+
+            # warmups=0 matches the in-session decade3 methodology;
+            # a fresh process IS the cold condition under test
+            out["scales"][f"r{r}"] = timed_runs(one, warmups=0, runs=RUNS)
+        print(f"{name} r{r}: {out['scales'][f'r{r}']}", flush=True)
+    print("PROBE_JSON " + json.dumps(out))
+
+
+def decade3_fresh(rnd: str) -> None:
+    """Parent mode: one subprocess per query (the q41_r100_recheck
+    methodology that refuted r11's false 3.9 per-x), R=10/30/100 each,
+    2 raw times per point, per-x ratios computed WITHIN each fresh
+    process's own scale points."""
+    import subprocess
+
+    scales = os.environ.get("SPARK_GRAFT_DECADE_SCALES", "10,30,100")
+    rs = [int(x) for x in scales.split(",")]
+    result: dict[str, dict] = {}
+    for name in DECADE3_FRESH_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--decade3-point", name, scales],
+                capture_output=True, text=True, timeout=5400, check=True,
+            )
+            line = [
+                l for l in r.stdout.splitlines() if l.startswith("PROBE_JSON ")
+            ][-1]
+            d = json.loads(line[len("PROBE_JSON "):])["scales"]
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            # an R=100 point that exceeds the local pool/disk is a
+            # finding, not a silent hole — record it honestly
+            tail = (getattr(e, "stderr", "") or "")[-800:]
+            result[name] = {"err": type(e).__name__, "stderr_tail": tail}
+            print(name, "FAILED", type(e).__name__, flush=True)
+            continue
+        block: dict = dict(d)
+        for lo, hi in zip(rs, rs[1:]):
+            klo, khi = f"r{lo}", f"r{hi}"
+            if klo in d and khi in d:
+                block[f"ratio_{khi}_over_{klo}_per_x"] = round(
+                    d[khi]["sec"] / d[klo]["sec"] / (hi / lo), 3
+                )
+        block["subprocess_wall_sec"] = round(time.perf_counter() - t0, 1)
+        result[name] = block
+        print(name, json.dumps(block), flush=True)
+    _merge_round_artifact(
+        rnd,
+        "decade3_fresh",
+        {
+            "methodology": (
+                "one fresh subprocess per query; every point cold "
+                "(fragments + hot-key memo cleared, warmups=0, "
+                f"{RUNS} timed runs); per-x ratios computed within "
+                "each process's own points, so zero in-session "
+                "pollution (VERDICT r11 ask #2)"
+            ),
+            "scales": scales,
+            "queries": result,
+        },
+    )
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--q45-ab":
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        q45_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--q199-index-ab":
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        q199_index_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--decade3-fresh":
+        decade3_fresh(sys.argv[2] if len(sys.argv) > 2 else "0")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--decade3-point":
+        decade3_point(sys.argv[2], sys.argv[3])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--q199-ab":
         reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         q199_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
@@ -739,17 +1111,29 @@ def main() -> None:
         "adversarial_q42": adversarial,
         **adversarial_pp,
     }
-    # merge the standalone q199 arm adjudication if it ran this round
-    ab_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"Q199_CANDGEN_AB_r{int(rnd):02d}.json" if rnd.isdigit() else "",
-    )
-    if ab_path and os.path.exists(ab_path):
-        out["q199_candgen_experiment"] = json.load(open(ab_path))
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_SCALING_r{int(rnd):02d}.json" if rnd.isdigit() else "BENCH_SCALING.json",
-    )
+    # merge the standalone q199 arm adjudication if it ran this round.
+    # isfile (not exists): with a non-digit round label the join above
+    # would name the repo directory itself, os.path.exists would pass,
+    # and json.load(open(dir)) would raise IsADirectoryError AFTER the
+    # whole multi-hour run but BEFORE the results were written
+    # (ADVICE r11)
+    if rnd.isdigit():
+        ab_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"Q199_CANDGEN_AB_r{int(rnd):02d}.json",
+        )
+        if os.path.isfile(ab_path):
+            with open(ab_path) as fh:
+                out["q199_candgen_experiment"] = json.load(fh)
+    path = _round_artifact_path(rnd)
+    # carry over experiment blocks merged by the targeted modes in an
+    # earlier sitting (q45 arm A/B, q199 index probe, fresh decade3) —
+    # the full sweep must extend the round artifact, not clobber it
+    if os.path.isfile(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        for k, v in prior.items():
+            out.setdefault(k, v)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

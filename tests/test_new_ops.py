@@ -149,6 +149,58 @@ def test_q199_r11_arm_matrix_matches_oracle(spark, flags, degen_docs_dir):
             setattr(dedup, k, v)
 
 
+def test_q199_index_verify_matches_oracle(spark, degen_docs_dir):
+    """The r12 Q199_INDEX_VERIFY arm (array-free verify: n_shared
+    counted from the exploded inverted index via two long-row joins +
+    groupBy, no shingle arrays in flight — the last untried lossless
+    verify shape, VERDICT r11 ask #5) must be result-identical to the
+    oracle on both the shared sf0.001 corpus and the degenerate
+    corpus, whatever the adoption outcome. Zero-shared candidate pairs
+    drop out of the inner index joins, which the oracle's
+    all-sharing-pairs CTE also never emits — equality pins that too."""
+    from astarte_data_updater_plant_spark.operators import dedup
+
+    spec = QUERIES["q199_prefix_filter_jaccard"]
+    dedup.Q199_INDEX_VERIFY = True
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"index-verify arm @ {d}: {msg}"
+    finally:
+        dedup.Q199_INDEX_VERIFY = False
+
+
+@pytest.mark.parametrize("flag", [False, True], ids=["legacy", "int"])
+@pytest.mark.parametrize(
+    "name",
+    ["q42_lsh_near_dup_pairs", "q45_near_dup_components",
+     "q47_dedup_keep_best"],
+)
+def test_q42_q45_q47_int_arm_matrix(spark, name, flag, degen_docs_dir):
+    """The r12 Q42_INT_VERIFY arm (int-narrowed verify arrays riding
+    the q199 INT bijection through q42's pair verify — the named attack
+    on the q45/q47 family's dominant shared stage, VERDICT r11 ask #3)
+    must be result-identical for the whole consumer chain: the pair
+    set (q42), the components built on it (q45), and the election
+    (q47), in BOTH arm settings, on both the shared sf0.001 corpus and
+    the degenerate corpus. Fragments are cleared per setting so the
+    pinned pair/label fragments can't mask the arm under test."""
+    from astarte_data_updater_plant_spark.operators import dedup
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+
+    spec = QUERIES[name]
+    saved = dedup.Q42_INT_VERIFY
+    dedup.Q42_INT_VERIFY = flag
+    clear_fragments()
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"{name} int={flag} @ {d}: {msg}"
+    finally:
+        dedup.Q42_INT_VERIFY = saved
+        clear_fragments()
+
+
 def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
     rows = queries_map()["q199_prefix_filter_jaccard"](
         spark, degen_docs_dir
