@@ -303,11 +303,20 @@ _NEAR_DUP_CTES_SQL = f"""
 #: packs array elements at element width, so the array-carrying
 #: verify rows halve their in-flight bytes, the same mechanism the
 #: r11 q199 A/B measured as a deterministic 39.5% spill cut.
-#: Adjudication: interleaved R=30 A/B on q47 end-to-end
-#: (Q45_COMPONENTS_AB_r12.json); default False until it reports.
+#: ADOPTED r12 (Q45_COMPONENTS_AB_r12.json, strict legacy/int
+#: interleave x4 at R=30 in one session, q47 end-to-end): spill
+#: 42.7 GB/run median -> ZERO in all four int reps — the narrowed
+#: verify rows fit the unified pool outright at this scale — at
+#: wall-clock parity (median 84.4s vs 87.1s, 0.969x, inside the
+#: family's dispersion envelope). The same session's attribution pass
+#: localizes why this is the right arm: q45's cold R=30 wall is 98%
+#: the q42 pair pipeline ("pairs_and_seed" 116.6s of 118.5s; the
+#: label-propagation loop converges in 2 rounds costing 1.5s total),
+#: and the run's ~43 GB spill sits in exactly two 34-task stages that
+#: shuffle the 30.1M array-carrying verify rows (23.1 + 20.5 GB).
 #: Parity of both arm settings is pinned by
 #: tests/test_new_ops.py::test_q42_q45_q47_int_arm_matrix.
-Q42_INT_VERIFY = False
+Q42_INT_VERIFY = True
 
 
 @register(
@@ -322,7 +331,12 @@ Q42_INT_VERIFY = False
     "Jaccard (int arithmetic, hash-stable) verifies, threshold 0.5. "
     "At 100 TB each stage remains a keyed shuffle; band-bucket sizes "
     "stay bounded because identical shingle signatures imply "
-    "near-identical documents.",
+    "near-identical documents. r12: the verify arrays ride as "
+    "int-narrowed 4-byte elements (Q42_INT_VERIFY, a lossless "
+    "bijection on the 32-bit shingle hashes) — adopted after an "
+    "interleaved R=30 A/B on the q47 consumer cut the verify-shuffle "
+    "spill from ~43 GB/run to deterministic zero at wall parity "
+    "(Q45_COMPONENTS_AB_r12.json).",
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets and band keys are pinned fragments: the self-join
@@ -1513,11 +1527,25 @@ Q199_HASH2_VERIFY = False
 #: vs the array plan's ~104M 400-byte rows — but the array plan's rows
 #: page through Tungsten at ~5x their compressed width while the long
 #: rows stay flat, so the probe decides.
-#: Adjudication: interleaved probe (Q199_INDEX_AB_r12.json), escalated
-#: to the full R=30 protocol only if the small-scale probe is
-#: competitive. Parity of the arm is pinned by
-#: tests/test_new_ops.py::test_q199_index_verify_matches_oracle.
-#: Default OFF until the probe reports.
+#: REFUTED r12 (Q199_INDEX_AB_r12.json, strict adopted/index x3
+#: interleave at R=10 in one session): 5.69x wall (median 498.3s vs
+#: 87.5s) and 511x spill (median 343.7 GB vs 0.67 GB per run — the
+#: adopted arm's spill is byte-identical across reps, the INT
+#: signature) — the exploded (doc_b, shingle) shuffle costs far more
+#: than the array rows it replaces, exactly as the row arithmetic
+#: predicted, and the gap can only widen at R=30 (~5.4e9 rows). The
+#: R=30 escalation is therefore not run. THE q199 CHAPTER CLOSES with
+#: this arm: across r10-r12 the verify was attacked from every
+#: lossless side — fewer pairs (ASYM, adopted), narrower rows (INT,
+#: adopted), no reduce sort (HASH2, refuted: the sort wasn't the
+#: spiller), early build-side shedding (SEMI, refuted), hash-for-sort
+#: on both joins (HASH_VERIFY, refuted), and no arrays at all (INDEX,
+#: refuted here). The residual verify-shuffle spill (0.67 GB/run at
+#: R=10, 53.3 GB at R=30 after the r11 INT cut) is
+#: the price of shipping exact-verify evidence to the reducers, and
+#: the r8 analysis stands: it is a shared-local-pool artifact that
+#: executor-isolated clusters absorb structurally. Toggle stays for
+#: reproducibility; default OFF.
 Q199_INDEX_VERIFY = False
 
 
