@@ -99,6 +99,7 @@ def main() -> None:
                 f", r1set {d['value_r1set']}, heavy {d['value_heavy']}"
                 f", ingest {d.get('ingest_msgs_per_sec')} msgs/s"
                 f", stream-tuned {d.get('stream_ingest_msgs_per_sec_tuned')}"
+                f" (best {d.get('stream_ingest_msgs_per_sec_tuned_best')})"
                 f", corpus best {d.get('corpus_dedup_sec_best')}s"
             )
         elif name.startswith("PARITY_FULL"):
