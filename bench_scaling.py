@@ -751,7 +751,10 @@ DECADE3_FRESH_QUERIES = (
 
 def decade3_point(name: str, scales: str) -> None:
     """Child mode: ONE query (or 'ingest'), each scale cold, in this
-    fresh process. Prints a PROBE_JSON line for the parent."""
+    fresh process. Prints a cumulative PROBE_JSON line after EVERY
+    scale point (ADVICE r12: a crash at a later leg — q204's R=100
+    disk exhaustion — must not discard the already-measured earlier
+    legs; the parent takes the last line it finds)."""
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
     spark = get_spark(f"decade3_{name}")
@@ -768,41 +771,91 @@ def decade3_point(name: str, scales: str) -> None:
 
             # warmups=0 matches the in-session decade3 methodology;
             # a fresh process IS the cold condition under test
-            out["scales"][f"r{r}"] = timed_runs(one, warmups=0, runs=RUNS)
+            m = timed_runs(one, warmups=0, runs=RUNS)
+            # VERDICT r12 ask #3 estimator fix: sub-5s points are
+            # first-touch dominated (q40's r10 raws [7.695, 1.121] in
+            # r12), so cheap points get a third raw run — the median
+            # of 3 demotes the one-off first-touch outlier instead of
+            # averaging it into a 2-run median
+            if min(m["raw"]) < 5.0:
+                extra = timed_runs(one, warmups=0, runs=1)
+                raw = m["raw"] + extra["raw"]
+                m = {
+                    "sec": round(statistics.median(raw), 3),
+                    "spread": round(max(raw) - min(raw), 3),
+                    "raw": raw,
+                }
+            out["scales"][f"r{r}"] = m
         print(f"{name} r{r}: {out['scales'][f'r{r}']}", flush=True)
-    print("PROBE_JSON " + json.dumps(out))
+        print("PROBE_JSON " + json.dumps(out), flush=True)
+
+
+def _decade3_methodology(scales: str) -> str:
+    return (
+        "one fresh subprocess per query; every point cold (fragments "
+        "+ hot-key memo cleared, warmups=0, "
+        f"{RUNS} timed runs, a 3rd raw added when a point reads "
+        "sub-5s so first-touch outliers are demoted by the median — "
+        "VERDICT r12 ask #3); per-x ratios computed within each "
+        "process's own points, so zero in-session pollution (VERDICT "
+        f"r11 ask #2); scales={scales}; partial legs of a crashed "
+        "child are salvaged from its last cumulative PROBE_JSON line "
+        "and the artifact is merged incrementally per query (ADVICE "
+        "r12)"
+    )
 
 
 def decade3_fresh(rnd: str) -> None:
     """Parent mode: one subprocess per query (the q41_r100_recheck
     methodology that refuted r11's false 3.9 per-x), R=10/30/100 each,
-    2 raw times per point, per-x ratios computed WITHIN each fresh
-    process's own scale points."""
+    per-x ratios computed WITHIN each fresh process's own scale
+    points. Each query's block is merged into the round artifact AS IT
+    COMPLETES (ADVICE r12: one bad child must not lose the multi-hour
+    sweep), and a crashed child's completed legs are salvaged from its
+    last cumulative PROBE_JSON line."""
     import subprocess
 
     scales = os.environ.get("SPARK_GRAFT_DECADE_SCALES", "10,30,100")
     rs = [int(x) for x in scales.split(",")]
     result: dict[str, dict] = {}
+
+    def _last_probe(stdout: str) -> dict:
+        lines = [
+            l for l in (stdout or "").splitlines()
+            if l.startswith("PROBE_JSON ")
+        ]
+        if not lines:
+            return {}
+        return json.loads(lines[-1][len("PROBE_JSON "):]).get("scales", {})
+
     for name in DECADE3_FRESH_QUERIES:
         t0 = time.perf_counter()
+        block: dict = {}
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--decade3-point", name, scales],
                 capture_output=True, text=True, timeout=5400, check=True,
             )
-            line = [
-                l for l in r.stdout.splitlines() if l.startswith("PROBE_JSON ")
-            ][-1]
-            d = json.loads(line[len("PROBE_JSON "):])["scales"]
-        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            d = _last_probe(r.stdout)
+            if not d:
+                raise IndexError("no PROBE_JSON line in child stdout")
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                IndexError, json.JSONDecodeError) as e:
             # an R=100 point that exceeds the local pool/disk is a
-            # finding, not a silent hole — record it honestly
+            # finding, not a silent hole — record it honestly, and
+            # salvage whatever legs the child DID finish (its
+            # cumulative PROBE_JSON lines)
             tail = (getattr(e, "stderr", "") or "")[-800:]
-            result[name] = {"err": type(e).__name__, "stderr_tail": tail}
-            print(name, "FAILED", type(e).__name__, flush=True)
-            continue
-        block: dict = dict(d)
+            block["err"] = type(e).__name__
+            block["stderr_tail"] = tail
+            try:
+                d = _last_probe(getattr(e, "stdout", "") or "")
+            except json.JSONDecodeError:
+                d = {}
+            print(name, "FAILED", type(e).__name__,
+                  f"(salvaged legs: {sorted(d)})", flush=True)
+        block.update(d)
         for lo, hi in zip(rs, rs[1:]):
             klo, khi = f"r{lo}", f"r{hi}"
             if klo in d and khi in d:
@@ -812,21 +865,17 @@ def decade3_fresh(rnd: str) -> None:
         block["subprocess_wall_sec"] = round(time.perf_counter() - t0, 1)
         result[name] = block
         print(name, json.dumps(block), flush=True)
-    _merge_round_artifact(
-        rnd,
-        "decade3_fresh",
-        {
-            "methodology": (
-                "one fresh subprocess per query; every point cold "
-                "(fragments + hot-key memo cleared, warmups=0, "
-                f"{RUNS} timed runs); per-x ratios computed within "
-                "each process's own points, so zero in-session "
-                "pollution (VERDICT r11 ask #2)"
-            ),
-            "scales": scales,
-            "queries": result,
-        },
-    )
+        # incremental merge: the artifact is valid after every query,
+        # not only after the full multi-hour sweep (ADVICE r12)
+        _merge_round_artifact(
+            rnd,
+            "decade3_fresh",
+            {
+                "methodology": _decade3_methodology(scales),
+                "scales": scales,
+                "queries": dict(result),
+            },
+        )
     print(json.dumps(result))
 
 

@@ -161,13 +161,14 @@ def test_q199_index_verify_matches_oracle(spark, degen_docs_dir):
     from astarte_data_updater_plant_spark.operators import dedup
 
     spec = QUERIES["q199_prefix_filter_jaccard"]
+    saved = dedup.Q199_INDEX_VERIFY
     dedup.Q199_INDEX_VERIFY = True
     try:
         for d in ("/root/testdata/sf0.001", degen_docs_dir):
             ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
             assert ok, f"index-verify arm @ {d}: {msg}"
     finally:
-        dedup.Q199_INDEX_VERIFY = False
+        dedup.Q199_INDEX_VERIFY = saved
 
 
 @pytest.mark.parametrize("flag", [False, True], ids=["legacy", "int"])
