@@ -547,6 +547,86 @@ _COMPONENT_CTES_SQL = """
 Q45_ITER_STATS: list[tuple] = []
 
 
+def _min_label_propagation(
+    pairs: DataFrame, stats: list | None = None, seed_t0: float | None = None
+) -> DataFrame:
+    """Connected-component labels for an undirected edge list.
+
+    ``pairs`` is any two-column (a, b) pair frame; returns
+    ``(doc_id, label)`` where label = the component's min node id.
+    The plan is q45's Pregel-style iterative min-label propagation
+    with pointer-jumping (label := label-of-label per round), i.e.
+    O(log n) rounds of pure keyed equi-joins with the lineage cut by
+    localCheckpoint each round — no driver-side graph, no quadratic
+    closure. Shared by q45 (full corpus) and q224 (the reduced
+    touched-components graph), so the incremental operator provably
+    runs the SAME machinery on a much smaller input. Optional
+    ``stats`` list receives (stage, seconds, changed) rows — q45's
+    Q45_ITER_STATS attribution hook."""
+    import time as _time
+
+    cols = pairs.columns
+    edges = (
+        pairs.union(pairs.select(cols[1], cols[0]))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    if stats is not None and seed_t0 is not None:
+        # the seed checkpoint is the first ACTION: everything timed
+        # into it is the pair pipeline + edge materialization
+        stats.append(
+            ("pairs_and_seed", round(_time.perf_counter() - seed_t0, 3), None)
+        )
+    for _it in range(32):  # safety bound far above log2(corpus)
+        t_it0 = _time.perf_counter()
+        # propagate: every vertex takes the min label over itself and
+        # its neighbors — one keyed equi-join + partial/final min agg
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        # pointer-jump: label := label(label), doubling the hop reach
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            prop.join(parent, prop.label == parent.p_id)
+            .select("doc_id", F.col("p_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if stats is not None:
+            stats.append(
+                (f"iter_{_it}", round(_time.perf_counter() - t_it0, 3), changed)
+            )
+        if changed == 0:
+            break
+    return labels
+
+
 @register(
     "q45_near_dup_components",
     f"""
@@ -576,62 +656,9 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q45_ITER_STATS.clear()
         t_pairs0 = _time.perf_counter()
         pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.union(pairs.select("doc_b", "doc_a"))
-            .toDF("src", "dst")
-            .localCheckpoint(eager=False)
+        return _min_label_propagation(
+            pairs, stats=Q45_ITER_STATS, seed_t0=t_pairs0
         )
-        labels = (
-            edges.select(F.col("src").alias("doc_id"))
-            .distinct()
-            .withColumn("label", F.col("doc_id"))
-            .localCheckpoint(eager=True)
-        )
-        # the seed checkpoint is the first ACTION: everything timed
-        # into it is the q42 pair pipeline + edge materialization
-        Q45_ITER_STATS.append(
-            ("pairs_and_seed", round(_time.perf_counter() - t_pairs0, 3), None)
-        )
-        for _it in range(32):  # safety bound far above log2(corpus)
-            t_it0 = _time.perf_counter()
-            # propagate: every vertex takes the min label over itself and
-            # its neighbors — one keyed equi-join + partial/final min agg
-            nbr = (
-                edges.join(labels, edges.dst == labels.doc_id)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            prop = (
-                labels.join(nbr, labels.doc_id == nbr.src, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            # pointer-jump: label := label(label), doubling the hop reach
-            parent = prop.select(
-                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-            )
-            jumped = (
-                prop.join(parent, prop.label == parent.p_id)
-                .select("doc_id", F.col("p_label").alias("label"))
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = jumped
-            Q45_ITER_STATS.append(
-                (f"iter_{_it}", round(_time.perf_counter() - t_it0, 3), changed)
-            )
-            if changed == 0:
-                break
-        return labels
 
     # pinned: the iterative loop runs ACTIONS at build time, and four
     # consumers re-derive it per session (q45 itself, q47's election,
@@ -695,6 +722,107 @@ def q47_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.row_number().over(w) == 1).alias("is_canonical"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected-components maintenance (q224)
+# ---------------------------------------------------------------------------
+
+#: docs with doc_id % INCR_BATCH_MOD == 0 stand in for the newly
+#: crawled batch (~14% of the corpus); everything else is the
+#: already-labeled corpus the batch merges into
+INCR_BATCH_MOD = 7
+
+
+@register(
+    "q224_incremental_components",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES_SQL},
+    {_COMPONENT_CTES_SQL}
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="Incremental connected-components MAINTENANCE (VERDICT r12 ask "
+    "#4): at 10B docs nobody re-runs global label propagation per "
+    "crawl batch, so the near-dup component table must absorb a new "
+    "batch's pairs without touching unaffected components. Docs with "
+    f"doc_id % {INCR_BATCH_MOD} == 0 play the new batch; the pair "
+    "stream splits into old-old edges (these built the EXISTING label "
+    "table, q45's machinery on the old corpus only) and edges "
+    "touching the batch. Each new edge's endpoints are contracted "
+    "onto their current component labels (a label-preserving left "
+    "join — new/unpaired docs are their own node), no-op edges inside "
+    "one component drop, and min-label propagation runs ONLY on that "
+    "reduced touched-components multigraph — its size scales with the "
+    "batch, not the corpus. Because an old component's label IS its "
+    "min doc_id, contracting components preserves both connectivity "
+    "and the min, so relabeling through the reduced result equals the "
+    "full recompute EXACTLY — and the oracle states precisely that "
+    "full recompute (q45's transitive closure over ALL pairs): "
+    "equality IS the incremental-maintenance theorem. Unaffected "
+    "components never enter a shuffle wider than the final left join "
+    "against the (batch-bounded) relabel mapping.",
+)
+def q224_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    new_a = F.col("doc_a") % INCR_BATCH_MOD == 0
+    new_b = F.col("doc_b") % INCR_BATCH_MOD == 0
+    # the existing state: labels computed over the OLD corpus only
+    # (in the streaming deployment this table is the sink of the
+    # previous run — s96's growing-index pattern; recomputing it here
+    # makes the batch entry self-contained and the theorem testable)
+    old_labels = _min_label_propagation(
+        pairs.filter(~new_a & ~new_b)
+    ).localCheckpoint(eager=False)
+    # contract: rewrite each new edge endpoint to its current label;
+    # endpoints outside the label table (batch docs, previously
+    # unpaired old docs) are their own node
+    la = old_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("label").alias("la")
+    )
+    lb = old_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("label").alias("lb")
+    )
+    reduced = (
+        pairs.filter(new_a | new_b)
+        .join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("a"),
+            F.coalesce("lb", F.col("doc_b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    # propagate only through components the batch touches: the reduced
+    # graph's nodes are old component labels + batch-adjacent docs
+    mapping = _min_label_propagation(reduced).select(
+        F.col("doc_id").alias("node"), F.col("label").alias("new_label")
+    )
+    # relabel: components absent from the mapping are untouched and
+    # keep their label verbatim — the whole point of the operator
+    relabeled_old = (
+        old_labels.join(mapping, old_labels.label == mapping.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_label", "label").alias("component_id"),
+        )
+    )
+    # reduced-graph nodes that are NOT previously-labeled docs (batch
+    # docs and previously-unpaired old docs) read their component off
+    # the propagation directly
+    extra = mapping.join(
+        old_labels.select(F.col("doc_id").alias("node")), "node", "left_anti"
+    ).select(
+        F.col("node").alias("doc_id"), F.col("new_label").alias("component_id")
+    )
+    w = Window.partitionBy("component_id")
+    return (
+        relabeled_old.unionByName(extra)
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
 
@@ -1791,6 +1919,37 @@ CONTAIN_MIN = 0.8
 #: ignore tiny shingle sets (trivially contained)
 CONTAIN_MIN_SH = 8
 
+#: r13 arm (VERDICT r12 ask #1a — q204 was the one operator that could
+#: not complete the R=100 leg: zero spill at R=30, then
+#: `No space left on device` past the box's ~230 GB free disk at
+#: R=100, while its verify joins still shipped raw array<bigint>
+#: shingles): ride the proven Q42_INT_VERIFY / Q199_INT_VERIFY
+#: bijection through q204's verify arrays. Shingle hashes are 32-bit
+#: values; containment only needs |A intersect B| and |A|, so mapping
+#: both pinned sets x -> (x - 2^31) cast to INT preserves
+#: array_intersect cardinality exactly while the array-carrying
+#: verify rows pack elements at 4 bytes instead of 8 — the mechanism
+#: that zeroed q47's 42.7 GB/run R=30 spill and cut q199's by 39.5%.
+#: Parity of both arm settings is pinned by
+#: tests/test_new_ops.py::test_q204_int_arm_matrix; the R=60
+#: interleaved A/B + per-stage attribution and the R=100 re-run land
+#: in Q204_ATTRIB_AB_r13.json / BENCH_SCALING_r13.json (numbers to be
+#: recorded here once measured).
+Q204_INT_VERIFY = True
+
+#: r13 companion arm, default OFF pending adjudication: narrow the
+#: exploded probe/index JOIN KEY itself (the flat inverted index's
+#: bigint `shingle` and the probe prefix's exploded copy) through the
+#: same bijection before the candidate join. Unlike the verify arrays
+#: this touches the operator's highest-record-count shuffle (every
+#: (doc, shingle) posting rides it), so the candidate join's shuffle
+#: bytes drop ~25% (8-byte key -> 4 in 24-ish-byte rows) — but the
+#: transform runs per posting rather than per candidate, so it's a
+#: wall-vs-bytes trade the interleaved A/B must referee (adjudication
+#: numbers to be recorded here once measured; parity of both settings
+#: is pinned by the same arm-matrix test either way).
+Q204_INT_PROBE = False
+
 
 @register(
     "q204_containment_pairs",
@@ -1840,7 +1999,10 @@ CONTAIN_MIN_SH = 8
     "floor is applied on the probe side BEFORE the join. The "
     "oracle states the same result via the naive all-sharing-"
     "pairs join scored in both directions — equality IS the "
-    "losslessness proof.",
+    "losslessness proof. r13: the verify arrays ride int-narrowed "
+    "(Q204_INT_VERIFY, the same lossless 32-bit bijection q42/q199 "
+    "adopted) — the r12 R=100 leg died on shuffle-spill disk "
+    "exhaustion with the raw 8-byte arrays in flight.",
 )
 def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = fragment(
@@ -1854,13 +2016,31 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     plen = (n - F.ceil(F.lit(CONTAIN_MIN) * n) + 1).cast("int")
+    # the probe prefix n - ceil(t*n) + 1 is already the MINIMAL
+    # lossless one for containment, and the index side can take NO
+    # prefix at all: |A intersect B| / |A| >= t constrains only A, so
+    # any posting of an arbitrarily large B may be the one A's prefix
+    # hits — there is no q199-style ASYM shortening left on either
+    # side, only physical narrowing (the INT arms below)
+    if Q204_INT_PROBE:
+        # narrow the candidate JOIN KEY itself (the operator's
+        # highest-record-count shuffle) through the same 32-bit
+        # bijection as the verify arrays; key equality is preserved,
+        # so the candidate pair set is unchanged
+        probe_sh = lambda s: (s["sh"] - F.lit(2147483648)).cast("int")  # noqa: E731
+        index_sh = (
+            (F.col("shingle") - F.lit(2147483648)).cast("int")
+        ).alias("shingle")
+    else:
+        probe_sh = lambda s: s["sh"]  # noqa: E731
+        index_sh = F.col("shingle")
     probe = (
         ordered.filter(n >= CONTAIN_MIN_SH)
         .select(
             F.col("doc_id").alias("contained_doc"),
             F.col("n").alias("n_a"),
             F.explode(
-                F.slice(F.transform("os", lambda s: s["sh"]), F.lit(1), plen)
+                F.slice(F.transform("os", probe_sh), F.lit(1), plen)
             ).alias("shingle"),
         )
     )
@@ -1872,7 +2052,7 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.join(
             flat.select(
                 F.col("doc_id").alias("container_doc"),
-                "shingle",
+                index_sh,
                 F.col("n_sh").alias("n_b"),
             ),
             "shingle",
@@ -1884,13 +2064,23 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_doc", "container_doc")
         .distinct()
     )
+    if Q204_INT_VERIFY:
+        # 32-bit hash values: (x - 2^31) cast to int is a bijection,
+        # so array_intersect/size (hence containment) are preserved
+        # exactly while the pinned verify sets' array elements pack
+        # at 4 bytes instead of 8 (see the toggle doc above)
+        sh_verify = F.transform(
+            "shingles", lambda x: (x - F.lit(2147483648)).cast("int")
+        )
+    else:
+        sh_verify = F.col("shingles")
     sets_a = sets.select(
         F.col("doc_id").alias("contained_doc"),
-        F.col("shingles").alias("sh_a"),
+        sh_verify.alias("sh_a"),
     )
     sets_b = sets.select(
         F.col("doc_id").alias("container_doc"),
-        F.col("shingles").alias("sh_b"),
+        sh_verify.alias("sh_b"),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     cont = inter.cast("double") / F.size("sh_a")

@@ -202,6 +202,92 @@ def test_q42_q45_q47_int_arm_matrix(spark, name, flag, degen_docs_dir):
         clear_fragments()
 
 
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"Q204_INT_VERIFY": False, "Q204_INT_PROBE": False},
+        {"Q204_INT_VERIFY": True, "Q204_INT_PROBE": False},
+        {"Q204_INT_VERIFY": False, "Q204_INT_PROBE": True},
+        {"Q204_INT_VERIFY": True, "Q204_INT_PROBE": True},
+    ],
+    ids=["legacy", "int", "probe", "int+probe"],
+)
+def test_q204_int_arm_matrix(spark, flags, degen_docs_dir):
+    """The r13 q204 arms (VERDICT r12 ask #1a): int-narrowed verify
+    arrays (the proven q42/q199 bijection, ridden through the one
+    operator that died on spill-disk at R=100) and the companion
+    candidate-join-key narrowing. Both transforms are 32-bit
+    bijections, so the candidate pair set, every array_intersect
+    cardinality, and hence the containment scores must be
+    result-identical in all four settings — pinned against the
+    oracle's naive all-sharing-pairs join on both the shared sf0.001
+    corpus and the degenerate corpus, whatever each arm's adoption
+    outcome."""
+    from astarte_data_updater_plant_spark.operators import dedup
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+
+    spec = QUERIES["q204_containment_pairs"]
+    saved = {k: getattr(dedup, k) for k in flags}
+    for k, v in flags.items():
+        setattr(dedup, k, v)
+    clear_fragments()
+    try:
+        for d in ("/root/testdata/sf0.001", degen_docs_dir):
+            ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+            assert ok, f"{flags} @ {d}: {msg}"
+    finally:
+        for k, v in saved.items():
+            setattr(dedup, k, v)
+        clear_fragments()
+
+
+def test_q224_incremental_equals_full_recompute(spark, degen_docs_dir):
+    """The r13 operator (VERDICT r12 ask #4): merging a new batch's
+    near-dup pairs into the existing q45 label table by propagating
+    only through touched components must equal the full global
+    recompute EXACTLY. Pinned three ways: (1) the registry oracle (the
+    full-recompute transitive closure) on the shared corpus AND the
+    degenerate corpus — the latter has an empty new batch, so the
+    empty-reduced-graph path is exercised too; (2) direct row-for-row
+    equality with q45's own Spark output; (3) non-degeneracy: at
+    sf0.001 the batch split must leave BOTH edge sets non-empty and
+    at least one final component must mix batch and non-batch docs,
+    so the merge path provably fired (a filter bug silencing the
+    incremental path on both engines can't hide behind parity)."""
+    from pyspark.sql import functions as F
+
+    from astarte_data_updater_plant_spark.operators import dedup
+
+    spec = QUERIES["q224_incremental_components"]
+    for d in ("/root/testdata/sf0.001", degen_docs_dir):
+        ok, msg = compare(spec.fn(spark, d), spec.oracle, d)
+        assert ok, f"q224 @ {d}: {msg}"
+
+    d = "/root/testdata/sf0.001"
+    pairs = dedup.q42_lsh_near_dup_pairs(spark, d).select("doc_a", "doc_b")
+    new_a = F.col("doc_a") % dedup.INCR_BATCH_MOD == 0
+    new_b = F.col("doc_b") % dedup.INCR_BATCH_MOD == 0
+    assert pairs.filter(~new_a & ~new_b).count() > 0, "old-old edges empty"
+    assert pairs.filter(new_a | new_b).count() > 0, "batch edges empty"
+
+    incr = sorted(
+        map(tuple, spec.fn(spark, d).collect())
+    )
+    full = sorted(
+        map(tuple, QUERIES["q45_near_dup_components"].fn(spark, d).collect())
+    )
+    assert incr == full, "incremental labels diverge from full recompute"
+    comp_kinds = {}
+    for doc_id, comp, _size in incr:
+        comp_kinds.setdefault(comp, set()).add(
+            doc_id % dedup.INCR_BATCH_MOD == 0
+        )
+    assert any(kinds == {True, False} for kinds in comp_kinds.values()), (
+        "no component mixes batch and non-batch docs — the merge path "
+        "never fired"
+    )
+
+
 def test_q199_exact_dup_survives_prefix_filter(spark, degen_docs_dir):
     rows = queries_map()["q199_prefix_filter_jaccard"](
         spark, degen_docs_dir
