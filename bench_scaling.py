@@ -71,7 +71,19 @@ Usage:  python bench_scaling.py [round_number]
         python bench_scaling.py --decade3-fresh [round_number]
             r12: the whole heavy family + ingest at R=10/30/100, ONE
             FRESH SUBPROCESS PER QUERY (zero in-session pollution);
-            merges 'decade3_fresh' into the round artifact
+            merges 'decade3_fresh' into the round artifact; r13: each
+            query's block lands in the artifact as it completes, and a
+            crashed child's finished legs are salvaged
+        python bench_scaling.py --q204-ab [reps] [round_number]
+            r13: per-stage attribution of q204 at R=30 vs
+            R=SPARK_GRAFT_Q204_R (default 60) for the legacy and INT
+            arms, then legacy/int/int+probe strict interleave; writes
+            Q204_ATTRIB_AB_r{N}.json + merge (VERDICT r12 ask #1)
+        python bench_scaling.py --q199-r100-attrib [round_number]
+            r13: instrumented q199 run at R=30 then R=100 with the
+            per-stage spill table, so the superlinearity is measured
+            where it matters (VERDICT r12 ask #2); run as its own
+            sitting
 Env:    SPARK_GRAFT_SCALE_SRC (default /root/testdata/sf0.1)
         SPARK_GRAFT_SCALE_DIR (default /tmp/scaledata)
 """
@@ -733,6 +745,207 @@ def q199_index_ab(reps: int, rnd: str) -> None:
     print(json.dumps(out))
 
 
+def _cold_stage_run(spark, qfn, d: str) -> dict:
+    """One cold run with the per-stage shuffle/spill diff captured:
+    wall, total spill delta, and the fresh stages sorted by spill then
+    by written records (top 8)."""
+    clear_fragments()
+    clear_hot_key_cache()
+    pre = _stage_stats(spark)
+    s0 = _spill_bytes(spark)
+    t0 = time.perf_counter()
+    qfn(spark, d).write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 3)
+    s1 = _spill_bytes(spark)
+    post = _stage_stats(spark)
+    fresh = [v for k, v in post.items() if k not in pre]
+    fresh.sort(key=lambda v: (-v["spill_gb"], -v["write_recs_m"]))
+    return {
+        "sec": sec,
+        "spill_bytes": None if s0 is None or s1 is None else s1 - s0,
+        "top_stages": fresh[:8],
+        "write_recs_m_total": round(sum(v["write_recs_m"] for v in fresh), 1),
+    }
+
+
+#: the r13 q204 arms (operators/dedup.py toggles): verify-array INT
+#: narrowing (the proven q42/q199 bijection) and the companion
+#: candidate-join-key narrowing. Flag order: (VERIFY, PROBE).
+Q204_ARMS = (
+    ("legacy", (False, False)),
+    ("int", (True, False)),
+    ("int+probe", (True, True)),
+)
+
+
+def q204_ab(reps: int, rnd: str) -> None:
+    """VERDICT r12 ask #1: adjudicate q204's INT arms and attribute
+    the R=30 -> R=100 spill discontinuity at an intermediate scale.
+
+    Attribution pass: one cold run per (arm in legacy/int, scale in
+    R=30/R=INTER) with the per-stage shuffle/spill diff, so two
+    questions get measured answers: (a) does the candidate stage's
+    shuffle-record count grow linearly with data (pool-threshold
+    crossing) or superlinearly (prefix-filter degradation)? (b) which
+    stages hold the spill, and does the INT narrowing drain exactly
+    the array-carrying verify stages as it did for q42/q47?
+
+    A/B pass: legacy/int/int+probe x reps strict interleave at
+    R=INTER (default 60), q204 cold per run, wall + spill per run —
+    the family's standard adjudication protocol. Parity of all arm
+    settings is pinned by tests/test_new_ops.py::
+    test_q204_int_arm_matrix."""
+    from astarte_data_updater_plant_spark.operators import dedup as _dedup
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    r_inter = int(os.environ.get("SPARK_GRAFT_Q204_R", "60"))
+    spark = get_spark("q204_attrib_ab")
+    build_scaled(spark, src, f"{root}/r30", 30)
+    build_scaled(spark, src, f"{root}/r{r_inter}", r_inter)
+    qmap = queries_map()
+    qfn = qmap["q204_containment_pairs"]
+    flags = ("Q204_INT_VERIFY", "Q204_INT_PROBE")
+    saved = {k: getattr(_dedup, k) for k in flags}
+
+    attribution: dict[str, dict] = {}
+    try:
+        for arm, vals in (("legacy", (False, False)), ("int", (True, False))):
+            for k, v in zip(flags, vals):
+                setattr(_dedup, k, v)
+            for r in (30, r_inter):
+                key = f"{arm}_r{r}"
+                attribution[key] = _cold_stage_run(spark, qfn, f"{root}/r{r}")
+                print("attribution", key,
+                      json.dumps(attribution[key]), flush=True)
+        # record-growth per-x for the candidate pipeline: total written
+        # records should scale ~linearly with R if the prefix filter
+        # holds; the per-stage tables let the reader see which stage
+        # deviates
+        for arm in ("legacy", "int"):
+            lo = attribution[f"{arm}_r30"]["write_recs_m_total"]
+            hi = attribution[f"{arm}_r{r_inter}"]["write_recs_m_total"]
+            if lo:
+                attribution[f"{arm}_records_growth_per_x"] = round(
+                    hi / lo / (r_inter / 30.0), 3
+                )
+
+        res: dict[str, dict] = {
+            a: {"raw": [], "spill": []} for a, _ in Q204_ARMS
+        }
+        for rep in range(reps):
+            for arm, vals in Q204_ARMS:
+                for k, v in zip(flags, vals):
+                    setattr(_dedup, k, v)
+                clear_fragments()
+                clear_hot_key_cache()
+                s0 = _spill_bytes(spark)
+                t0 = time.perf_counter()
+                qfn(spark, f"{root}/r{r_inter}").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                res[arm]["raw"].append(round(time.perf_counter() - t0, 3))
+                s1 = _spill_bytes(spark)
+                res[arm]["spill"].append(
+                    None if s0 is None or s1 is None else s1 - s0
+                )
+                print(
+                    f"rep {rep} {arm}: {res[arm]['raw'][-1]}s "
+                    f"spill {res[arm]['spill'][-1]}",
+                    flush=True,
+                )
+    finally:
+        for k, v in saved.items():
+            setattr(_dedup, k, v)
+    out: dict = {
+        "r": r_inter,
+        "reps": reps,
+        "measured_query": "q204_containment_pairs",
+        "interleave": ",".join(a for a, _ in Q204_ARMS) + f" x{reps}",
+        "attribution": attribution,
+        "arms": {},
+    }
+    for arm, _ in Q204_ARMS:
+        raw, spill = res[arm]["raw"], res[arm]["spill"]
+        out["arms"][arm] = {
+            "raw": raw,
+            "median": round(statistics.median(raw), 3),
+            "best": min(raw),
+            "spill_per_run": spill,
+            "spill_median": (
+                None if None in spill else int(statistics.median(spill))
+            ),
+        }
+    base = out["arms"]["legacy"]
+    for arm, _ in Q204_ARMS[1:]:
+        out["arms"][arm]["ratio_vs_legacy"] = round(
+            out["arms"][arm]["median"] / base["median"], 3
+        )
+        if base["spill_median"] and out["arms"][arm]["spill_median"] is not None:
+            out["arms"][arm]["spill_ratio_vs_legacy"] = round(
+                out["arms"][arm]["spill_median"] / base["spill_median"], 3
+            )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"Q204_ATTRIB_AB_r{int(rnd):02d}.json"
+        if rnd.isdigit()
+        else "Q204_ATTRIB_AB.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    _merge_round_artifact(rnd, "q204_attrib_ab", out)
+    print(json.dumps(out))
+
+
+def q199_r100_attrib(rnd: str) -> None:
+    """VERDICT r12 ask #2: measure (not extrapolate) q199's R=100
+    superlinearity. One fresh-process instrumented run at R=30 then
+    R=100 with the per-stage shuffle/spill diff, so the per-stage
+    growth ratios name WHICH stage's spill grows faster than data.
+    Run this as its own sitting (fresh interpreter = the cold
+    condition); disk free is recorded around the R=100 leg because
+    the box's spill headroom is the known failure mode."""
+    import shutil as _shutil
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scaledata")
+    spark = get_spark("q199_r100_attrib")
+    qmap = queries_map()
+    qfn = qmap["q199_prefix_filter_jaccard"]
+    out: dict = {"measured_query": "q199_prefix_filter_jaccard"}
+    for r in (30, 100):
+        d = f"{root}/r{r}"
+        build_scaled(spark, src, d, r)
+        out[f"disk_free_gb_before_r{r}"] = round(
+            _shutil.disk_usage("/tmp").free / 1e9, 1
+        )
+        try:
+            out[f"r{r}"] = _cold_stage_run(spark, qfn, d)
+        except Exception as e:  # noqa: BLE001 — record the failure mode
+            out[f"r{r}"] = {"err": type(e).__name__, "msg": str(e)[-600:]}
+            print(f"r{r} FAILED", type(e).__name__, flush=True)
+            break
+        print(f"r{r}", json.dumps(out[f"r{r}"]), flush=True)
+    if "sec" in out.get("r30", {}) and "sec" in out.get("r100", {}):
+        out["wall_per_x"] = round(
+            out["r100"]["sec"] / out["r30"]["sec"] / (100 / 30), 3
+        )
+        lo, hi = out["r30"], out["r100"]
+        if lo.get("spill_bytes") and hi.get("spill_bytes") is not None:
+            out["spill_per_x"] = round(
+                hi["spill_bytes"] / lo["spill_bytes"] / (100 / 30), 3
+            )
+        if lo.get("write_recs_m_total"):
+            out["records_per_x"] = round(
+                hi["write_recs_m_total"]
+                / lo["write_recs_m_total"]
+                / (100 / 30),
+                3,
+            )
+    _merge_round_artifact(rnd, "q199_r100_attribution", out)
+    print(json.dumps(out))
+
+
 #: fresh-process decade sweep set (VERDICT r11 ask #2): the full heavy
 #: dedup family + ingest, each measured in its OWN subprocess at
 #: R=10/30/100 so the per-x ratios carry zero in-session pollution
@@ -887,6 +1100,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--q199-index-ab":
         reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         q199_index_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--q204-ab":
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        q204_ab(reps, sys.argv[3] if len(sys.argv) > 3 else "0")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--q199-r100-attrib":
+        q199_r100_attrib(sys.argv[2] if len(sys.argv) > 2 else "0")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--decade3-fresh":
         decade3_fresh(sys.argv[2] if len(sys.argv) > 2 else "0")
