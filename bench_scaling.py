@@ -815,7 +815,15 @@ def q204_ab(reps: int, rnd: str) -> None:
                 setattr(_dedup, k, v)
             for r in (30, r_inter):
                 key = f"{arm}_r{r}"
-                attribution[key] = _cold_stage_run(spark, qfn, f"{root}/r{r}")
+                try:
+                    attribution[key] = _cold_stage_run(
+                        spark, qfn, f"{root}/r{r}"
+                    )
+                except Exception as e:  # noqa: BLE001 — a disk-exhausted
+                    # leg is a finding; keep the other arms/scales
+                    attribution[key] = {
+                        "err": type(e).__name__, "msg": str(e)[-600:]
+                    }
                 print("attribution", key,
                       json.dumps(attribution[key]), flush=True)
         # record-growth per-x for the candidate pipeline: total written
@@ -823,9 +831,9 @@ def q204_ab(reps: int, rnd: str) -> None:
         # holds; the per-stage tables let the reader see which stage
         # deviates
         for arm in ("legacy", "int"):
-            lo = attribution[f"{arm}_r30"]["write_recs_m_total"]
-            hi = attribution[f"{arm}_r{r_inter}"]["write_recs_m_total"]
-            if lo:
+            lo = attribution[f"{arm}_r30"].get("write_recs_m_total")
+            hi = attribution[f"{arm}_r{r_inter}"].get("write_recs_m_total")
+            if lo and hi is not None:
                 attribution[f"{arm}_records_growth_per_x"] = round(
                     hi / lo / (r_inter / 30.0), 3
                 )
@@ -841,9 +849,19 @@ def q204_ab(reps: int, rnd: str) -> None:
                 clear_hot_key_cache()
                 s0 = _spill_bytes(spark)
                 t0 = time.perf_counter()
-                qfn(spark, f"{root}/r{r_inter}").write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    qfn(spark, f"{root}/r{r_inter}").write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception as e:  # noqa: BLE001 — keep the
+                    # interleave going; an erred rep is recorded, not
+                    # fatal (disk-exhaustion class)
+                    res[arm].setdefault("errs", []).append(
+                        f"rep {rep}: {type(e).__name__}"
+                    )
+                    print(f"rep {rep} {arm}: ERR {type(e).__name__}",
+                          flush=True)
+                    continue
                 res[arm]["raw"].append(round(time.perf_counter() - t0, 3))
                 s1 = _spill_bytes(spark)
                 res[arm]["spill"].append(
@@ -869,18 +887,23 @@ def q204_ab(reps: int, rnd: str) -> None:
         raw, spill = res[arm]["raw"], res[arm]["spill"]
         out["arms"][arm] = {
             "raw": raw,
-            "median": round(statistics.median(raw), 3),
-            "best": min(raw),
+            "median": round(statistics.median(raw), 3) if raw else None,
+            "best": min(raw) if raw else None,
             "spill_per_run": spill,
             "spill_median": (
-                None if None in spill else int(statistics.median(spill))
+                None
+                if not spill or None in spill
+                else int(statistics.median(spill))
             ),
         }
+        if res[arm].get("errs"):
+            out["arms"][arm]["errs"] = res[arm]["errs"]
     base = out["arms"]["legacy"]
     for arm, _ in Q204_ARMS[1:]:
-        out["arms"][arm]["ratio_vs_legacy"] = round(
-            out["arms"][arm]["median"] / base["median"], 3
-        )
+        if base["median"] and out["arms"][arm]["median"] is not None:
+            out["arms"][arm]["ratio_vs_legacy"] = round(
+                out["arms"][arm]["median"] / base["median"], 3
+            )
         if base["spill_median"] and out["arms"][arm]["spill_median"] is not None:
             out["arms"][arm]["spill_ratio_vs_legacy"] = round(
                 out["arms"][arm]["spill_median"] / base["spill_median"], 3

@@ -17,6 +17,13 @@ these artifacts. It does NOT run bench_scaling.py (the decade is a
 separate, longer commitment — run it earlier in the round) and does NOT
 git-commit (read the summary first; commit the artifacts yourself).
 
+The fresh-process decade sweep is part of the per-round cadence from
+r13 on (VERDICT r12 ask #3): run
+``python bench_scaling.py --decade3-fresh {N}`` as its own earlier
+sitting — it merges the tracked ``decade3_fresh`` series into
+``BENCH_SCALING_r{N}.json`` incrementally, with the sub-5s third-raw
+estimator BASELINE.md declares.
+
 Usage:  python round_close.py <round_number> [--skip-bench] [--skip-parity]
 """
 
