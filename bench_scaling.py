@@ -1053,6 +1053,16 @@ def decade3_fresh(rnd: str) -> None:
 
     scales = os.environ.get("SPARK_GRAFT_DECADE_SCALES", "10,30,100")
     rs = [int(x) for x in scales.split(",")]
+    # SPARK_GRAFT_DECADE_QUERIES reorders/subsets the sweep (comma
+    # list): with incremental per-query merging, running in priority
+    # order lets a clock-bounded round keep the legs that matter most
+    names = [
+        n
+        for n in os.environ.get(
+            "SPARK_GRAFT_DECADE_QUERIES", ",".join(DECADE3_FRESH_QUERIES)
+        ).split(",")
+        if n
+    ]
     result: dict[str, dict] = {}
 
     def _last_probe(stdout: str) -> dict:
@@ -1064,7 +1074,7 @@ def decade3_fresh(rnd: str) -> None:
             return {}
         return json.loads(lines[-1][len("PROBE_JSON "):]).get("scales", {})
 
-    for name in DECADE3_FRESH_QUERIES:
+    for name in names:
         t0 = time.perf_counter()
         block: dict = {}
         try:
