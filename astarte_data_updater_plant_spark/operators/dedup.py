@@ -1931,10 +1931,20 @@ CONTAIN_MIN_SH = 8
 #: verify rows pack elements at 4 bytes instead of 8 — the mechanism
 #: that zeroed q47's 42.7 GB/run R=30 spill and cut q199's by 39.5%.
 #: Parity of both arm settings is pinned by
-#: tests/test_new_ops.py::test_q204_int_arm_matrix; the R=60
-#: interleaved A/B + per-stage attribution and the R=100 re-run land
-#: in Q204_ATTRIB_AB_r13.json / BENCH_SCALING_r13.json (numbers to be
-#: recorded here once measured).
+#: tests/test_new_ops.py::test_q204_int_arm_matrix.
+#: ADOPTED r13 (Q204_ATTRIB_AB_r13.json, strict legacy/int/int+probe
+#: interleave x3 at R=60 in one session): wall median 731.8s ->
+#: 363.4s (0.497x), spill 1.09 TB/run median -> deterministic ZERO
+#: in all three int reps. The same sitting's per-stage attribution
+#: adjudicates the R=30 -> R=100 discontinuity as PLAN/POOL-THRESHOLD
+#: crossing, not candidate growth: at R=30 BOTH arms spill zero (the
+#: verify rows stay pool-resident and the small sides broadcast —
+#: total shuffle-written records just 1.2-2.6M); at R=60 the legacy
+#: plan flips to three 256-task sort/shuffle stages carrying 541M
+#: array-laden verify rows (spill 396.8 + 376.3 + 300.8 GB, total
+#: written records 574.3M), where the INT arm's narrowed rows keep
+#: the flip from spilling at all (33.1M written records, 0 bytes
+#: spilled at half the wall).
 Q204_INT_VERIFY = True
 
 #: r13 companion arm, default OFF pending adjudication: narrow the
@@ -1945,9 +1955,14 @@ Q204_INT_VERIFY = True
 #: (doc, shingle) posting rides it), so the candidate join's shuffle
 #: bytes drop ~25% (8-byte key -> 4 in 24-ish-byte rows) — but the
 #: transform runs per posting rather than per candidate, so it's a
-#: wall-vs-bytes trade the interleaved A/B must referee (adjudication
-#: numbers to be recorded here once measured; parity of both settings
-#: is pinned by the same arm-matrix test either way).
+#: wall-vs-bytes trade the interleaved A/B must referee (parity of
+#: both settings is pinned by the same arm-matrix test either way).
+#: NOT SEPARABLE at r13 (Q204_ATTRIB_AB_r13.json, same strict x3
+#: interleave): 347.4s vs the int arm's 363.4s median (0.956x) with
+#: overlapping raw ranges ([341.2, 372.6] vs [343.3, 405.1]) and
+#: identical zero spill — inside the family's dispersion envelope,
+#: so the extra per-posting transform isn't adjudicated a win.
+#: Stays off.
 Q204_INT_PROBE = False
 
 
