@@ -1092,9 +1092,23 @@ def decade3_fresh(rnd: str) -> None:
             # finding, not a silent hole — record it honestly, and
             # salvage whatever legs the child DID finish (its
             # cumulative PROBE_JSON lines)
-            tail = (getattr(e, "stderr", "") or "")[-800:]
+            err_txt = getattr(e, "stderr", "") or ""
             block["err"] = type(e).__name__
-            block["stderr_tail"] = tail
+            block["stderr_tail"] = err_txt[-800:]
+            # the named root exception is what makes a failed leg a
+            # finding instead of a mystery (r12's q204 record carried
+            # 'No space left on device' only because it was re-probed
+            # by hand): keep every distinct exception line
+            named = sorted(
+                {
+                    ln.strip()[:200]
+                    for ln in err_txt.splitlines()
+                    if ("Exception" in ln or "Error" in ln)
+                    and "at " != ln.strip()[:3]
+                }
+            )
+            if named:
+                block["named_exceptions"] = named[:8]
             try:
                 d = _last_probe(getattr(e, "stdout", "") or "")
             except json.JSONDecodeError:
