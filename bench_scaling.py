@@ -1123,6 +1123,20 @@ def decade3_fresh(rnd: str) -> None:
                     d[khi]["sec"] / d[klo]["sec"] / (hi / lo), 3
                 )
         block["subprocess_wall_sec"] = round(time.perf_counter() - t0, 1)
+        # a crashed child JVM leaves its shuffle scratch behind
+        # (r13: q204's failed R=100 leg stranded a 39 GB blockmgr dir
+        # that halved the disk for every later child and killed q199's
+        # R=100 leg, which had succeeded the same day with clean
+        # scratch). The parent runs no Spark of its own and children
+        # are strictly serialized, so sweeping the stale dirs between
+        # children is safe.
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob("/tmp/blockmgr-*") + _glob.glob(
+            "/tmp/spark-*"
+        ):
+            _shutil.rmtree(stale, ignore_errors=True)
         result[name] = block
         print(name, json.dumps(block), flush=True)
         # incremental merge: the artifact is valid after every query,
