@@ -91,9 +91,25 @@ SAMPLES_PER_BUCKET = 32
 #: sample.
 _BOUNDARY_CACHE: dict = {}
 
+#: memoized bucket-assignment Columns, keyed exactly like
+#: _BOUNDARY_CACHE. Building the boundary-literal array is the
+#: DOMINANT plan-construction cost of this helper: B-1 struct
+#: literals x (lit + cast + alias per key field) is hundreds of py4j
+#: round trips — cProfile attributed 3.2s of q126+q170's 4.7s build
+#: time to the two blits list-comps (r13). A Column is an immutable
+#: JVM expression tree, and for a fixed ``boundary_key`` the sort
+#: expressions are fixed at the call site (the same assumption the
+#: boundary memo itself already makes), so the assembled bucket
+#: Column is reusable verbatim across plan builds within the
+#: application. Same hint-not-correctness contract as the boundary
+#: memo: the cached Column is a pure projection over the same
+#: literals the cache already pins.
+_BUCKET_COL_CACHE: dict = {}
+
 
 def clear_boundary_cache() -> None:
     _BOUNDARY_CACHE.clear()
+    _BUCKET_COL_CACHE.clear()
 
 
 def _normalize(sort_cols) -> list[Column]:
@@ -191,26 +207,30 @@ def with_global_order(
         if ck is not None:
             _BOUNDARY_CACHE[ck] = boundaries
 
-    key_struct = F.struct(
-        *[c.alias(f"_gk{i}") for i, c in enumerate(sc)]
-    )
-    if boundaries:
-        blits = F.array(
-            *[
-                F.struct(
-                    *[
-                        F.lit(v).cast(key_fields[j].dataType).alias(f"_gk{j}")
-                        for j, v in enumerate(b)
-                    ]
-                )
-                for b in boundaries
-            ]
+    bucket = _BUCKET_COL_CACHE.get(ck) if ck is not None else None
+    if bucket is None:
+        key_struct = F.struct(
+            *[c.alias(f"_gk{i}") for i, c in enumerate(sc)]
         )
-        # bucket = number of cut points strictly below my key: a pure,
-        # deterministic projection — every branch recomputes it equally
-        bucket = F.size(F.filter(blits, lambda b: b < key_struct))
-    else:
-        bucket = F.lit(0)
+        if boundaries:
+            blits = F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(v).cast(key_fields[j].dataType).alias(f"_gk{j}")
+                            for j, v in enumerate(b)
+                        ]
+                    )
+                    for b in boundaries
+                ]
+            )
+            # bucket = number of cut points strictly below my key: a pure,
+            # deterministic projection — every branch recomputes it equally
+            bucket = F.size(F.filter(blits, lambda b: b < key_struct))
+        else:
+            bucket = F.lit(0)
+        if ck is not None:
+            _BUCKET_COL_CACHE[ck] = bucket
 
     part = df.withColumn("_go_b", bucket)
 

@@ -55,6 +55,22 @@ def get_spark(app_name: str = "astarte_data_updater_plant_spark") -> SparkSessio
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # PySpark 4 wraps EVERY DataFrame API call with a call-site
+        # capture for error enrichment (pyspark/errors/utils.py
+        # _with_origin): a conf read + a PySparkCurrentOrigin.set/clear
+        # round trip + a Python stack walk per call — ~3 extra py4j
+        # RPCs on every Column/DataFrame operation. Plan construction
+        # is single-threaded driver work (optimization guide SS7.3), and
+        # the r13 interleaved A/B measured build time at 0.54-0.81x
+        # with capture off on the plan-heavy queries (q170 0.65x
+        # median, q126 0.66x best; /tmp ab_dfdebug_build probe, 4
+        # alternating fresh-JVM reps). Static conf, so it must be set
+        # here at build time; env-overridable for interactive
+        # debugging sessions that want enriched error call sites.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Untagged parquet timestamp[us] must read as TIMESTAMP, not
         # TIMESTAMP_NTZ: the session TZ is UTC so the instants are
