@@ -571,10 +571,29 @@ def _min_label_propagation(
         .toDF("src", "dst")
         .localCheckpoint(eager=False)
     )
+    # Seed = one neighbor-min round fused into the vertex derivation:
+    # label0 := min(self, neighbors) via a single groupBy over the
+    # bidirectional edge list — the same shuffle the old
+    # distinct-vertices seed paid, but it starts the loop one
+    # propagation round ahead (the old identity seed's first iteration
+    # recomputed exactly this groupBy before it could jump). The
+    # fixpoint is unchanged — min-label propagation converges to the
+    # component min from ANY monotone seed <= identity — so q45/q47
+    # parity is untouched; only the round count (and its per-round
+    # join+checkpoint+count actions) shrinks. r13 interleaved A/B
+    # (AB_LABELPROP_r13.json, 4 alternating fresh-JVM reps): corpus
+    # 0.751x median / 0.863x best-of, with the fused tree's raws far
+    # tighter (spread 0.28s vs 2.97s — fewer actions, less scheduler
+    # noise exposure); fully-cold q47 0.94x/1.05x (inside dispersion);
+    # the code-untouched q204 control swung 1.17x in the same session,
+    # which is the box's noise floor for the heavy probes.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("_nbr_min")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     if stats is not None and seed_t0 is not None:
