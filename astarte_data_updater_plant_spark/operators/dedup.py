@@ -104,6 +104,14 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shingle_h32,
             )
         ).alias("shingles"),
+        # token count rides along (r13): the split is already in hand
+        # here, so size() is free — and q47's election then reads
+        # n_tokens off this pinned fragment instead of re-scanning and
+        # re-tokenizing the whole documents table (guide SS2.4: one
+        # pass serves every consumer). Exactly functions/text.n_tokens
+        # (size(split(text,' ')) cast long), so the election's values
+        # are bit-identical.
+        F.size("toks").cast("long").alias("n_tokens"),
     )
 
 
@@ -339,6 +347,19 @@ Q42_INT_VERIFY = True
     "(Q45_COMPONENTS_AB_r12.json).",
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declared output = the verified pairs in (doc_a, doc_b) order; the
+    # deterministic sort exists ONLY for the declared result. Internal
+    # consumers (q45/q224 label propagation, q128/q144/q191 joins and
+    # aggregations) take _near_dup_pairs instead: r13 measured that the
+    # orderBy SURVIVES into their materializations (EliminateSorts does
+    # not fire across the union/localCheckpoint boundary), so every
+    # cold component build was paying a range exchange + full sort of
+    # the pair set for an ordering the next operator destroys
+    # (guide SS2.4: "an orderBy used only to make output deterministic").
+    return _near_dup_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets and band keys are pinned fragments: the self-join
     # reads both sides of each, and q45/q47 re-derive from q42 — one
     # materialization serves every consumer in the application
@@ -393,7 +414,6 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets_b, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -537,8 +557,8 @@ _COMPONENT_CTES_SQL = """
 
 
 #: per-build attribution log for q45's iterative label propagation
-#: (VERDICT r11 ask #3): (stage, seconds, changed_count) appended per
-#: driver-side action inside ``_labels`` — "pairs_and_seed" covers the
+#: (VERDICT r11 ask #3): (stage, seconds, label_sum_decrease) appended
+#: per driver-side action inside ``_labels`` — "pairs_and_seed" covers the
 #: whole q42 pair pipeline + edge/seed materialization, then one row
 #: per propagate+jump round. Driver-side list, bounded by the 32-round
 #: safety cap; read by bench_scaling's --q45-ab attribution block.
@@ -561,8 +581,9 @@ def _min_label_propagation(
     closure. Shared by q45 (full corpus) and q224 (the reduced
     touched-components graph), so the incremental operator provably
     runs the SAME machinery on a much smaller input. Optional
-    ``stats`` list receives (stage, seconds, changed) rows — q45's
-    Q45_ITER_STATS attribution hook."""
+    ``stats`` list receives (stage, seconds, label_sum_decrease) rows —
+    q45's Q45_ITER_STATS attribution hook (zero decrease == converged
+    round; see the monotone-sum convergence probe below)."""
     import time as _time
 
     cols = pairs.columns
@@ -602,6 +623,26 @@ def _min_label_propagation(
         stats.append(
             ("pairs_and_seed", round(_time.perf_counter() - seed_t0, 3), None)
         )
+
+    # Convergence probe: per-node labels are MONOTONE NON-INCREASING
+    # across rounds (seed: label <= self; propagate: min over self and
+    # neighbor labels; jump: label := label(label) and label(u) <= u),
+    # and every round keeps the exact vertex set (the jump join's right
+    # side covers all vertices, and label values are vertex ids). So
+    # the label-table SUM strictly decreases iff ANY label changed —
+    # comparing sums detects the fixpoint exactly. This replaces the
+    # old probe (join the new table against the previous one on doc_id,
+    # filter label != label, count: two more full label-table shuffles
+    # per round) with one partially-aggregated pass over the table the
+    # round just checkpointed (guide SS2.4: remove shuffles outright).
+    # decimal(38,0) keeps the sum exact far past any feasible corpus
+    # (sum of N int64 node ids overflows 10^38 only past ~10^19 docs).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _it in range(32):  # safety bound far above log2(corpus)
         t_it0 = _time.perf_counter()
         # propagate: every vertex takes the min label over itself and
@@ -630,18 +671,21 @@ def _min_label_propagation(
             .select("doc_id", F.col("p_label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(jumped)
+        # exact change indicator (see the monotonicity argument above);
+        # the stats row records the total label DECREASE this round —
+        # zero iff the round was a no-op — instead of the old
+        # changed-row count (same zero/non-zero semantics, and the
+        # magnitude additionally says how far from the fixpoint the
+        # round landed)
+        delta = 0 if prev_sum is None else int(prev_sum - new_sum)
         labels = jumped
+        prev_sum = new_sum
         if stats is not None:
             stats.append(
-                (f"iter_{_it}", round(_time.perf_counter() - t_it0, 3), changed)
+                (f"iter_{_it}", round(_time.perf_counter() - t_it0, 3), delta)
             )
-        if changed == 0:
+        if delta == 0:
             break
     return labels
 
@@ -674,7 +718,7 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         Q45_ITER_STATS.clear()
         t_pairs0 = _time.perf_counter()
-        pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        pairs = _near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
         return _min_label_propagation(
             pairs, stats=Q45_ITER_STATS, seed_t0=t_pairs0
         )
@@ -721,12 +765,18 @@ def q45_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no driver-side anything, so it scales with the corpus.",
 )
 def q47_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import n_tokens
-
     comp = q45_near_dup_components(spark, sf_dir).select("doc_id", "component_id")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", n_tokens(F.col("text")).alias("n_tokens")
-    )
+    # r13: the docs side reads (doc_id, n_tokens) off the pinned
+    # shingle_sets fragment — the fragment's tokenize pass (which q42's
+    # pair pipeline materializes anyway on every cold build) already
+    # computed size(split(text,' ')), so the election drops its own
+    # full documents scan + re-split + round-robin exchange (plan nodes
+    # 1-3 of plans/r13/q47_dedup_keep_best_before.txt). The fragment
+    # covers ALL docs (degenerate texts keep an empty shingle array),
+    # so left-join semantics for singletons are unchanged.
+    docs = fragment(
+        spark, sf_dir, "shingle_sets", lambda: _shingle_sets(spark, sf_dir)
+    ).select("doc_id", "n_tokens")
     lab = (
         docs.join(comp, "doc_id", "left")
         .withColumn("component_id", F.coalesce("component_id", "doc_id"))
@@ -787,7 +837,7 @@ INCR_BATCH_MOD = 7
     "against the (batch-bounded) relabel mapping.",
 )
 def q224_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     new_a = F.col("doc_a") % INCR_BATCH_MOD == 0
     new_b = F.col("doc_b") % INCR_BATCH_MOD == 0
     # the existing state: labels computed over the OLD corpus only
@@ -954,7 +1004,7 @@ def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tiny) verified-pair set.",
 )
 def q128_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
     sig = minhash_signatures(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
@@ -1027,7 +1077,7 @@ def q128_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
     pos = pairs.groupBy(F.col("doc_a").alias("anchor_id")).agg(
         F.min("doc_b").alias("pos_id")
     )
@@ -1197,7 +1247,7 @@ def q190_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "~|pairs| attribution rows.",
 )
 def q191_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_near_dup_pairs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))

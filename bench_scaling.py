@@ -552,8 +552,10 @@ def q45_ab(reps: int, rnd: str) -> None:
     per-stage shuffle/spill diff from the app status store and (b)
     dedup.Q45_ITER_STATS — the driver-side per-round log of the label
     propagation loop ("pairs_and_seed" = the whole q42 pair pipeline +
-    edge/seed materialization, then one row per propagate+jump round)
-    — so the spill-vs-compute and which-iteration questions are
+    edge/seed materialization, then one row per propagate+jump round;
+    the "changed" field is the round's total label-sum decrease since
+    r13's monotone-sum convergence probe, zero iff the round was a
+    no-op) — so the spill-vs-compute and which-iteration questions are
     answered by measurement, not plan reading.
 
     A/B pass: legacy/int x reps strict interleave, q47 cold per run,

@@ -732,3 +732,52 @@ def test_q221_weight_formula_big_cnt_cross_engine(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_min_label_propagation_sum_probe(spark):
+    """r13 convergence probe: the per-round changed-row join+count was
+    replaced by an exact monotone label-sum compare. Pin the loop's
+    output against a pure-Python union-find on graphs that stress the
+    probe: a long chain (many propagate+jump rounds, so the probe runs
+    repeatedly), a star, disjoint components, singleton-free sparse
+    ids (labels are node ids, not dense), and an empty edge list."""
+    from astarte_data_updater_plant_spark.operators.dedup import (
+        _min_label_propagation,
+    )
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    cases = [
+        # 40-node chain with non-dense ids: needs several jump rounds
+        [(i * 10 + 3, (i + 1) * 10 + 3) for i in range(40)],
+        # star with the CENTER as the max id (propagation must pull the
+        # min leaf through the center)
+        [(999, leaf) for leaf in (5, 8, 13, 21, 34)],
+        # two disjoint components + an isolated self-contained pair
+        [(1, 2), (2, 3), (100, 101), (500, 600), (600, 700)],
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.doc_id: r.label for r in _min_label_propagation(pairs).collect()
+        }
+        want = union_find_components(edges)
+        assert got == want, f"edges={edges}"
+
+    # empty edge list: no vertices, empty label table, loop exits
+    empty = spark.createDataFrame([], "a long, b long")
+    assert _min_label_propagation(empty).count() == 0
