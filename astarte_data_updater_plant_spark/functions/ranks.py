@@ -163,11 +163,23 @@ def with_global_order(
     )
 
     # --- phase 1: deterministic boundary discovery (ONE bounded action)
-    keyed = df.select(*[c.alias(f"_gk{i}") for i, c in enumerate(sc)])
-    key_fields = keyed.schema.fields
     ck = None
     if boundary_key is not None:
         ck = (spark.sparkContext.applicationId, boundary_key, n_buckets)
+    bucket = _BUCKET_COL_CACHE.get(ck) if ck is not None else None
+    if bucket is not None:
+        # fully warm call site: skip keyed-projection construction AND
+        # its ``.schema`` analysis round trip — r13 measured that the
+        # schema call re-analyzes the ENTIRE upstream plan on every
+        # plan build (q170's token pipeline, q126's corpus scan) even
+        # though its result is only consumed by the boundary probe and
+        # the bucket-literal casts, both already memoized under ck
+        # (guide SS7.3: planning is driver-side single-threaded work)
+        return _attach_order_outputs(
+            df, sc, bucket, rank, total, ntile, cumsums
+        )
+    keyed = df.select(*[c.alias(f"_gk{i}") for i, c in enumerate(sc)])
+    key_fields = keyed.schema.fields
     boundaries: list[tuple] | None = _BOUNDARY_CACHE.get(ck) if ck else None
     if boundaries is None:
         boundaries = []
@@ -207,31 +219,45 @@ def with_global_order(
         if ck is not None:
             _BOUNDARY_CACHE[ck] = boundaries
 
-    bucket = _BUCKET_COL_CACHE.get(ck) if ck is not None else None
-    if bucket is None:
-        key_struct = F.struct(
-            *[c.alias(f"_gk{i}") for i, c in enumerate(sc)]
+    key_struct = F.struct(
+        *[c.alias(f"_gk{i}") for i, c in enumerate(sc)]
+    )
+    if boundaries:
+        blits = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.lit(v).cast(key_fields[j].dataType).alias(f"_gk{j}")
+                        for j, v in enumerate(b)
+                    ]
+                )
+                for b in boundaries
+            ]
         )
-        if boundaries:
-            blits = F.array(
-                *[
-                    F.struct(
-                        *[
-                            F.lit(v).cast(key_fields[j].dataType).alias(f"_gk{j}")
-                            for j, v in enumerate(b)
-                        ]
-                    )
-                    for b in boundaries
-                ]
-            )
-            # bucket = number of cut points strictly below my key: a pure,
-            # deterministic projection — every branch recomputes it equally
-            bucket = F.size(F.filter(blits, lambda b: b < key_struct))
-        else:
-            bucket = F.lit(0)
-        if ck is not None:
-            _BUCKET_COL_CACHE[ck] = bucket
+        # bucket = number of cut points strictly below my key: a pure,
+        # deterministic projection — every branch recomputes it equally
+        bucket = F.size(F.filter(blits, lambda b: b < key_struct))
+    else:
+        bucket = F.lit(0)
+    if ck is not None:
+        _BUCKET_COL_CACHE[ck] = bucket
 
+    return _attach_order_outputs(df, sc, bucket, rank, total, ntile, cumsums)
+
+
+def _attach_order_outputs(
+    df: DataFrame,
+    sc: list[Column],
+    bucket: Column,
+    rank: str | None,
+    total: str | None,
+    ntile: tuple[int, str] | None,
+    cumsums: list,
+) -> DataFrame:
+    """Phases 2-3 of ``with_global_order`` over a ready bucket column:
+    keyed window for local position, ~B-row summary -> exclusive
+    offsets, broadcast-joined back. Split out so a fully-memoized call
+    site (boundaries AND bucket cached) skips phase 1 entirely."""
     part = df.withColumn("_go_b", bucket)
 
     # --- phase 2: keyed window for local position / running sums --------

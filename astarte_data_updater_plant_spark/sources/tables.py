@@ -57,8 +57,35 @@ def table_path(sf_dir: str, name: str) -> str:
 #: tests/test_plans.test_global_order_inputs_pinned_single_evaluation).
 _SCHEMA_CACHE: dict = {}
 
+#: assembled leaf DataFrame per (application, path) — r13: with the
+#: schema memoized, the remaining per-load cost was pure driver-side
+#: py4j chatter re-assembling an identical immutable plan (the
+#: read.schema().parquet() call, the CPU_DENSE ``df.rdd
+#: .getNumPartitions()`` round trip, the NTZ-cast withColumn walk) on
+#: EVERY plan build — q05 pays it six times per build. A DataFrame is
+#: an immutable logical plan over a snapshot path (the same contract
+#: _SCHEMA_CACHE and plans/fragments already rely on), so the
+#: assembled leaf is reusable verbatim; this memoizes the PLAN object
+#: only — no data, no results, every action still recomputes from
+#: parquet (guide SS7.3: plan construction is driver-side,
+#: single-threaded, and does not parallelize on a cluster).
+_TABLE_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    tck = (spark.sparkContext.applicationId, path)
+    cached = _TABLE_CACHE.get(tck)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name, path)
+    _TABLE_CACHE[tck] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, path: str
+) -> DataFrame:
     if name == "events":
         # runtime confs, set defensively: the driver's session won't have
         # them. Both guard against the two ways the generator has emitted
