@@ -166,6 +166,29 @@ def probe_heavy(tree: str) -> None:
     print("PROBE_JSON " + json.dumps(out))
 
 
+def probe_rank(tree: str) -> None:
+    """bench.py's HEADLINE methodology for the two-phase-rank consumers
+    the r13 histogram-rank rewrite touches (q170 zipf fit, q145 ROC
+    AUC): warm fragments (the headline set times these shapes
+    warm-fragment), 1 warm-up + 5 timed noop runs each."""
+    sys.path.insert(0, tree)
+    from astarte_data_updater_plant_spark.plans.registry import queries_map
+    from astarte_data_updater_plant_spark.session import get_spark
+
+    spark = get_spark("ab_probe_rank")
+    qmap = queries_map()
+    out: dict = {"tree": tree}
+    for name, key in (
+        ("q170_zipf_fit", "rank_q170"),
+        ("q145_roc_auc", "rank_q145"),
+    ):
+        def one(q=qmap[name]):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        out[key] = _measure(one)
+    print("PROBE_JSON " + json.dumps(out))
+
+
 #: THE probe-kind registry: kind -> (probe entrypoint, summary specs
 #: as (summary_key, family, value_key) triples). main() validates
 #: requested kinds against it and the --probe dispatcher resolves
@@ -197,6 +220,15 @@ PROBES = {
             ("heavy_q47_sec_best", "heavy_q47", "best"),
             ("heavy_q204_sec", "heavy_q204", "sec"),
             ("heavy_q204_sec_best", "heavy_q204", "best"),
+        ),
+    ),
+    "rank": (
+        probe_rank,
+        (
+            ("rank_q170_sec", "rank_q170", "sec"),
+            ("rank_q170_sec_best", "rank_q170", "best"),
+            ("rank_q145_sec", "rank_q145", "sec"),
+            ("rank_q145_sec_best", "rank_q145", "best"),
         ),
     ),
 }

@@ -2009,6 +2009,15 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q170 — Zipf's-law fit of the term-frequency distribution
 # ---------------------------------------------------------------------------
 
+#: rank-range generation chunk for the q170 histogram rank: one
+#: frequency tier's [excl+1, excl+cnt] rank run is re-generated as
+#: sequence() chunks of at most this many ranks so a giant tier (the
+#: hapax f=1 run is ~half a natural vocabulary) never becomes a single
+#: generate task. 2^18 longs = 2 MiB per transient sequence array;
+#: result-invariant by construction (tests monkeypatch it to 3 to
+#: exercise multi-chunk reassembly at test scale).
+Q170_RANK_CHUNK = 1 << 18
+
 
 @register(
     "q170_zipf_fit",
@@ -2055,7 +2064,11 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-uniform vocabulary sits near 0 — exactly the kind of "
     "distribution-shape red flag the statistic exists to raise "
     "before tokenizer/vocab decisions are made on a crawl). One "
-    "explode + one global rank + a 5-sum aggregate.",
+    "explode + a distinct-frequency histogram rank + a 6-sum "
+    "aggregate: the per-token global rank is consumed ONLY through "
+    "ln(rank) summed within frequency ties, so the vocabulary-sized "
+    "rank shuffle collapses to rank RANGES per distinct frequency "
+    "(r13, guide §2.3/§2.4 — see the function body).",
 )
 def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2066,17 +2079,59 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("f")),
     )
-    # range-partitioned two-phase rank: the Zipf rank axis stays parallel
-    ranked = with_global_order(freq, [(F.col("f"), "desc"), "tok"], rank="r", boundary_key=sf_dir + ":q170")
-    pts = ranked.select(
-        F.floor(F.log("r") * 1000000).cast("long").alias("x"),
+    # r13 histogram rank (guide §2.3 "aggregate before you shuffle",
+    # §2.4 remove shuffles outright): the declared output consumes the
+    # per-token rank ONLY through floor(ln(r)*1e6) summed into sx/sxx/
+    # sxy, and within a frequency tie-run y = floor(ln(f)*1e6) is
+    # constant — so the (ln r, ln f) point MULTISET (hence every exact
+    # integer sum) is fully determined by each distinct frequency's
+    # contiguous rank range [excl+1, excl+cnt] under the f-desc order.
+    # The tok tie-break only permutes ranks WITHIN a tie-run, which the
+    # sums cannot see. Ranking therefore moves from the vocabulary
+    # (billions of tokens at crawl scale) to the distinct-frequency
+    # histogram (~O(sqrt(corpus tokens)) rows), and the per-token rank
+    # values are re-generated as sequences — compute, not shuffle.
+    hist = freq.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tiers = with_global_order(
+        hist,
+        [(F.col("f"), "desc")],
+        cumsums=[("cnt", "excl", "exclusive")],
+        boundary_key=sf_dir + ":q170",
+    )
+    # re-generate each tier's rank range in bounded chunks so one giant
+    # tier (the hapax f=1 run is ~half a natural vocabulary) never
+    # becomes a single generate task; (f, ci) is a high-cardinality
+    # deterministic key, so the repartition spreads chunks evenly
+    chunk = Q170_RANK_CHUNK
+    chunked = tiers.select(
+        "f",
         F.floor(F.log("f") * 1000000).cast("long").alias("y"),
+        "excl",
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("cnt") - 1) / F.lit(chunk)).cast("long"),
+            )
+        ).alias("ci"),
+    ).repartition(F.col("f"), F.col("ci"))
+    r_lo = F.col("excl") + F.col("ci") * chunk + 1
+    r_hi = F.col("excl") + F.least(F.col("cnt"), (F.col("ci") + 1) * chunk)
+    pts = chunked.select(
+        "f", "y", F.explode(F.sequence(r_lo, r_hi)).alias("r")
+    ).select(
+        "f",
+        F.floor(F.log("r") * 1000000).cast("long").alias("x"),
+        "y",
     )
     # DECIMAL(38,0) accumulation (oracle: HUGEINT): |x|,|y| <= ~4e7, so
     # x*y ~ 1e15 and the regression sums pass int64 at a ~1e5 vocabulary.
     # Spark (non-ANSI) would wrap silently where DuckDB raises — widening
     # both sides keeps the "exact integer, bit-deterministic" claim true
-    # to ~1e38 (a 1e22-term vocabulary, i.e. never).
+    # to ~1e38 (a 1e22-term vocabulary, i.e. never). top_freq folds into
+    # the same aggregate (max f over the exploded points IS max f over
+    # freq — every tier contributes at least one rank), dropping the
+    # former second pass over freq and its cross join.
     xd = F.col("x").cast("decimal(12,0)")
     yd = F.col("y").cast("decimal(12,0)")
     agg = pts.agg(
@@ -2085,11 +2140,11 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(yd).cast("decimal(38,0)").alias("sy"),
         F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
         F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.max("f").alias("top_freq"),
     )
-    top = freq.agg(F.max("f").alias("top_freq"))
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return agg.crossJoin(F.broadcast(top)).select(
+    return agg.select(
         F.col("n").cast("long").alias("n_terms"),
         num.cast("decimal(38,0)").alias("slope_num"),
         den.cast("decimal(38,0)").alias("slope_den"),

@@ -401,13 +401,13 @@ AUC_TASKS = (3, 5, 7)
     "and TIED scores take the average rank (rank_min + rank_max)/2 — "
     "the doubled sum keeps every intermediate an exact integer, so "
     "the statistic is bit-deterministic; the single final division "
-    "is the only float op. The rank pass is computed ONCE and all "
-    "tasks aggregate from it conditionally (3 tasks, still one "
-    "window + one aggregate — never one sort per task). At cluster "
-    "scale the global rank is a range-partitioned sort; the "
-    "evaluation shape (distributed exact AUC over billions of "
-    "scored examples) is what a model-eval pipeline runs after "
-    "every training epoch.",
+    "is the only float op. The U statistic only reads each tie "
+    "group's rank bounds, so the rank pass runs over the "
+    "(score, label) HISTOGRAM, never the scored rows themselves "
+    "(r13, guide §2.3): per-row sums become lcnt-weighted group "
+    "sums, exactly. At cluster scale the heavy axis (billions of "
+    "scored examples) crosses one map-side-combined aggregation; "
+    "only distinct (score, label) pairs shuffle after that.",
 )
 def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -418,22 +418,42 @@ def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(norm(to_double_array(F.col("embedding"))), 6).alias("score"),
         ),
     )
-    # two-phase global row_number (functions/ranks.py), then min/max per
-    # tie group: tied scores occupy a contiguous global-rank interval
-    # whatever arbitrary order the range shuffle gives them, so min(rn)
-    # is exactly RANK() and max(rn) the upper average-rank bound — with
-    # no single-partition WindowExec (the w_ties window is keyed)
-    w_ties = Window.partitionBy("score")
-    ranked = with_global_order(s, ["score"], rank="rn", boundary_key=sf_dir + ":q145").select(
+    # r13 histogram rank (guide §2.3 "aggregate before you shuffle"):
+    # the Mann-Whitney sums consume ranks ONLY via each tie group's
+    # (rank_min + rank_max), which is determined by the cumulative
+    # score-histogram counts — rank_min = excl + 1, rank_max =
+    # excl + cnt for a tie block of cnt rows after excl lower scores.
+    # Aggregating to the (score, label) histogram FIRST turns the
+    # former per-row rank window + tie min/max window over every
+    # scored example into two map-side-combined groupBys plus the
+    # two-phase cumsum over distinct scores; every per-row term of
+    # the old plan reappears lcnt-weighted, so the integers (hence
+    # the one final double division) are bit-identical.
+    hist = s.groupBy("score", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("lcnt")
+    )
+    scnt = hist.groupBy("score").agg(F.sum("lcnt").cast("long").alias("cnt"))
+    tiers = with_global_order(
+        scnt,
+        ["score"],
+        cumsums=[("cnt", "excl", "exclusive")],
+        boundary_key=sf_dir + ":q145",
+    )
+    ranked = hist.join(tiers, "score").select(
         "label",
-        F.min("rn").over(w_ties).alias("rank_min"),
-        F.max("rn").over(w_ties).alias("rank_max"),
+        "lcnt",
+        (F.col("excl") + 1).alias("rank_min"),
+        (F.col("excl") + F.col("cnt")).alias("rank_max"),
     )
     tasks = spark.createDataFrame([(t,) for t in AUC_TASKS], "pos_min int")
     pos = F.col("label") >= F.col("pos_min")
-    n_pos = F.sum(pos.cast("int"))
-    n_neg = F.sum((~pos).cast("int"))
-    sum_r2 = F.sum(F.when(pos, F.col("rank_min") + F.col("rank_max")).otherwise(0))
+    n_pos = F.sum(F.when(pos, F.col("lcnt")).otherwise(0))
+    n_neg = F.sum(F.when(~pos, F.col("lcnt")).otherwise(0))
+    sum_r2 = F.sum(
+        F.when(
+            pos, F.col("lcnt") * (F.col("rank_min") + F.col("rank_max"))
+        ).otherwise(0)
+    )
     u_x2 = sum_r2 - n_pos * (n_pos + 1)
     return (
         ranked.crossJoin(F.broadcast(tasks))

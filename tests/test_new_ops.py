@@ -781,3 +781,29 @@ def test_min_label_propagation_sum_probe(spark):
     # empty edge list: no vertices, empty label table, loop exits
     empty = spark.createDataFrame([], "a long, b long")
     assert _min_label_propagation(empty).count() == 0
+
+
+def test_q170_histogram_rank_chunked_matches_oracle(spark):
+    """The r13 q170 histogram rank re-generates each frequency tier's
+    contiguous rank range as bounded sequence() chunks
+    (Q170_RANK_CHUNK). At the default 2^18 the test corpora never
+    produce a multi-chunk tier, so this pins the chunk reassembly
+    explicitly: with the chunk forced to 1, every rank becomes its own
+    chunk row (sf0.001's frequency tie run splits across chunks), and
+    the result must still match the oracle's per-token
+    ROW_NUMBER() formulation bit-for-bit — the multiset-equivalence
+    argument is chunk-size-invariant or it is wrong."""
+    from astarte_data_updater_plant_spark.operators import corpus
+
+    spec = QUERIES["q170_zipf_fit"]
+    saved = corpus.Q170_RANK_CHUNK
+    corpus.Q170_RANK_CHUNK = 1
+    try:
+        ok, msg = compare(
+            spec.fn(spark, "/root/testdata/sf0.001"),
+            spec.oracle,
+            "/root/testdata/sf0.001",
+        )
+        assert ok, f"chunk=1: {msg}"
+    finally:
+        corpus.Q170_RANK_CHUNK = saved

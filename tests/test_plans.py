@@ -213,8 +213,11 @@ PLAN_BUDGETS = {
     "q142_weighted_sample": (1, 0, 0, 0),
     "q143_point_in_time_features": (2, 0, 0, 0),
     "q144_contrastive_pairs": (13, 5, 2, 4),
-    # nested loop = broadcast 3-row task list cross join
-    "q145_roc_auc": (8, 1, 0, 2),
+    # nested loops = rank-offset theta join + broadcast 3-row task list
+    # cross join; r13 histogram-rank rewrite: the per-row rank window +
+    # tie min/max window collapsed into (score,label) groupBys (8 -> 6
+    # exchanges, and the full-data passes became histogram-sized)
+    "q145_roc_auc": (6, 1, 0, 2),
     "q146_classifier_prf": (4, 1, 0, 0),
     # the nested loops are broadcast scalar (budget/saturation) cross joins
     "q147_token_waterfill": (7, 2, 0, 5),
@@ -250,8 +253,12 @@ PLAN_BUDGETS = {
     # nested loop = broadcast 1-row loss-stats cross join
     "q168_logreg_gd": (3, 0, 0, 1),
     "q169_tokenizer_roundtrip": (8, 5, 0, 2),
-    # nested loop = broadcast 1-row top-frequency cross join
-    "q170_zipf_fit": (7, 1, 0, 2),
+    # nested loop = the rank-offset theta join; r13 histogram-rank
+    # rewrite: the vocabulary-sized rank window moved to the
+    # distinct-frequency histogram and top_freq folded into the main
+    # aggregate (7 -> 6 exchanges, second freq pass + its cross join
+    # gone)
+    "q170_zipf_fit": (6, 1, 0, 1),
     "q171_top_supplier": (4, 2, 0, 0),
 }
 
