@@ -208,7 +208,15 @@ def with_global_order(
                     (v is not None, 0 if v is None else v) for v in r
                 )
             )
-            if len(sample) > 1:
+            # a 1-row (or all-identical-key) sample still yields ONE
+            # cut after dedupe: phases 2-4 are exact for ANY cut list,
+            # and a non-empty list keeps the bucket column a real
+            # expression — with boundaries=[] the bucket is lit(0),
+            # Catalyst constant-folds the window's partition spec away,
+            # and the plan regresses to the banned single-partition
+            # WindowExec (caught by the repo-wide sweep when r13's
+            # q145 histogram input collapsed to one distinct score)
+            if sample:
                 step = len(sample) / n_buckets
                 cuts = []
                 for i in range(1, n_buckets):

@@ -215,9 +215,12 @@ PLAN_BUDGETS = {
     "q144_contrastive_pairs": (13, 5, 2, 4),
     # nested loops = rank-offset theta join + broadcast 3-row task list
     # cross join; r13 histogram-rank rewrite: the per-row rank window +
-    # tie min/max window collapsed into (score,label) groupBys (8 -> 6
-    # exchanges, and the full-data passes became histogram-sized)
-    "q145_roc_auc": (6, 1, 0, 2),
+    # tie min/max window collapsed into (score,label) groupBys — the
+    # exchange COUNT stays at the two-phase machinery's 8, but every
+    # rank-machinery exchange now carries histogram rows, and the
+    # degenerate-sample case stays a KEYED window (see
+    # test_with_global_order_degenerate_key_stays_keyed)
+    "q145_roc_auc": (8, 1, 0, 2),
     "q146_classifier_prf": (4, 1, 0, 0),
     # the nested loops are broadcast scalar (budget/saturation) cross joins
     "q147_token_waterfill": (7, 2, 0, 5),
@@ -401,3 +404,40 @@ def test_memo_caches_are_performance_hints_only(spark, qs):
         tb._SCHEMA_CACHE.clear()
         cold = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
         assert warm == cold, f"{name}: cleared caches changed the result"
+
+
+def test_with_global_order_degenerate_key_stays_keyed(spark):
+    """A boundary sample with ONE distinct key (r13: q145's score
+    histogram collapses to a single distinct score at test SFs) must
+    still produce a KEYED window: with an empty cut list the bucket
+    column is lit(0) and Catalyst constant-folds the partition spec
+    away, regressing to the banned single-partition WindowExec. The
+    helper now keeps one cut from a degenerate sample — exact for any
+    cut list — so the plan stays keyed and the outputs stay right."""
+    from astarte_data_updater_plant_spark.functions.ranks import (
+        clear_boundary_cache,
+        with_global_order,
+    )
+    from astarte_data_updater_plant_spark.plans.inspect import (
+        empty_partition_windows,
+    )
+
+    clear_boundary_cache()
+    # one row (the q145 shape: cumsum over a 1-row score histogram)
+    one = spark.createDataFrame([(1.5, 7)], "score double, cnt long")
+    out = with_global_order(
+        one, ["score"], cumsums=[("cnt", "excl", "exclusive")]
+    )
+    assert empty_partition_windows(out) == []
+    assert [(r.score, r.cnt, r.excl) for r in out.collect()] == [(1.5, 7, 0)]
+    # several rows, all tied on the leading key, unique tie-break
+    tied = spark.createDataFrame(
+        [(1.5, i, 1) for i in range(5)], "score double, v long, cnt long"
+    )
+    out2 = with_global_order(
+        tied, ["score", "v"], rank="r",
+        cumsums=[("cnt", "excl", "exclusive")],
+    )
+    assert empty_partition_windows(out2) == []
+    rows = sorted((r.v, r.r, r.excl) for r in out2.collect())
+    assert rows == [(i, i + 1, i) for i in range(5)]
