@@ -532,21 +532,66 @@ def main() -> None:
     # the driver's artifact capture keeps only a 2,000-char TAIL of
     # this output — the r8 headline totals fell off the front of the
     # full line and survived only in the preview artifact (VERDICT r8
-    # ask #3). Repeat every scalar (no nested per-query dicts) as a
+    # ask #3). Repeat every scalar PLUS the per-query medians as a
     # compact LAST line so the committed artifact is self-contained
-    # under truncation.
+    # under truncation: r12/r13's tail dropped ALL nested dicts, which
+    # blinded the driver's PERF comparison (n_common: 0, geomean null,
+    # bench_ok false both rounds — VERDICT r13 ask #1). The headline +
+    # heavy medians are ~650 chars; the assembled line is ~1.5k, and
+    # _tail_line trims lowest-priority scalars first if growth ever
+    # pushes it past the capture window.
     # label LAST: ``full`` carries its own "metric" scalar and later
     # keys win in dict literals, so spreading first would override the
     # tail label (ADVICE r9 — BENCH_r09's tail line was mislabeled
     # "headline_queries_total")
-    print(json.dumps({
+    print(_tail_line(full))
+
+
+#: scalar keys dropped FIRST (least load-bearing for the driver's
+#: round-over-round comparison) if the tail line ever outgrows the
+#: capture window; the per-query maps are never dropped — they are the
+#: whole point of the tail line (VERDICT r13 ask #1).
+_TAIL_TRIM_ORDER = (
+    "stream_ingest_msgs_per_sec_tuned_best",
+    "stream_ingest_sec_best",
+    "stream_ingest_sec_iqr",
+    "ingest_sec_best",
+    "ingest_sec_iqr",
+    "corpus_dedup_sec_best",
+    "corpus_dedup_sec_iqr",
+    "ingest_msgs_per_sec_best",
+    "stream_ingest_msgs_per_sec",
+    "value_r1set_best",
+)
+
+#: the driver keeps this many chars of stdout tail; leave slack for
+#: the trailing newline and any final log line the runtime appends
+_TAIL_BUDGET = 1950
+
+
+def _tail_line(full: dict) -> str:
+    """Compact, truncation-safe summary: every scalar plus the headline
+    and heavy per-query MEDIANS (3-decimal), guaranteed to fit in the
+    driver's 2,000-char stdout tail capture."""
+    tail = {
         **{
             k: v
             for k, v in full.items()
             if not isinstance(v, dict) and k != "metric"
         },
+        "queries": {k: round(v, 3) for k, v in full["queries"].items()},
+        "queries_heavy": {
+            k: round(v, 3) for k, v in full["queries_heavy"].items()
+        },
         "metric": "bench_summary_tail",
-    }))
+    }
+    line = json.dumps(tail)
+    for key in _TAIL_TRIM_ORDER:
+        if len(line) <= _TAIL_BUDGET:
+            break
+        tail.pop(key, None)
+        line = json.dumps(tail)
+    return line
 
 
 if __name__ == "__main__":
