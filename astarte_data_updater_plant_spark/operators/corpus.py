@@ -2014,8 +2014,8 @@ def q169_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sequence() chunks of at most this many ranks so a giant tier (the
 #: hapax f=1 run is ~half a natural vocabulary) never becomes a single
 #: generate task. 2^18 longs = 2 MiB per transient sequence array;
-#: result-invariant by construction (tests monkeypatch it to 3 to
-#: exercise multi-chunk reassembly at test scale).
+#: result-invariant by construction (the chunk-reassembly test forces
+#: it to 1 so every tier splits at test scale).
 Q170_RANK_CHUNK = 1 << 18
 
 

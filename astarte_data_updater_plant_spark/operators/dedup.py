@@ -24,6 +24,9 @@ while hashing each shingle only once.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +53,102 @@ N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
 NGRAM_LEN = 16
 NGRAM_DF_MAX = 10
 NGRAM_JACCARD_MIN = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Scale-adaptive partition pin for the array-carrying verify joins (r14)
+# ---------------------------------------------------------------------------
+
+#: target in-memory (Tungsten) bytes per verify-join task. AQE sizes a
+#: reduce stage from its COMPRESSED shuffle INPUT (64 MB advisory,
+#: capped at initialPartitionNum) and is blind to the stage's OUTPUT:
+#: the verify joins read compact (doc_a, doc_b) pairs but attach the
+#: pinned shingle ARRAYS, whose Tungsten rows inflate ~5x over the
+#: compressed wire format — measured at q199 R=30 (r14 re-probe,
+#: matching the r13 attribution): the 35-task stage that attaches sh_a
+#: and shuffle-writes by doc_b reads 104.2M compact rows, writes
+#: 104.0M array rows (9.05 GB compressed, ~52 GB Tungsten) and spills
+#: 51.8 GB — ~1.5 GB/task of paging against a ~220 MB/task pool share
+#: (12g driver, 32 concurrent tasks). 128 MB/task keeps every verify
+#: stage under the share with 2x headroom (guide SS5 "more partitions
+#: (smaller per-task state)"; SS2.5 partitioning derived from input
+#: size, not a constant).
+VERIFY_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VERIFY_TASK_BYTES", str(128 << 20))
+)
+
+#: hard ceiling on the pin (tasks): far above any measured need
+#: (q199's R=100 estimate is ~1.3k) while bounding the M x R shuffle
+#: block count (guide SS2.2)
+VERIFY_PIN_MAX = 4096
+
+#: measured Tungsten expansion of each operator's verify stage per
+#: byte of documents parquet, calibrated on the replicated bench
+#: corpus family (the series BENCH_SCALING tracks): q199's verify
+#: carries ~52 GB at R=30 over 18.6 MB of documents (C ~= 2800);
+#: q42's ~15 GB (30.1M pairs, Q45_COMPONENTS_AB_r12) gives C ~= 800.
+#: The estimate only sizes TASKS — a 2-3x miscalibration on another
+#: corpus still yields per-task buffers within a small multiple of
+#: the target, versus the unpinned plan's measured 1.5 GB/task — and
+#: the env override re-calibrates without a code change.
+VERIFY_EXPANSION_Q42 = float(os.environ.get("SPARK_GRAFT_VERIFY_EXP_Q42", "800"))
+VERIFY_EXPANSION_Q199 = float(
+    os.environ.get("SPARK_GRAFT_VERIFY_EXP_Q199", "2800")
+)
+
+_DOCS_BYTES_CACHE: dict = {}
+
+
+def _docs_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the documents table — plan-time scale signal
+    (filesystem metadata only, no Spark action)."""
+    cached = _DOCS_BYTES_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    path = os.path.join(sf_dir, "documents.parquet")
+    total = 0
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    _DOCS_BYTES_CACHE[sf_dir] = total
+    return total
+
+
+def _verify_pin(spark: SparkSession, sf_dir: str, expansion: float) -> int | None:
+    """Partition count for the verify joins at this data scale, or
+    None when the default AQE posture already suffices.
+
+    Engages ONLY past the session's initialPartitionNum — below it the
+    returned plan is byte-identical to the unpinned one (bench and
+    parity scales never pin), above it a user-specified repartition is
+    exempt from AQE coalescing, so the join runs at a task count sized
+    to the stage's OUTPUT instead of its compressed input. Broadcast
+    interplay is safe by construction: at every engage scale the sets
+    side is far past the 10 MB adaptive broadcast threshold, so the
+    joins are exchange-based with or without the pin — the repartition
+    replaces an exchange, never adds one."""
+    if os.environ.get("SPARK_GRAFT_VERIFY_PIN_DISABLE") == "1":
+        return None
+    est = _docs_bytes(sf_dir) * expansion
+    n = int(math.ceil(est / VERIFY_TASK_BYTES))
+    try:
+        initial = int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n <= initial:
+        return None
+    return min(n, VERIFY_PIN_MAX)
 
 
 @register(
@@ -356,7 +455,36 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold component build was paying a range exchange + full sort of
     # the pair set for an ordering the next operator destroys
     # (guide SS2.4: "an orderBy used only to make output deterministic").
-    return _near_dup_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+    return _declared_pair_order(_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b")
+
+
+def _declared_pair_order(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic declared ordering WITHOUT re-executing the verify
+    reduce underneath it.
+
+    ``orderBy`` is a range exchange, and building its RangePartitioner
+    SAMPLES the child RDD in a separate job before the real pass — when
+    the child is an expensive reduce (the array-carrying verify
+    SortMergeJoin), the whole reduce runs TWICE per action. That is not
+    a theory: the r13 scale artifacts show the signature directly —
+    q204 at R=80 has two 256-task stages EACH reading the identical
+    721.6M-record verify shuffle (spilling 418 + 353 GB), and q199 at
+    R=100 two stages each reading 347.3M records (214 + 214 GB); the
+    map-side shuffles are reused between the passes, the reduce-side
+    join + sort + filter is not (BENCH_SCALING_r13.json). Cutting the
+    lineage with a LAZY localCheckpoint materializes the verified pairs
+    exactly once (the first action computes them; Spark checkpoints an
+    RDD at the end of the first job that computes it), and the range
+    sampler then reads the tiny checkpointed pair set instead of
+    re-running the verify join. Guide SS2.4 ("an orderBy used only to
+    make output deterministic") + SS3.3 (materialize to truncate a
+    plan). Rows, schema, and the (unique-keyed, hence total) declared
+    order are unchanged; parity re-pinned at three scales (r14).
+    Trade-off at cluster scale: a local checkpoint is not
+    fault-tolerant — a lost executor fails the job instead of
+    recomputing lineage — the same trade the label-propagation loop
+    and the fragment pins already make."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,9 +537,17 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
+    # scale-adaptive task-count pin on the two array-carrying verify
+    # stages (see _verify_pin): no-op below the initialPartitionNum
+    # threshold, replaces the joins' own exchanges above it
+    pin = _verify_pin(spark, sf_dir, VERIFY_EXPANSION_Q42)
+    if pin:
+        candidates = candidates.repartition(pin, "doc_a")
+    mid = candidates.join(sets_a, "doc_a")
+    if pin:
+        mid = mid.repartition(pin, "doc_b")
     return (
-        candidates.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        mid.join(sets_b, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
@@ -608,6 +744,13 @@ def _min_label_propagation(
     # noise exposure); fully-cold q47 0.94x/1.05x (inside dispersion);
     # the code-untouched q204 control swung 1.17x in the same session,
     # which is the box's noise floor for the heavy probes.
+    # LAZY checkpoint: Spark checkpoints an RDD at the end of the first
+    # job that computes it, and the convergence probe's full aggregate
+    # below computes every partition — so the sum probe and the
+    # checkpoint materialization share ONE action per round instead of
+    # the r13 shape's two (eager checkpoint job + probe job). Same
+    # mechanism `edges` above already relies on; guide SS7.3 (driver
+    # round trips) / SS1.2 (remove a pass). r14, VERDICT r13 ask #5.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nbr_min"))
@@ -615,14 +758,8 @@ def _min_label_propagation(
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("_nbr_min")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if stats is not None and seed_t0 is not None:
-        # the seed checkpoint is the first ACTION: everything timed
-        # into it is the pair pipeline + edge materialization
-        stats.append(
-            ("pairs_and_seed", round(_time.perf_counter() - seed_t0, 3), None)
-        )
 
     # Convergence probe: per-node labels are MONOTONE NON-INCREASING
     # across rounds (seed: label <= self; propagate: min over self and
@@ -643,6 +780,13 @@ def _min_label_propagation(
         ).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    if stats is not None and seed_t0 is not None:
+        # the seed's sum probe is the first ACTION (it materializes the
+        # lazy seed checkpoint): everything timed into it is the pair
+        # pipeline + edge materialization + seed + first probe
+        stats.append(
+            ("pairs_and_seed", round(_time.perf_counter() - seed_t0, 3), None)
+        )
     for _it in range(32):  # safety bound far above log2(corpus)
         t_it0 = _time.perf_counter()
         # propagate: every vertex takes the min label over itself and
@@ -666,10 +810,14 @@ def _min_label_propagation(
         parent = prop.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
+        # lazy: the sum probe below is the round's ONE action — it
+        # computes every partition of the jumped table (a full
+        # aggregate), which materializes the checkpoint as a side
+        # effect (see the seed comment)
         jumped = (
             prop.join(parent, prop.label == parent.p_id)
             .select("doc_id", F.col("p_label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(jumped)
         # exact change indicator (see the monotonicity argument above);
@@ -1929,10 +2077,10 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac_idx = F.col("n_shared").cast("double") / (
             F.col("na") + F.col("nb") - F.col("n_shared")
         )
-        return (
+        return _declared_pair_order(
             shared.filter(jac_idx >= PREFIX_JACCARD_MIN)
-            .select("doc_a", "doc_b", jac_idx.alias("jaccard"))
-            .orderBy("doc_a", "doc_b")
+            .select("doc_a", "doc_b", jac_idx.alias("jaccard")),
+            "doc_a", "doc_b",
         )
     if Q199_INT_VERIFY:
         # 32-bit hash values: (x - 2^31) cast to int is a bijection,
@@ -1957,24 +2105,34 @@ def q199_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # array-carrying side STREAMS instead of sorting (see toggle
         # doc above): candidates (two LONGs) build the first map,
         # one-row-per-doc sets_b the second
-        return (
+        return _declared_pair_order(
             candidates.hint("shuffle_hash")
             .join(sets_a, "doc_a")
             .join(sets_b.hint("shuffle_hash"), "doc_b")
             .filter(jac >= PREFIX_JACCARD_MIN)
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .orderBy("doc_a", "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard")),
+            "doc_a", "doc_b",
         )
     # arm C: build the second join's hash map from the one-row-per-doc
     # sets_b so the array-carrying probe rows shuffle but never sort;
     # the first join stays SMJ (its sorted side is the compact pairs)
     sets_b2 = sets_b.hint("shuffle_hash") if Q199_HASH2_VERIFY else sets_b
-    return (
-        candidates.join(sets_a, "doc_a")
-        .join(sets_b2, "doc_b")
+    # scale-adaptive task-count pin on the two array-carrying verify
+    # stages (see _verify_pin): the r14 R=30 re-probe measured the
+    # unpinned join1 reduce at 35 AQE-coalesced tasks paging 51.8 GB
+    # while WRITING 104M array rows — per-task output, not input, is
+    # what sizes these stages
+    pin = _verify_pin(spark, sf_dir, VERIFY_EXPANSION_Q199)
+    if pin:
+        candidates = candidates.repartition(pin, "doc_a")
+    mid = candidates.join(sets_a, "doc_a")
+    if pin:
+        mid = mid.repartition(pin, "doc_b")
+    return _declared_pair_order(
+        mid.join(sets_b2, "doc_b")
         .filter(jac >= PREFIX_JACCARD_MIN)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard")),
+        "doc_a", "doc_b",
     )
 
 
@@ -2168,12 +2326,12 @@ def q204_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     cont = inter.cast("double") / F.size("sh_a")
-    return (
+    return _declared_pair_order(
         candidates.join(sets_a, "contained_doc")
         .join(sets_b, "container_doc")
         .filter(cont >= CONTAIN_MIN)
-        .select("contained_doc", "container_doc", cont.alias("containment"))
-        .orderBy("contained_doc", "container_doc")
+        .select("contained_doc", "container_doc", cont.alias("containment")),
+        "contained_doc", "container_doc",
     )
 
 

@@ -439,6 +439,14 @@ def q145_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsums=[("cnt", "excl", "exclusive")],
         boundary_key=sf_dir + ":q145",
     )
+    # NON-NULL score assumption made explicit (ADVICE r13): this inner
+    # equi-join would silently DROP a null-score histogram row (null
+    # never equi-matches), where the pre-r13 per-row rank would have
+    # ranked it — the embeddings norm is non-null by construction
+    # (to_double_array of a non-null vector column), and
+    # tests/test_new_ops.py::test_q145_scores_are_non_null pins that a
+    # future nullable embedding diverges loudly instead of vanishing
+    # from n_pos/n_neg.
     ranked = hist.join(tiers, "score").select(
         "label",
         "lcnt",

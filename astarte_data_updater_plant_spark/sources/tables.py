@@ -71,10 +71,27 @@ _SCHEMA_CACHE: dict = {}
 #: single-threaded, and does not parallelize on a cluster).
 _TABLE_CACHE: dict = {}
 
+#: applicationId the memos were filled under: entries are keyed by
+#: appId so a fresh JVM/session can never read a stale plan, but in a
+#: long-lived driver process that restarts sessions the dead session's
+#: entries would otherwise linger forever (VERDICT r13 nit #4) — one
+#: marker check evicts them the first time the new session loads a
+#: table.
+_CACHE_APP: list = [None]
+
+
+def _evict_dead_session_entries(app_id: str) -> None:
+    if _CACHE_APP[0] != app_id:
+        _SCHEMA_CACHE.clear()
+        _TABLE_CACHE.clear()
+        _CACHE_APP[0] = app_id
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
-    tck = (spark.sparkContext.applicationId, path)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_session_entries(app_id)
+    tck = (app_id, path)
     cached = _TABLE_CACHE.get(tck)
     if cached is not None:
         return cached

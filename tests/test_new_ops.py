@@ -807,3 +807,27 @@ def test_q170_histogram_rank_chunked_matches_oracle(spark):
         assert ok, f"chunk=1: {msg}"
     finally:
         corpus.Q170_RANK_CHUNK = saved
+
+
+def test_q145_scores_are_non_null(spark):
+    """q145's histogram rank joins hist to tiers on score with an INNER
+    equi-join, which would silently DROP a null-score row (ADVICE r13:
+    the pre-r13 per-row window would instead have ranked it). The
+    operator's non-null assumption holds because the score is a norm
+    over a non-null embedding column; this pins it so a future
+    nullable embedding diverges loudly instead of vanishing from
+    n_pos/n_neg."""
+    from pyspark.sql import functions as F
+
+    from astarte_data_updater_plant_spark.functions.vectors import (
+        norm,
+        to_double_array,
+    )
+    from astarte_data_updater_plant_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        nulls = emb.filter(
+            F.round(norm(to_double_array(F.col("embedding"))), 6).isNull()
+        ).count()
+        assert nulls == 0, sf_dir

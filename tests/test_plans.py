@@ -69,10 +69,37 @@ def test_q50_ann_broadcasts_query_side(spark, qs):
 
 
 def test_q42_lsh_join_is_equi_not_cartesian(spark, qs):
-    plan = formatted_plan(qs["q42_lsh_near_dup_pairs"](spark, SF_DIR))
+    # the declared q42 checkpoints the verified pairs before its
+    # presentation sort (r14), so the pair pipeline's shape is asserted
+    # on the internal _near_dup_pairs plan every consumer executes
+    from astarte_data_updater_plant_spark.operators.dedup import _near_dup_pairs
+
+    plan = formatted_plan(_near_dup_pairs(spark, SF_DIR))
     # near-dup candidate generation is keyed (band, signature) equi-join
     assert count_op(plan, "CartesianProduct") == 0
     assert count_op(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_declared_pair_queries_sort_a_checkpoint(spark, qs):
+    """q42/q199/q204's declared orderBy must range-sample a CHECKPOINT
+    of the verified pairs, never the live verify reduce: the
+    RangePartitioner's sampling job re-executes the child, and the r13
+    scale artifacts measured the whole array-carrying verify
+    SortMergeJoin running TWICE per action because of it (q204 R=80:
+    twin 256-task stages each reading 721.6M records, 418+353 GB
+    spill). The declared plan is therefore Sort + one range exchange
+    over a Scan ExistingRDD — the verify pipeline's shape stays pinned
+    via _near_dup_pairs and the plan snapshots."""
+    for name in (
+        "q42_lsh_near_dup_pairs",
+        "q199_prefix_filter_jaccard",
+        "q204_containment_pairs",
+    ):
+        df = qs[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "Scan ExistingRDD" in plan, name
+        s = plan_summary(df)
+        assert s["exchanges"] <= 1, (name, s["exchanges"])
 
 
 def test_q59_python_stage_is_arrow_batched(spark, qs):
@@ -160,7 +187,11 @@ PLAN_BUDGETS = {
     "q23_trigger_matches": (1, 0, 0, 1),
     "q26_property_resend": (3, 0, 0, 0),
     "q33_fingerprints": (2, 0, 0, 0),
-    "q42_lsh_near_dup_pairs": (3, 3, 0, 0),
+    # r14: the declared plan is the presentation sort over a pair
+    # CHECKPOINT (see test_declared_pair_queries_sort_a_checkpoint);
+    # the pair pipeline's own budget is pinned by
+    # test_near_dup_pair_pipeline_budget below
+    "q42_lsh_near_dup_pairs": (1, 0, 0, 0),
     # broadcast query batch x corpus is the intended pair generator
     "q50_cosine_topk": (4, 0, 0, 1),
     "q55_ivf_ann_topk": (7, 0, 1, 1),
@@ -264,6 +295,24 @@ PLAN_BUDGETS = {
     "q170_zipf_fit": (6, 1, 0, 1),
     "q171_top_supplier": (4, 2, 0, 0),
 }
+
+
+def test_near_dup_pair_pipeline_budget(spark):
+    """The q42 pair pipeline's cold budget, moved off the declared query
+    when it became a checkpoint + sort (r14): the shape every consumer
+    (q42/q45/q47/q128/q144/q191/q224) actually executes."""
+    from astarte_data_updater_plant_spark.functions.ranks import clear_boundary_cache
+    from astarte_data_updater_plant_spark.operators.dedup import _near_dup_pairs
+    from astarte_data_updater_plant_spark.plans.fragments import clear_fragments
+
+    clear_fragments()
+    clear_boundary_cache()
+    s = plan_summary(_near_dup_pairs(spark, SF_DIR))
+    # the r13 declared budget minus the presentation sort's exchange
+    assert s["exchanges"] <= 2, s["exchanges"]
+    assert s["broadcast_joins"] >= 3, s["broadcast_joins"]
+    assert s["shuffle_joins"] == 0
+    assert s["nested_loop_joins"] == 0
 
 
 @pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
@@ -441,3 +490,55 @@ def test_with_global_order_degenerate_key_stays_keyed(spark):
     assert empty_partition_windows(out2) == []
     rows = sorted((r.v, r.r, r.excl) for r in out2.collect())
     assert rows == [(i, i + 1, i) for i in range(5)]
+
+
+def test_with_global_order_empty_input_stays_keyed(spark):
+    """An EMPTY input's boundary sample is zero rows; the helper must
+    synthesize a sentinel cut (exact for any cut list) so even an
+    empty-snapshot plan keeps a keyed window — with boundaries=[] the
+    bucket folds to lit(0) and the plan regresses to the banned
+    single-partition WindowExec shape (ADVICE r13: the degenerate-key
+    guard did not cover the zero-row sample)."""
+    from astarte_data_updater_plant_spark.functions.ranks import (
+        clear_boundary_cache,
+        with_global_order,
+    )
+    from astarte_data_updater_plant_spark.plans.inspect import (
+        empty_partition_windows,
+    )
+
+    clear_boundary_cache()
+    empty = spark.createDataFrame([], "score double, cnt long")
+    out = with_global_order(
+        empty, ["score"], rank="r", cumsums=[("cnt", "excl", "exclusive")]
+    )
+    assert empty_partition_windows(out) == []
+    assert out.collect() == []
+
+
+def test_memo_caches_evict_on_new_application(spark):
+    """Dead-session memo entries must not accumulate in a long-lived
+    driver that restarts sessions (VERDICT r13 nit #4): the first use
+    under a new applicationId clears entries keyed by the old one."""
+    from astarte_data_updater_plant_spark.functions import ranks
+    from astarte_data_updater_plant_spark.sources import tables
+
+    # seed both modules' memos under the live session
+    tables.load_table(spark, SF_DIR, "documents")
+    assert tables._TABLE_CACHE
+    ranks._BOUNDARY_CACHE[("dead-app", "k", 4)] = []
+    ranks._BUCKET_COL_CACHE[("dead-app", "k", 4)] = object()
+    tables._SCHEMA_CACHE[("dead-app", "p")] = None
+    tables._TABLE_CACHE[("dead-app", "p")] = object()
+    # simulate "the memos were filled under a different application"
+    tables._CACHE_APP[0] = "dead-app"
+    ranks._CACHE_APP[0] = "dead-app"
+    tables.load_table(spark, SF_DIR, "documents")
+    one = spark.createDataFrame([(1.0, 1)], "score double, cnt long")
+    ranks.with_global_order(one, ["score"], rank="r")
+    assert ("dead-app", "p") not in tables._TABLE_CACHE
+    assert ("dead-app", "p") not in tables._SCHEMA_CACHE
+    assert ("dead-app", "k", 4) not in ranks._BOUNDARY_CACHE
+    assert ("dead-app", "k", 4) not in ranks._BUCKET_COL_CACHE
+    # and the live session's entries were refilled
+    assert tables._TABLE_CACHE
