@@ -91,7 +91,15 @@ VERIFY_PIN_MAX = 4096
 #: corpus still yields per-task buffers within a small multiple of
 #: the target, versus the unpinned plan's measured 1.5 GB/task — and
 #: the env override re-calibrates without a code change.
-VERIFY_EXPANSION_Q42 = float(os.environ.get("SPARK_GRAFT_VERIFY_EXP_Q42", "800"))
+#: q42-family default 0 = pin OFF: its estimated engage point (~R>=70
+#: of the bench corpus) sits past every scale this round measured, and
+#: the q204 finding (OPTIMIZATION_r14.md) shows verify joins can
+#: stream-execute at large sets sizes — a pin there would force an
+#: exchange the streaming plan never pays. The knob exists so a
+#: deployment that MEASURES an SMJ-flip on its corpus can turn it on
+#: without a code change; q199's pin ships ON because its SMJ shape
+#: and the pin's 35x spill cut are interleaved-A/B-proven at R=30.
+VERIFY_EXPANSION_Q42 = float(os.environ.get("SPARK_GRAFT_VERIFY_EXP_Q42", "0"))
 VERIFY_EXPANSION_Q199 = float(
     os.environ.get("SPARK_GRAFT_VERIFY_EXP_Q199", "2800")
 )
@@ -134,6 +142,8 @@ def _verify_pin(spark: SparkSession, sf_dir: str, expansion: float) -> int | Non
     side is far past the 10 MB adaptive broadcast threshold, so the
     joins are exchange-based with or without the pin — the repartition
     replaces an exchange, never adds one."""
+    if expansion <= 0:
+        return None
     if os.environ.get("SPARK_GRAFT_VERIFY_PIN_DISABLE") == "1":
         return None
     est = _docs_bytes(sf_dir) * expansion
